@@ -1,0 +1,210 @@
+"""String-similarity (Levenshtein) join — the engine's flagship operator.
+
+Re-expresses ``fuzzyjoin::stringdist_left_join(method="lv")`` as used at
+``/root/reference/varinfo-update.R:99-105``: a left outer theta-join on
+``levenshtein(left_text, right_text) <= max_dist`` that emits the
+distance as a column; a left row with k matches fans out to k rows, and
+an unmatched left row survives with NULL right columns.
+
+Two physical strategies (SURVEY.md §4.2):
+
+``broadcast``
+    BroadcastNestedLoopJoin with Spark's bounded ``levenshtein(l, r,
+    threshold)`` (early-exit, Spark >= 3.5). Right for a small right
+    side (the reference's ~260-variable survey) — no shuffle at all,
+    the left side streams through in place.
+
+``blocked``
+    Length-band blocking for big×big joins: ``|len(a) - len(b)| <=
+    max_dist`` is a necessary condition for ``lv(a,b) <= max_dist``, so
+    bucket left rows by ``floor(len / (max_dist+1))`` and explode each
+    right row to every bucket its admissible length band overlaps. The
+    theta-join becomes an EQUI join on the bucket id — shuffle-
+    partitionable, AQE-skew-splittable, scalable to arbitrarily large
+    sides — followed by the cheap length filter and the bounded
+    Levenshtein on surviving candidates only. Candidate generation runs
+    on DISTINCT left keys, so cost scales with text cardinality, not row
+    count; results re-attach to the left by an equi join.
+
+Both strategies produce identical results (property-tested in
+``tests/test_fuzzy_join.py``).
+
+NULL semantics: a NULL left key never matches (Levenshtein with NULL is
+NULL). The reference avoids NULLs by pre-filling NA→"" before joining
+(varinfo-update.R:98) and appending an empty-text sentinel row on the
+right (:61) so empty-text rows match at distance 0; that normalization
+lives in the pipeline layer, not here.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_LEN = "__csdp_len"
+_BUCKET = "__csdp_bucket"
+
+
+def _q(name: str) -> str:
+    """Backtick-quote a column name (survey columns contain dots, e.g.
+    ``QuestionText.2023``, which Spark would otherwise parse as struct
+    field navigation)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def stringdist_left_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    max_dist: int = 6,
+    distance_col: str = "string_distance",
+    strategy: str = "broadcast",
+) -> DataFrame:
+    """Left outer join on ``levenshtein(left[left_on], right[right_on])
+    <= max_dist``, emitting the distance as ``distance_col``.
+
+    Output columns: all of ``left`` then all of ``right`` then
+    ``distance_col`` (INT, NULL for unmatched left rows). ``left_on`` and
+    ``right_on`` must be distinct names (rename beforehand otherwise).
+    """
+    if left_on == right_on:
+        raise ValueError("left_on and right_on must differ; rename one side first")
+    if strategy == "broadcast":
+        return _broadcast_nlj(left, right, left_on, right_on, max_dist, distance_col)
+    if strategy == "blocked":
+        return _blocked(left, right, left_on, right_on, max_dist, distance_col)
+    raise ValueError(f"unknown strategy: {strategy!r}")
+
+
+def _bounded_lv(l: Column, r: Column, max_dist: int) -> Column:
+    """Bounded Levenshtein: distance if <= max_dist else NULL.
+
+    Spark's 3-arg ``levenshtein`` early-exits past the threshold and
+    returns -1; map that sentinel to NULL so it composes with filters
+    and left-join semantics.
+    """
+    d = F.levenshtein(l, r, max_dist)
+    return F.when(d >= 0, d)
+
+
+def _broadcast_nlj(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    max_dist: int,
+    distance_col: str,
+) -> DataFrame:
+    lk, rk = "__csdp_lk", "__csdp_rk"
+    l2 = left.withColumn(lk, F.col(_q(left_on)))
+    r2 = right.withColumn(rk, F.col(_q(right_on)))
+    cond = _bounded_lv(l2[lk], r2[rk], max_dist).isNotNull()
+    joined = l2.join(F.broadcast(r2), cond, "left")
+    return joined.withColumn(
+        distance_col,
+        _bounded_lv(F.col(lk), F.col(rk), max_dist).cast("int"),
+    ).drop(lk, rk)
+
+
+def _blocked(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    max_dist: int,
+    distance_col: str,
+) -> DataFrame:
+    """Length-band blocked similarity join; equivalent to the NLJ form."""
+    width = max_dist + 1
+
+    # Candidate generation over DISTINCT left texts: cost is bounded by
+    # key cardinality, and the final re-attach is a plain equi join that
+    # Catalyst/AQE can broadcast or shuffle as sizes dictate.
+    lt = (
+        left.select(F.col(_q(left_on)))
+        .where(F.col(_q(left_on)).isNotNull())
+        .distinct()
+        .withColumn(_LEN, F.length(_q(left_on)))
+        .withColumn(_BUCKET, F.floor(F.col(_LEN) / width))
+    )
+    rt = (
+        right.withColumn(_LEN + "_r", F.length(_q(right_on)))
+        .withColumn(
+            _BUCKET,
+            F.explode(
+                F.sequence(
+                    F.floor((F.col(_LEN + "_r") - max_dist) / width),
+                    F.floor((F.col(_LEN + "_r") + max_dist) / width),
+                )
+            ),
+        )
+    )
+    cand = (
+        lt.join(rt, _BUCKET)
+        .where(F.abs(F.col(_LEN) - F.col(_LEN + "_r")) <= max_dist)
+        .withColumn(
+            distance_col, _bounded_lv(F.col(_q(left_on)), F.col(_q(right_on)), max_dist)
+        )
+        .where(F.col(distance_col).isNotNull())
+        .drop(_LEN, _LEN + "_r", _BUCKET)
+        .withColumn(distance_col, F.col(distance_col).cast("int"))
+    )
+    # Re-attach matches to the full left side; unmatched lefts (including
+    # NULL keys, which never equi-join) survive with NULL right columns.
+    return left.join(cand, on=left_on, how="left")
+
+
+def with_row_id(
+    df: DataFrame,
+    name: str = "row_id",
+    order_by: Sequence[str | Column] | None = None,
+) -> DataFrame:
+    """1-based stable row index (R ``rowid_to_column`` parity, SURVEY.md
+    §2.5 W1).
+
+    With ``order_by``, ids follow that explicit order — the scalable,
+    deterministic contract. Without it, ids follow physical partition
+    order (file order for a single-file CSV read), captured via
+    ``monotonically_increasing_id`` and densified by a global window:
+    correct for metadata-scale frames, but the single-partition window
+    is a deliberate non-goal at 100 TB — large data must supply
+    ``order_by``.
+    """
+    if order_by is None:
+        df = df.withColumn("__csdp_mid", F.monotonically_increasing_id())
+        w = Window.orderBy("__csdp_mid")
+        return (
+            df.withColumn(name, F.row_number().over(w).cast("long"))
+            .drop("__csdp_mid")
+        )
+    w = Window.orderBy(*order_by)
+    return df.withColumn(name, F.row_number().over(w).cast("long"))
+
+
+def keep_best_match(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    distance_col: str = "string_distance",
+    tiebreakers: Sequence[Column] | None = None,
+) -> DataFrame:
+    """Top-1 per group by ascending distance, NULL distances last — the
+    ``arrange(row_id, string_distance) |> distinct(row_id)`` reduction at
+    varinfo-update.R:106-107 (SURVEY.md §2.3 J2).
+
+    The reference's tiebreak among equal distances is join order
+    (nondeterministic); this engine requires a deterministic tiebreak
+    and defaults to none — pass ``tiebreakers`` (e.g. the matched
+    variable name ascending) for reproducible plans.
+    """
+    order = [F.col(distance_col).asc_nulls_last()]
+    if tiebreakers:
+        order.extend(tiebreakers)
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("__csdp_rn", F.row_number().over(w))
+        .where(F.col("__csdp_rn") == 1)
+        .drop("__csdp_rn")
+    )

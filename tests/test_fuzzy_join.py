@@ -1,0 +1,112 @@
+"""Fuzzy (Levenshtein) join invariants — SURVEY.md §5.2 item 3.
+
+* broadcast NLJ and length-band blocked strategies are equivalent,
+* left-row preservation after best-match reduction,
+* string_distance == 0 ⟺ exact equality,
+* max_dist boundary inclusion/exclusion.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from common_survey_data_pipeline_spark.operators.fuzzy_join import (
+    keep_best_match,
+    stringdist_left_join,
+    with_row_id,
+)
+
+ALPHABET = "abcd"
+
+
+def _random_pool(rng, n, max_len=12):
+    return [
+        "".join(rng.choice(ALPHABET) for _ in range(rng.randint(0, max_len)))
+        for _ in range(n)
+    ]
+
+
+def _result_set(df, left_on, right_on):
+    return {
+        (r[left_on], r[right_on], r["string_distance"])
+        for r in df.select(left_on, right_on, "string_distance").collect()
+    }
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("max_dist", [0, 2, 5])
+def test_blocked_equals_broadcast(spark, seed, max_dist):
+    rng = random.Random(seed)
+    left = spark.createDataFrame(
+        [(s,) for s in _random_pool(rng, 60)] + [(None,)], ["ltext"]
+    )
+    right = spark.createDataFrame([(s,) for s in _random_pool(rng, 40)], ["rtext"])
+    a = stringdist_left_join(left, right, "ltext", "rtext", max_dist, strategy="broadcast")
+    b = stringdist_left_join(left, right, "ltext", "rtext", max_dist, strategy="blocked")
+    assert _result_set(a, "ltext", "rtext") == _result_set(b, "ltext", "rtext")
+    assert a.count() == b.count()
+
+
+def test_distance_zero_iff_equal(spark):
+    left = spark.createDataFrame([("abc",), ("abd",), ("zzz",)], ["l"])
+    right = spark.createDataFrame([("abc",), ("abe",)], ["r"])
+    out = stringdist_left_join(left, right, "l", "r", max_dist=1).collect()
+    for row in out:
+        if row["string_distance"] == 0:
+            assert row["l"] == row["r"]
+        elif row["l"] == row["r"]:
+            assert row["string_distance"] == 0
+
+
+def test_max_dist_boundary(spark):
+    left = spark.createDataFrame([("aaaa",)], ["l"])
+    # distance 2 ("aabb") included at max_dist=2, distance 3 ("abbb") excluded
+    right = spark.createDataFrame([("aabb",), ("abbb",)], ["r"])
+    for strategy in ("broadcast", "blocked"):
+        got = {
+            r["r"]
+            for r in stringdist_left_join(
+                left, right, "l", "r", max_dist=2, strategy=strategy
+            ).collect()
+        }
+        assert got == {"aabb"}
+
+
+def test_left_preservation_after_best_match(spark):
+    rng = random.Random(7)
+    left = spark.createDataFrame([(s,) for s in _random_pool(rng, 50)], ["ltext"])
+    left = with_row_id(left, "row_id")
+    right = spark.createDataFrame([(s,) for s in _random_pool(rng, 30)], ["rtext"])
+    for strategy in ("broadcast", "blocked"):
+        joined = stringdist_left_join(left, right, "ltext", "rtext", 3, strategy=strategy)
+        best = keep_best_match(joined, ["row_id"], tiebreakers=[F.col("rtext").asc_nulls_last()])
+        assert best.count() == 50
+        # one row per original left row, and the kept match is minimal
+        mins = (
+            joined.groupBy("row_id")
+            .agg(F.min("string_distance").alias("mind"))
+            .collect()
+        )
+        mind = {r["row_id"]: r["mind"] for r in mins}
+        for r in best.collect():
+            assert r["string_distance"] == mind[r["row_id"]]
+
+
+def test_unmatched_left_rows_survive_with_nulls(spark):
+    left = spark.createDataFrame([("aaaaaaaaaa",), ("bbbb",)], ["l"])
+    right = spark.createDataFrame([("bbbc",)], ["r"])
+    for strategy in ("broadcast", "blocked"):
+        out = stringdist_left_join(left, right, "l", "r", 1, strategy=strategy)
+        rows = {r["l"]: (r["r"], r["string_distance"]) for r in out.collect()}
+        assert rows["aaaaaaaaaa"] == (None, None)
+        assert rows["bbbb"] == ("bbbc", 1)
+
+
+def test_with_row_id_is_one_based_dense(spark):
+    df = spark.createDataFrame([(c,) for c in "edcba"], ["v"])
+    ids = sorted(r["row_id"] for r in with_row_id(df).collect())
+    assert ids == [1, 2, 3, 4, 5]
+    # explicit order contract
+    by_v = {r["v"]: r["row_id"] for r in with_row_id(df, order_by=["v"]).collect()}
+    assert by_v == {"a": 1, "b": 2, "c": 3, "d": 4, "e": 5}
