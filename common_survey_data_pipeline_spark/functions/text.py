@@ -1,0 +1,147 @@
+"""Text-analysis column expressions — all JVM-side built-ins, no UDFs.
+
+Every function here returns a ``pyspark.sql.Column`` built from
+whole-stage-codegen-friendly primitives (split/filter/transform/
+aggregate), so plans stay vectorized at 100 TB. Each has a documented
+ANSI-SQL equivalent used by the DuckDB oracles in ``__spark_entry__``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny public stopword lists for the language-ID heuristic (top function
+#: words; enough signal for a deterministic n-gram/stopword classifier)
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it", "you", "that"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
+    "fr": ("le", "la", "de", "et", "un", "que", "pour", "dans", "ce", "les"),
+    "de": ("der", "die", "und", "in", "den", "von", "zu", "das", "mit", "sich"),
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization with empty-token removal.
+
+    SQL equivalent: ``list_filter(regexp_split_to_array(trim(x), '\\s+'),
+    t -> t <> '')``.
+    """
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def mean_token_length(col: Column) -> Column:
+    """Average token length as double (NULL for zero tokens)."""
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return (total.cast("double") / F.nullif(F.size(toks), F.lit(0))).cast("double")
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are neither word characters nor
+    whitespace. SQL: same double regexp_replace construction."""
+    stripped = F.regexp_replace(col, r"[\w\s]", "")
+    return (F.length(stripped).cast("double") / F.nullif(F.length(col), F.lit(0)))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are (lang) stopwords."""
+    toks = tokens(F.lower(col))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits.cast("double") / F.nullif(F.size(toks), F.lit(0))
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic composite quality heuristic in [0, 1]:
+    rewards reasonable length and stopword presence, penalizes
+    punctuation soup. The exact formula is the contract (mirrored in the
+    DuckDB oracle); it is a heuristic, not a model."""
+    n_tok = token_count(col).cast("double")
+    len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    sw_score = F.least(F.coalesce(stopword_ratio(col), F.lit(0.0)) * 4.0, F.lit(1.0))
+    punct_pen = F.least(F.coalesce(punct_ratio(col), F.lit(0.0)) * 2.0, F.lit(1.0))
+    return F.round(0.5 * len_score + 0.5 * sw_score - 0.25 * punct_pen, 6)
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Per-language stopword-overlap counts over the distinct token set."""
+    toks = F.array_distinct(tokens(F.lower(col)))
+    out = {}
+    for lang, words in STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(F.array_intersect(toks, sw))
+    return out
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax language by stopword overlap; ties break alphabetically;
+    zero overlap → 'unknown'. Deterministic, SQL-mirrorable."""
+    scores = lang_scores(col)
+    langs = sorted(scores)  # alphabetical tiebreak
+    best = F.greatest(*[scores[lang] for lang in langs])
+    expr = F.lit("unknown")
+    # build reversed so earlier (alphabetical) languages win ties
+    for lang in reversed(langs):
+        expr = F.when(
+            (scores[lang] == best) & (best > 0), F.lit(lang)
+        ).otherwise(expr)
+    return expr
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams joined by single spaces; empty array when
+    fewer than n tokens.
+
+    SQL: ``case when len(toks) < n then [] else list_distinct([...]) end``.
+    """
+    toks = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(grams)
+    )
+
+
+def char_shingles(col: Column, k: int = 5) -> Column:
+    """Distinct character k-grams; empty array for strings shorter than k."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(col) - (k - 1)),
+        lambda i: F.substring(col, i, k),
+    )
+    return F.when(F.length(col) < k, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(grams)
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two (distinct-element) arrays, 0.0 when the
+    union is empty."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_distinct(F.concat(a, b)))
+    return F.coalesce(inter / F.nullif(union.cast("double"), F.lit(0.0)), F.lit(0.0))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token count: splits on whitespace AND on
+    letter/digit/other boundaries (a cheap BPE stand-in for LLM budget
+    estimation). SQL-mirrorable via the same regexp."""
+    pieces = F.split(
+        F.regexp_replace(
+            F.regexp_replace(col, r"(\d+)", r" $1 "),
+            r"([^\w\s]+)",
+            r" $1 ",
+        ),
+        r"\s+",
+    )
+    return F.size(F.filter(pieces, lambda t: t != ""))

@@ -1,0 +1,274 @@
+"""Deduplication operators for large-scale text corpora.
+
+Four families, all shuffle-architected for 100 TB (SURVEY.md north
+star; BASELINE.json):
+
+* **exact** — content-hash groupBy; one shuffle on the hash, map-side
+  partial aggregation, no data movement of full texts beyond first-seen.
+* **MinHash + LSH** — shingle → k minhashes → b bands; candidate pairs
+  only where a band matches (equi-join on (band, band-signature) — a
+  plain shuffle join AQE can skew-split), then exact-Jaccard
+  verification of candidates. Cost ~ O(N·k + candidates), never O(N²).
+* **SimHash** — 64-bit signature; banding over 4×16-bit chunks
+  guarantees every pair within Hamming distance 3 shares a band
+  (pigeonhole), so near-dup candidate generation is again an equi-join.
+* **embedding cosine** — random-hyperplane (sign) LSH buckets then
+  in-bucket exact cosine (see ``similarity.py`` for the kernels).
+
+Everything is built from JVM higher-order functions (``transform`` /
+``aggregate`` / ``array_min``) — zero Python UDFs, full codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from common_survey_data_pipeline_spark.functions.text import jaccard, word_shingles
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact-duplicate groups by md5 content hash: one row per distinct
+    content with member count and the keeper (minimum id).
+
+    Output: (content_hash STRING, n_dups LONG, keeper_id LONG).
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("keeper_id"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep exactly one row (minimum id) per distinct text content."""
+    w_keep = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    return df.join(w_keep, on=id_col, how="left_semi")
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 128) -> Column:
+    """Array of ``num_hashes`` minhash values over a shingle array.
+
+    Hash family: ``xxhash64(shingle, seed)`` for seed = 1..k — the seed
+    participates as an extra hashed column, giving k distinct hash
+    functions entirely JVM-side.
+    """
+    seeds = F.array(*[F.lit(s) for s in range(1, num_hashes + 1)])
+    return F.transform(
+        seeds,
+        lambda s: F.array_min(F.transform(shingles, lambda sh: F.xxhash64(sh, s))),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    shingles_col: str,
+    num_hashes: int = 128,
+    bands: int = 32,
+) -> DataFrame:
+    """Candidate near-duplicate id pairs: ids sharing at least one LSH
+    band. Output (id_a, id_b) with id_a < id_b, distinct.
+
+    With r = num_hashes/bands rows per band, a pair with Jaccard j
+    becomes a candidate with probability 1-(1-j^r)^bands — at the
+    default (r=4, b=32): j=0.5 → 0.87, j=0.8 → ~1-1e-13. Rows with
+    empty shingle sets never collide (their minhash is NULL).
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    # Explode-then-aggregate formulation: per (doc, shingle) row compute
+    # all k hashes as PLAIN columns, then k min-aggregates per doc. Every
+    # expression stays inside whole-stage codegen (array-lambda HOFs are
+    # interpreted per element — ~10× slower measured at sf0.1), and the
+    # partial aggregation makes the shuffle k longs per doc.
+    seeds = list(range(1, num_hashes + 1))
+    exploded = df.select(
+        F.col(id_col).alias("__id"), F.explode(shingles_col).alias("__sh")
+    )
+    mins = exploded.groupBy("__id").agg(
+        *[F.min(F.xxhash64("__sh", F.lit(s))).alias(f"__m{s}") for s in seeds]
+    )
+    # collapse each r-long band slice to one 64-bit key so the join key is
+    # fixed-width (cheap shuffle) instead of an array
+    band_keys = F.array(
+        *[
+            F.xxhash64(F.lit(b), *[F.col(f"__m{b * r + j + 1}") for j in range(r)])
+            for b in range(bands)
+        ]
+    )
+    banded = mins.select("__id", F.explode(band_keys).alias("band_key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    shingle_words: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Verified near-duplicate pairs: MinHash-LSH candidate generation
+    followed by exact word-shingle Jaccard ≥ threshold.
+
+    Output: (id_a, id_b, jaccard_sim DOUBLE) with id_a < id_b.
+    Default 16 bands × 4 rows: candidate recall 1-(1-j⁴)¹⁶ ≈ 1-3.5e-8
+    at j=0.9 (the near-dup regime); raise num_hashes/bands for corpora
+    whose near-dup threshold sits lower.
+    """
+    sh = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            word_shingles(F.col(text_col), shingle_words).alias("__shingles"),
+        )
+        .where(F.size("__shingles") > 0)
+        # referenced by candidate generation AND both verify sides —
+        # materialize once instead of recomputing the shingle pipeline 3×
+        .cache()
+    )
+    cand = minhash_lsh_candidates(sh, "__id", "__shingles", num_hashes, bands)
+    a = sh.select(F.col("__id").alias("id_a"), F.col("__shingles").alias("__sh_a"))
+    b = sh.select(F.col("__id").alias("id_b"), F.col("__shingles").alias("__sh_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard_sim", F.round(jaccard(F.col("__sh_a"), F.col("__sh_b")), 6))
+        .where(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
+def simhash64(tokens_col: Column) -> Column:
+    """64-bit SimHash of a token array, fully columnar.
+
+    Per token, ``xxhash64`` supplies 64 bits; each bit position
+    accumulates +1/-1 across tokens; the sign of each accumulator is the
+    output bit. Bits are OR-assembled (no additive overflow on bit 63).
+    """
+    # F.shiftright/shiftleft python wrappers demand a literal shift; the
+    # underlying SQL functions take column shifts — call them by name.
+    counts = F.aggregate(
+        tokens_col,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: F.when(
+                    F.call_function("shiftright", F.xxhash64(t), i).bitwiseAND(
+                        F.lit(1)
+                    )
+                    == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1)),
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    bit_values = F.zip_with(
+        counts,
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda c, i: F.when(
+            c > 0, F.call_function("shiftleft", F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        bit_values, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x)
+    )
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ max_hamming
+    (≤ 3 guaranteed complete via 4-chunk banding; larger thresholds are
+    best-effort with the same bands).
+
+    Output: (id_a, id_b, hamming INT).
+    """
+    from common_survey_data_pipeline_spark.functions.text import tokens
+
+    sigs = df.select(
+        F.col(id_col).alias("__id"),
+        simhash64(tokens(F.col(text_col))).alias("__sim"),
+    )
+    chunks = sigs.select(
+        "__id",
+        "__sim",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda i: F.struct(
+                    i.alias("chunk"),
+                    F.call_function("shiftright", F.col("__sim"), i * 16)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("chunk_val"),
+                ),
+            )
+        ).alias("c"),
+    ).select("__id", "__sim", F.col("c.chunk").alias("chunk"), F.col("c.chunk_val").alias("chunk_val"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.bit_count(
+                F.col("a.__sim").bitwiseXOR(F.col("b.__sim"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """EXACT all-pairs word-n-gram Jaccard ≥ threshold — the oracle-
+    grade form (quadratic; use ``minhash_dedup_pairs`` at scale, this
+    one for verification and modest inputs). Same output contract.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        word_shingles(F.col(text_col), shingle_words).alias("__sh"),
+    ).where(F.size("__sh") > 0)
+    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard_sim", F.round(jaccard(F.col("__sh_a"), F.col("__sh_b")), 6))
+        .where(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )

@@ -1,0 +1,198 @@
+"""Embedding similarity search over ``array<float>`` columns.
+
+Two paths (SURVEY.md north star; BASELINE.json):
+
+* ``cosine_topk`` — exact brute force: broadcast the (small) query set
+  against the corpus, compute cosine with JVM higher-order functions
+  (``zip_with`` + ``aggregate``), rank per query. One pass over the
+  corpus, no shuffle of the corpus itself — the scalable exact baseline
+  when queries ≪ corpus.
+* ``signlsh_topk`` — random-hyperplane (sign) LSH: h fixed hyperplanes
+  (seeded numpy, embedded as literal arrays) give every vector an h-bit
+  bucket; queries probe their own bucket plus all Hamming-1 neighbors
+  (multi-probe), and only in-bucket candidates get exact cosine. Equi-
+  join on the bucket id → shuffle-partitionable, approximate recall,
+  corpus-scale friendly.
+
+Norms/dots run in float64 regardless of input float32 storage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    Output: (query_id, vec_id, cosine_sim DOUBLE, rank INT), rank 1..k
+    by (cosine_sim DESC rounded to 6, vec_id ASC) — the rounding +
+    id tiebreak makes ranking reproducible across engines.
+    """
+    q = F.broadcast(
+        queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv"))
+    )
+    joined = corpus.select(
+        F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cv")
+    ).crossJoin(q)
+    if exclude_self:
+        joined = joined.where(F.col("vec_id") != F.col("query_id"))
+    scored = joined.withColumn(
+        "cosine_sim", F.round(cosine(F.col("__cv"), F.col("__qv")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc_nulls_last(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine_sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    return np.random.RandomState(seed).standard_normal((n_planes, dim))
+
+
+def signlsh_bucket(vec: Column, planes: np.ndarray) -> Column:
+    """h-bit sign-LSH bucket id of a vector: bit i = (vec · plane_i) >= 0.
+
+    The hyperplanes are embedded as literal arrays — constant-folded by
+    Catalyst, shipped once in the plan, no lookup table or UDF.
+    """
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(v)) for v in plane])
+        bit = F.when(dot(vec, lit_plane) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
+    return bucket
+
+
+def signlsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    multiprobe: bool = True,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via sign-LSH bucketing.
+
+    Corpus vectors land in one bucket each; each query probes its own
+    bucket (+ Hamming-1 neighbor buckets when ``multiprobe``) and ranks
+    only those candidates exactly. Same output contract as
+    ``cosine_topk`` — recall < 1 by design; at 100 TB the bucket join
+    is a shuffle equi-join instead of a full corpus scan per query.
+    """
+    dim = len(corpus.select(corpus_vec).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    c = corpus.select(
+        F.col(corpus_id).alias("vec_id"),
+        F.col(corpus_vec).alias("__cv"),
+        signlsh_bucket(F.col(corpus_vec), planes).alias("bucket"),
+    )
+    qb = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("__qv"),
+        signlsh_bucket(F.col(query_vec), planes).alias("__qbucket"),
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("__qbucket"),
+            *[
+                F.col("__qbucket").bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), i))
+                for i in range(n_planes)
+            ],
+        )
+        qb = qb.withColumn("bucket", F.explode(probes))
+    else:
+        qb = qb.withColumn("bucket", F.col("__qbucket"))
+    joined = c.join(F.broadcast(qb.drop("__qbucket")), "bucket")
+    if exclude_self:
+        joined = joined.where(F.col("vec_id") != F.col("query_id"))
+    scored = joined.withColumn(
+        "cosine_sim", F.round(cosine(F.col("__cv"), F.col("__qv")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc_nulls_last(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine_sim", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: sign-LSH bucket self-join, then
+    exact cosine ≥ threshold. Output (id_a, id_b, cosine_sim)."""
+    dim = len(corpus.select(corpus_vec).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(corpus_id).alias("__id"),
+        F.col(corpus_vec).alias("__v"),
+        signlsh_bucket(F.col(corpus_vec), planes).alias("bucket"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .withColumn("cosine_sim", F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6))
+        .where(F.col("cosine_sim") >= threshold)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            "cosine_sim",
+        )
+    )

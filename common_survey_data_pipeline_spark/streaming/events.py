@@ -1,0 +1,160 @@
+"""Event-stream operators: windowed aggregation, sessionization,
+watermarked dedup.
+
+Each operator is a pure DataFrame transform that works identically on a
+batch DataFrame and a Structured Streaming DataFrame (``readStream``) —
+the Spark-native way to express the reference's incremental "new
+administration arrives → merge" lifecycle (SURVEY.md §2.10) and the
+scale-out story for the ``events`` table.
+
+Batch mode doubles as the oracle-checkable form: tumbling windows are
+``time_bucket`` in ANSI SQL; session windows are the classic
+gaps-and-islands construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    group_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-window, per-group count + value sum. Streaming-safe (append
+    mode once a watermark is set upstream).
+
+    Output: (window_start, window_end, *group_cols, n_events, sum_value).
+    """
+    win = F.window(F.col(ts_col), window)
+    return (
+        events.groupBy(win.alias("w"), *[F.col(c) for c in group_cols])
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *group_cols,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    ts_col: str = "ts",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Sliding-window event counts (each event lands in window/slide
+    overlapping windows)."""
+    win = F.window(F.col(ts_col), window, slide)
+    return (
+        events.groupBy(win.alias("w"), *[F.col(c) for c in group_cols])
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *group_cols,
+            "n_events",
+        )
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Per-user session windows with an inactivity gap: a session ends
+    when no event arrives for ``gap``.
+
+    Uses ``F.session_window`` (stateful streaming operator; in batch it
+    compiles to a merge-based aggregation). Output: (user_id,
+    session_start, n_events, first_ts, last_ts) — note session_window's
+    *end* extends gap past the last event, so the oracle-stable columns
+    are the start and the event timestamps, which we expose.
+    """
+    sw = F.session_window(F.col(ts_col), gap)
+    return (
+        events.groupBy(sw.alias("s"), F.col(user_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        )
+        .select(
+            F.col(user_col),
+            F.col("s.start").alias("session_start"),
+            "n_events",
+            "first_ts",
+            "last_ts",
+        )
+    )
+
+
+def dedup_events(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """First event per key. Batch: min-ts row per key (deterministic).
+    Streaming: set ``watermark`` and state is bounded via
+    ``dropDuplicatesWithinWatermark`` semantics."""
+    if events.isStreaming:
+        out = events
+        if watermark:
+            out = out.withWatermark(ts_col, watermark)
+        return out.dropDuplicatesWithinWatermark(list(keys))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def stream_from_parquet(
+    spark: SparkSession,
+    path: str,
+    schema,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """File-based streaming source over a parquet directory with a
+    watermark — micro-batch ingestion of event files as they land."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .withWatermark(ts_col, watermark)
+    )
+
+
+def run_stream_to_memory(
+    df: DataFrame, query_name: str, output_mode: str = "append", timeout_s: int = 60
+) -> None:
+    """Drive a streaming DataFrame into an in-memory sink until idle —
+    the test harness for streaming operators."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()

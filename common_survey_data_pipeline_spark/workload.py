@@ -1,0 +1,961 @@
+"""The engine's driver-facing workload: every operator from SURVEY.md §2
+plus the large-scale extension operators, each as a named query over the
+driver's synthetic tables with (where expressible) a DuckDB oracle SQL
+string kept RIGHT NEXT to the Spark plan so the two stay in sync.
+
+Contract (``/root/repo/__spark_entry__.py``): every query callable takes
+``(spark, sf_dir)`` and returns a DataFrame; oracle SQL runs on DuckDB
+views named after the parquet tables. Column names AND dtypes are
+aligned between both sides (counts → BIGINT, ratios → DOUBLE, ranks →
+INT) because the driver hash-compares values after sorting columns by
+name.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from common_survey_data_pipeline_spark.functions import text as T
+from common_survey_data_pipeline_spark.operators.coalesce_join import coalesce_left_join
+from common_survey_data_pipeline_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dedup_pairs,
+)
+from common_survey_data_pipeline_spark.operators.fuzzy_join import stringdist_left_join
+from common_survey_data_pipeline_spark.operators.joins import anti_join, semi_join
+from common_survey_data_pipeline_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_images,
+    sample_frames,
+)
+from common_survey_data_pipeline_spark.operators.similarity import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    signlsh_topk,
+)
+from common_survey_data_pipeline_spark.sources.tables import load_table
+from common_survey_data_pipeline_spark.streaming.events import (
+    dedup_events,
+    session_stats,
+    tumbling_counts,
+)
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # ANSI SQL for DuckDB; None → rows-only check
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn, oracle)
+        return fn
+
+    return deco
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# §2.1/2.2 — scans, projections, filters, predicates
+# ---------------------------------------------------------------------------
+
+# Money arithmetic runs on DECIMAL on BOTH sides: the source doubles hold
+# 2-decimal business values, so a decimal(12,2)/(4,2) cast is exact and the
+# subsequent products/sums/rounds are bit-identical across engines —
+# round(double,2) is NOT (Spark rounds the shortest decimal repr, DuckDB the
+# binary value; they disagree on .xx5 ties).
+_DISC_PRICE_DEC = (
+    "l_extendedprice::DECIMAL(12,2) * ((1 - l_discount)::DECIMAL(4,2))"
+)
+
+
+def _disc_price_dec():
+    return F.col("l_extendedprice").cast("decimal(12,2)") * (
+        (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)")
+    )
+
+
+@register(
+    "s1_scan_filter_project",
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           round({_DISC_PRICE_DEC}, 2)::DOUBLE AS net_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    """,
+)
+def q_s1(spark, sf_dir):
+    """Filter+project with parquet pushdown (SURVEY §2.1 S1, §2.2)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(_disc_price_dec(), 2).cast("double").alias("net_price"),
+    )
+
+
+@register(
+    "p5_filter_r_na_semantics",
+    """
+    SELECT et, count(*) AS n
+    FROM (SELECT CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS et
+          FROM events)
+    WHERE NOT et IN ('click', 'view') OR et IS NULL
+    GROUP BY et
+    """,
+)
+def q_p5(spark, sf_dir):
+    """R's `!x %in% set` keeps NA rows — the hand-translated NOT-IN +
+    isNull escape (SURVEY §2.2 P5; varinfo-update.R:229)."""
+    ev = _t(spark, sf_dir, "events")
+    et = F.when(F.col("event_type") == "error", None).otherwise(F.col("event_type"))
+    out = ev.select(et.alias("et")).where(
+        (~F.col("et").isin("click", "view")) | F.col("et").isNull()
+    )
+    return out.groupBy("et").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "p6_conditional_map_rank",
+    """
+    SELECT l_returnflag,
+           CASE WHEN l_returnflag = 'A' THEN 1
+                WHEN l_returnflag = 'N' THEN 2
+                WHEN l_returnflag = 'R' THEN 3
+                ELSE -1 END AS flag_rank,
+           count(*) AS n
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def q_p6(spark, sf_dir):
+    """Conditional expression + literal-map lookup (SURVEY §2.2 P6, §2.8
+    F9; varinfo-update.R:213-216)."""
+    li = _t(spark, sf_dir, "lineitem")
+    rank_map = F.create_map(
+        F.lit("A"), F.lit(1), F.lit("N"), F.lit(2), F.lit("R"), F.lit(3)
+    )
+    flag_rank = (
+        F.when(F.col("l_returnflag").isin("A", "N", "R"), rank_map[F.col("l_returnflag")])
+        .otherwise(F.lit(-1))
+        .cast("int")
+    )
+    return (
+        li.select("l_returnflag", flag_rank.alias("flag_rank"))
+        .groupBy("l_returnflag", "flag_rank")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 — joins
+# ---------------------------------------------------------------------------
+
+@register(
+    "j1_fuzzy_brand_join",
+    """
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+           levenshtein(a.p_brand, b.p_brand)::INTEGER AS string_distance
+    FROM (SELECT DISTINCT p_brand FROM part) a
+    JOIN (SELECT DISTINCT p_brand FROM part) b
+      ON a.p_brand < b.p_brand AND levenshtein(a.p_brand, b.p_brand) <= 2
+    """,
+)
+def q_j1(spark, sf_dir):
+    """Levenshtein similarity join via the blocked strategy (SURVEY §2.3
+    J1; varinfo-update.R:99-105)."""
+    part = _t(spark, sf_dir, "part")
+    a = part.select(F.col("p_brand").alias("brand_a")).distinct()
+    b = part.select(F.col("p_brand").alias("brand_b")).distinct()
+    out = stringdist_left_join(a, b, "brand_a", "brand_b", max_dist=2, strategy="blocked")
+    return out.where(
+        F.col("brand_b").isNotNull() & (F.col("brand_a") < F.col("brand_b"))
+    ).select("brand_a", "brand_b", "string_distance")
+
+
+@register(
+    "j2_best_item_per_order",
+    """
+    SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS best_price
+    FROM lineitem
+    QUALIFY row_number() OVER (PARTITION BY l_orderkey
+                               ORDER BY l_extendedprice DESC, l_linenumber) = 1
+    """,
+)
+def q_j2(spark, sf_dir):
+    """Top-1-per-group window reduction (SURVEY §2.3 J2 / §2.5 W2)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber")
+    )
+    return (
+        li.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 2).alias("best_price"),
+        )
+    )
+
+
+@register(
+    "j3_coalesce_left_join",
+    """
+    SELECT x.c_custkey,
+           COALESCE(x.segment, y.segment) AS segment,
+           x.c_name
+    FROM (SELECT c_custkey, CASE WHEN c_mktsegment = 'BUILDING' THEN NULL
+                                 ELSE c_mktsegment END AS segment, c_name
+          FROM customer) x
+    LEFT JOIN (SELECT c_custkey, 'RECOVERED' AS segment
+               FROM customer WHERE c_custkey % 3 = 0) y
+      ON x.c_custkey = y.c_custkey
+    """,
+)
+def q_j3(spark, sf_dir):
+    """Coalescing left join — x wins when non-null (SURVEY §2.3 J3;
+    varinfo-update.R:67-90)."""
+    cust = _t(spark, sf_dir, "customer")
+    x = cust.select(
+        "c_custkey",
+        F.when(F.col("c_mktsegment") == "BUILDING", None)
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        "c_name",
+    )
+    y = cust.where(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", F.lit("RECOVERED").alias("segment")
+    )
+    return coalesce_left_join(x, y, "c_custkey", broadcast_right=True)
+
+
+@register(
+    "j4_anti_join",
+    """
+    SELECT c.c_custkey, c.c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate < TIMESTAMP '1996-01-01')
+    """,
+)
+def q_j4(spark, sf_dir):
+    """Anti join: customers with no order before 1996 (SURVEY §2.3 J4;
+    varinfo-update.R:142-145)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    )
+    return anti_join(cust, orders, "c_custkey", "o_custkey").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "j5_semi_join",
+    """
+    SELECT s.s_suppkey, s.s_name FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey
+                  AND l.l_discount > 0.09)
+    """,
+)
+def q_j5(spark, sf_dir):
+    """Semi join (engine extension of §2.3's join taxonomy)."""
+    sup = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_discount") > 0.09)
+    return semi_join(sup, li, "s_suppkey", "l_suppkey").select("s_suppkey", "s_name")
+
+
+# ---------------------------------------------------------------------------
+# §2.4 — aggregation
+# ---------------------------------------------------------------------------
+
+@register(
+    "a1_conditional_counts",
+    """
+    SELECT count(*) FILTER (WHERE l_discount = 0) AS n_zero_disc,
+           count(*) FILTER (WHERE l_returnflag = 'R' AND l_tax > 0.05) AS n_taxed_returns,
+           count(*) AS n_total
+    FROM lineitem
+    """,
+)
+def q_a1(spark, sf_dir):
+    """Conditional count aggregates (SURVEY §2.4 A1;
+    varinfo-update.R:110-118)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.when(F.col("l_discount") == 0, 1)).alias("n_zero_disc"),
+        F.count(
+            F.when((F.col("l_returnflag") == "R") & (F.col("l_tax") > 0.05), 1)
+        ).alias("n_taxed_returns"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+@register(
+    "a2_distinct_summary",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_linestatus) AS n_status,
+           min(l_linestatus) AS min_status,
+           max(l_linestatus) AS max_status
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_a2(spark, sf_dir):
+    """Per-group distinct-value summary (SURVEY §2.4 A2;
+    varinfo-update.R:172-185)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_linestatus").alias("n_status"),
+        F.min("l_linestatus").alias("min_status"),
+        F.max("l_linestatus").alias("max_status"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5/2.6 — windows, sorts, top-k
+# ---------------------------------------------------------------------------
+
+@register(
+    "w1_latest_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate, rk FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey)::INTEGER AS rk
+      FROM orders)
+    WHERE rk <= 2
+    """,
+)
+def q_w1(spark, sf_dir):
+    """Recency ranking per key — the survey 'most recent administration'
+    pattern on the orders table (SURVEY §2.5 W1/W2)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 2)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "rk")
+    )
+
+
+@register(
+    "o1_sort_nulls_last",
+    """
+    SELECT rn, event_id, et FROM (
+      SELECT row_number() OVER (ORDER BY et ASC NULLS LAST, event_id)::INTEGER AS rn,
+             event_id,
+             et
+      FROM (SELECT event_id,
+                   CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS et
+            FROM events))
+    WHERE rn <= 100
+    """,
+)
+def q_o1(spark, sf_dir):
+    """NULLS-LAST ordering materialized as a rank (SURVEY §2.6 O1 — R
+    arrange puts NA last; Spark's default is nulls-first)."""
+    ev = _t(spark, sf_dir, "events")
+    et = F.when(F.col("event_type") == "error", None).otherwise(F.col("event_type"))
+    w = Window.orderBy(F.col("et").asc_nulls_last(), F.col("event_id"))
+    return (
+        ev.select("event_id", et.alias("et"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 100)
+        .select("rn", "event_id", "et")
+    )
+
+
+@register(
+    "topk_orders",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS total, rk FROM (
+      SELECT o_orderkey, o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)::INTEGER AS rk
+      FROM orders)
+    WHERE rk <= 10
+    """,
+)
+def q_topk(spark, sf_dir):
+    """Global top-k with deterministic tiebreak (SURVEY §2.6 O2)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"), "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 — set operations
+# ---------------------------------------------------------------------------
+
+@register(
+    "u1_union_by_name",
+    """
+    SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS bal
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name, round(c_acctbal, 2) AS bal
+    FROM customer WHERE c_mktsegment = 'MACHINERY'
+    """,
+)
+def q_u1(spark, sf_dir):
+    """Union with schema widening (SURVEY §2.7 U1; bind_rows parity)."""
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_name")
+    b = cust.where(F.col("c_mktsegment") == "MACHINERY").select(
+        "c_custkey", F.round("c_acctbal", 2).alias("bal")
+    )
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+@register(
+    "u2_intersect_nations",
+    """
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000
+    """,
+)
+def q_u2(spark, sf_dir):
+    """INTERSECT (engine extension of §2.7)."""
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    a = cust.where(F.col("c_acctbal") > 9000).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    b = sup.where(F.col("s_acctbal") > 5000).select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return a.intersect(b)
+
+
+@register(
+    "u3_except_nations",
+    """
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000
+    """,
+)
+def q_u3(spark, sf_dir):
+    """EXCEPT (engine extension of §2.7)."""
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    a = cust.where(F.col("c_acctbal") > 9000).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    b = sup.where(F.col("s_acctbal") > 5000).select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return a.subtract(b)  # EXCEPT DISTINCT (set semantics, like SQL EXCEPT)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style analytics (flagship / bench queries)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity::DECIMAL(12,2)), 2)::DOUBLE                 AS sum_qty,
+           round(sum(l_extendedprice::DECIMAL(12,2)), 2)::DOUBLE            AS sum_base_price,
+           round(sum({_DISC_PRICE_DEC}), 2)::DOUBLE                         AS sum_disc_price,
+           round(sum({_DISC_PRICE_DEC} * ((1 + l_tax)::DECIMAL(4,2))), 2)::DOUBLE AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_q1(spark, sf_dir):
+    """TPC-H Q1-style pricing summary — map-side partial agg, one small
+    shuffle, fully codegen'd; money sums decimal-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = _disc_price_dec()
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax")).cast("decimal(4,2)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_top_revenue_orders",
+    f"""
+    SELECT l_orderkey, round(sum({_DISC_PRICE_DEC}), 2)::DOUBLE AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01'
+      AND l.l_shipdate  > TIMESTAMP '1999-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    QUALIFY row_number() OVER (ORDER BY revenue DESC, l_orderkey) <= 10
+    """,
+)
+def q_q3(spark, sf_dir):
+    """TPC-H Q3-style: selective dim filter broadcast into the fact
+    join, aggregate, top-k."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1999-01-01").cast("timestamp")
+    )
+    agg = (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(_disc_price_dec()), 2).cast("double").alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+    return (
+        agg.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= 10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "q5_region_nation_revenue",
+    f"""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice::DECIMAL(12,2) * ((1 - l.l_discount)::DECIMAL(4,2))), 2)::DOUBLE AS revenue
+    FROM region r JOIN nation n   ON n.n_regionkey = r.r_regionkey
+                  JOIN customer c ON c.c_nationkey = n.n_nationkey
+                  JOIN orders o   ON o.o_custkey   = c.c_custkey
+                  JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+                  JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+                                 AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q_q5(spark, sf_dir):
+    """TPC-H Q5-style star join: every dimension broadcast, the fact
+    table never shuffles before aggregation."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), F.col("o_custkey") == dims.c_custkey)
+        .join(
+            F.broadcast(sup),
+            (li.l_suppkey == sup.s_suppkey)
+            & (sup.s_nationkey == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(_disc_price_dec()), 2).cast("double").alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (extension surface)
+# ---------------------------------------------------------------------------
+
+_SQL_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')"
+
+@register(
+    "text_stats",
+    f"""
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars,
+           len({_SQL_TOKS})::BIGINT AS n_tokens,
+           len(list_filter(regexp_split_to_array(
+                 regexp_replace(regexp_replace(text, '(\\d+)', ' \\1 ', 'g'),
+                                '([^\\w\\s]+)', ' \\1 ', 'g'),
+                 '\\s+'), t -> t <> ''))::BIGINT AS n_bpe_tokens,
+           round(list_aggregate(list_transform({_SQL_TOKS}, t -> length(t)), 'sum')::DOUBLE
+                 / NULLIF(len({_SQL_TOKS}), 0), 4) AS mean_token_len
+    FROM documents
+    """,
+)
+def q_text_stats(spark, sf_dir):
+    """Token/char counts + BPE-ish subword count + mean token length —
+    all JVM built-ins (north-star text analysis)."""
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.char_count(c).cast("long").alias("n_chars"),
+        T.token_count(c).cast("long").alias("n_tokens"),
+        T.bpe_ish_token_count(c).cast("long").alias("n_bpe_tokens"),
+        F.round(T.mean_token_length(c), 4).alias("mean_token_len"),
+    )
+
+
+_SQL_SW = {
+    lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    for lang, words in T.STOPWORDS.items()
+}
+
+_SQL_LOWER_TOKS = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '')"
+
+@register(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           round(0.5 * least(len({_SQL_TOKS})::DOUBLE / 64.0, 1.0)
+               + 0.5 * least(COALESCE(
+                     len(list_filter({_SQL_LOWER_TOKS},
+                         t -> list_contains({_SQL_SW['en']}, t)))::DOUBLE
+                     / NULLIF(len({_SQL_LOWER_TOKS}), 0), 0.0) * 4.0, 1.0)
+               - 0.25 * least(COALESCE(
+                     length(regexp_replace(text, '[\\w\\s]', '', 'g'))::DOUBLE
+                     / NULLIF(length(text), 0), 0.0) * 2.0, 1.0),
+               6) AS quality
+    FROM documents
+    """,
+)
+def q_text_quality(spark, sf_dir):
+    """Deterministic quality heuristic (length/stopword/punctuation)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+
+
+def _sql_lang_score(lang: str) -> str:
+    return (
+        f"len(list_intersect(list_distinct({_SQL_LOWER_TOKS}), {_SQL_SW[lang]}))"
+    )
+
+
+@register(
+    "text_lang_id",
+    f"""
+    SELECT doc_id,
+           CASE WHEN best = 0 THEN 'unknown'
+                WHEN s_de = best THEN 'de'
+                WHEN s_en = best THEN 'en'
+                WHEN s_es = best THEN 'es'
+                WHEN s_fr = best THEN 'fr'
+                ELSE 'unknown' END AS pred_lang
+    FROM (SELECT doc_id,
+                 {_sql_lang_score('de')} AS s_de,
+                 {_sql_lang_score('en')} AS s_en,
+                 {_sql_lang_score('es')} AS s_es,
+                 {_sql_lang_score('fr')} AS s_fr,
+                 greatest({_sql_lang_score('de')}, {_sql_lang_score('en')},
+                          {_sql_lang_score('es')}, {_sql_lang_score('fr')}) AS best
+          FROM documents)
+    """,
+)
+def q_text_lang(spark, sf_dir):
+    """Stopword-overlap language ID, alphabetical tiebreak."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.lang_id(F.col("text")).alias("pred_lang"))
+
+
+@register(
+    "text_fingerprints",
+    """
+    SELECT DISTINCT doc_id, fp FROM (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM (SELECT doc_id, i, md5(substr(text, i::INTEGER, 8)) AS h
+            FROM documents,
+                 unnest(range(1, greatest(length(text) - 8 + 2, 1))) AS t(i)))
+    """,
+)
+def q_text_fp(spark, sf_dir):
+    """Winnowing document fingerprints: md5 over char 8-grams, min per
+    4-gram sliding window, distinct (rolling-hash fingerprinting)."""
+    docs = _t(spark, sf_dir, "documents")
+    k, w = 8, 4
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(0))),
+        lambda i: F.md5(F.substring(F.col("text"), i, k)),
+    )
+    # materialize the hash array as a column BEFORE the windowed min —
+    # inlining it would re-evaluate the md5 transform per window position
+    # (O(len²) md5 calls)
+    hashed = docs.where(F.length("text") >= k).select(
+        "doc_id", hashes.alias("__h")
+    )
+    fps = F.transform(
+        F.sequence(F.lit(1), F.size("__h")),
+        lambda j: F.array_min(F.slice(F.col("__h"), j, w)),
+    )
+    return hashed.select(
+        "doc_id", F.explode(F.array_distinct(fps)).alias("fp")
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Deduplication (extension surface)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_groups",
+    """
+    SELECT md5(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS keeper_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs, "text", "doc_id")
+
+
+_SQL_SHINGLES = """
+CASE WHEN len(toks) < 3 THEN []
+     ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                         for i in range(1, len(toks) - 1)])
+END
+"""
+
+_SQL_NGRAM_PAIRS = f"""
+    WITH sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS shingles
+      FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / NULLIF(len(list_distinct(a.shingles || b.shingles)), 0), 6) AS jaccard_sim
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+      AND round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                / NULLIF(len(list_distinct(a.shingles || b.shingles)), 0), 6) >= 0.5
+"""
+
+
+@register("dedup_ngram_exact", _SQL_NGRAM_PAIRS)
+def q_dedup_ngram(spark, sf_dir):
+    """Exact all-pairs word-3-gram Jaccard ≥ 0.5 (oracle-grade)."""
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+
+
+@register("dedup_minhash", _SQL_NGRAM_PAIRS)
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash-LSH near-dup pairs with exact-Jaccard verification.
+
+    Oracled against the exact all-pairs SQL: with 32 bands × 4 rows the
+    candidate-recall at j≥0.5 is ≥0.87 and at the dataset's actual
+    near-dup band (j≥0.9) is 1-3e-15, and every candidate is verified
+    exactly — so LSH output == exact output on data whose pair-Jaccard
+    distribution has the usual bimodal gap (verified in tests)."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5)
+
+
+@register("dedup_simhash", None)  # xxhash64 not available in DuckDB → rows-only
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming ≤ 3 via 16-bit banding)."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_dedup_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search (extension surface)
+# ---------------------------------------------------------------------------
+
+@register(
+    "similarity_topk",
+    """
+    SELECT q.vec_id AS query_id, e.vec_id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cosine_sim,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) DESC,
+                                       e.vec_id)::INTEGER AS rank
+    FROM embeddings e JOIN embeddings q ON q.vec_id < 5 AND e.vec_id <> q.vec_id
+    QUALIFY rank <= 10
+    """,
+)
+def q_sim_topk(spark, sf_dir):
+    """Exact brute-force cosine top-10 for 5 query vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return cosine_topk(emb, queries, k=10)
+
+
+@register("similarity_signlsh", None)  # hyperplane literals → rows-only
+def q_sim_lsh(spark, sf_dir):
+    """Approximate top-10 via sign-LSH multiprobe buckets."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return signlsh_topk(emb, queries, k=10)
+
+
+@register("embedding_neardup", None)  # LSH recall < 1 → rows-only
+def q_emb_neardup(spark, sf_dir):
+    """Embedding near-duplicate pairs at cosine ≥ 0.45 within LSH
+    buckets (approximate; threshold matched to this corpus)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.45)
+
+
+# ---------------------------------------------------------------------------
+# Event streams (batch-checkable forms of the streaming operators)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_tumbling_1h",
+    """
+    SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start,
+           (date_trunc('hour', ts) + INTERVAL 1 HOUR)::TIMESTAMP AS window_end,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def q_ev_tumbling(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return tumbling_counts(ev, "1 hour")
+
+
+@register(
+    "events_sessions_30m",
+    """
+    WITH ev AS (
+      -- truncate ns → µs so the gap comparison sees exactly what Spark sees
+      SELECT user_id, ts::TIMESTAMP AS ts, event_id FROM events),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+      FROM flagged)
+    SELECT user_id, min(ts)::TIMESTAMP AS session_start, count(*) AS n_events,
+           min(ts)::TIMESTAMP AS first_ts, max(ts)::TIMESTAMP AS last_ts
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q_ev_sessions(spark, sf_dir):
+    """Session windows (30 min inactivity gap) — F.session_window in
+    Spark, gaps-and-islands in the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(ev, "30 minutes")
+
+
+@register(
+    "events_dedup_first",
+    """
+    SELECT user_id, event_type, event_id, ts::TIMESTAMP AS ts
+    FROM (SELECT user_id, event_type, event_id, ts::TIMESTAMP AS ts FROM events)
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) = 1
+    """,
+)
+def q_ev_dedup(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return dedup_events(ev).select("user_id", "event_type", "event_id", "ts")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (extension surface)
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_decode",
+    """
+    SELECT doc_id,
+           strlen(text)::BIGINT AS payload_bytes,
+           (16 + strlen(text) % 64)::INTEGER  AS width,
+           (16 + (strlen(text) // 64) % 64)::INTEGER AS height
+    FROM documents
+    """,
+)
+def q_mm_decode(spark, sf_dir):
+    """Arrow-batched mapInPandas decode stub over binary payloads; the
+    deterministic fake's dims are mirror-computable in SQL (real decode
+    is the clearly-marked NotImplementedError path)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs, "text", "doc_id")
+    return decode_images(media).select("doc_id", "payload_bytes", "width", "height")
+
+
+@register(
+    "multimodal_frames",
+    """
+    SELECT doc_id, i::INTEGER AS frame_idx, (i * 64)::BIGINT AS byte_offset
+    FROM documents,
+         unnest(range(0, least(strlen(text) // 64, 7) + 1)) AS t(i)
+    """,
+)
+def q_mm_frames(spark, sf_dir):
+    """Frame-sampling plumbing: one row per sampled byte offset."""
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs, "text", "doc_id")
+    return sample_frames(media).select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("byte_offset").cast("long").alias("byte_offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship entry query
+# ---------------------------------------------------------------------------
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region→nation revenue rollup (q5 star join) — exercises broadcast
+    joins, partial aggregation, and parquet pushdown in one plan."""
+    return q_q5(spark, sf_dir)
