@@ -29,6 +29,11 @@ from common_survey_data_pipeline_spark.operators.dedup import (
 )
 from common_survey_data_pipeline_spark.operators.fuzzy_join import stringdist_left_join
 from common_survey_data_pipeline_spark.operators.joins import anti_join, semi_join
+from common_survey_data_pipeline_spark.operators.temporal_joins import (
+    asof_join,
+    interval_join,
+    salted_join,
+)
 from common_survey_data_pipeline_spark.operators.multimodal import (
     attach_binary_payload,
     decode_images,
@@ -948,6 +953,460 @@ def q_mm_frames(spark, sf_dir):
         "doc_id",
         F.col("frame_idx").cast("int").alias("frame_idx"),
         F.col("byte_offset").cast("long").alias("byte_offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temporal / skew joins (engine extension of §2.3's join taxonomy)
+# ---------------------------------------------------------------------------
+
+@register(
+    "j6_asof_join",
+    """
+    WITH o AS (  -- pre-reduce: one deterministic order per (custkey, orderdate)
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY 1, 2),
+    e AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events)
+    SELECT e.event_id, e.user_id, e.ts,
+           o.o_orderkey AS last_orderkey, o.o_orderdate AS last_orderdate
+    FROM e ASOF LEFT JOIN o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def q_j6(spark, sf_dir):
+    """As-of join: each event picks the user's most recent order at or
+    before the event time — union-then-window formulation, one shuffle
+    (``temporal_joins.asof_join``)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate"))
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+        .select("user_id", F.col("o_orderdate").alias("ts"), "last_orderkey",
+                F.col("o_orderdate").alias("last_orderdate"))
+    )
+    out = asof_join(ev, orders, on="user_id", left_ts="ts", direction="backward")
+    return out.select("event_id", "user_id", "ts", "last_orderkey", "last_orderdate")
+
+
+@register(
+    "j7_interval_join",
+    """
+    SELECT p.promo_month, count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total
+    FROM orders o
+    JOIN (SELECT DISTINCT date_trunc('month', o_orderdate)::TIMESTAMP AS promo_month,
+                 (date_trunc('month', o_orderdate) - INTERVAL 15 DAY)::TIMESTAMP AS start_ts,
+                 (date_trunc('month', o_orderdate) + INTERVAL 15 DAY)::TIMESTAMP AS end_ts
+          FROM orders) p
+      ON o.o_orderdate >= p.start_ts AND o.o_orderdate < p.end_ts
+    GROUP BY 1
+    """,
+)
+def q_j7(spark, sf_dir):
+    """Pure range (interval) join via the theta→equi bucket rewrite:
+    ±15-day promo windows around each month boundary, orders counted
+    into every window containing them (``temporal_joins.interval_join``)."""
+    orders = _t(spark, sf_dir, "orders")
+    promos = (
+        orders.select(
+            F.date_trunc("MONTH", "o_orderdate").alias("promo_month")
+        )
+        .distinct()
+        .select(
+            "promo_month",
+            (F.col("promo_month") - F.expr("interval 15 days")).alias("start_ts"),
+            (F.col("promo_month") + F.expr("interval 15 days")).alias("end_ts"),
+        )
+    )
+    joined = interval_join(
+        orders, promos, left_ts="o_orderdate",
+        right_start="start_ts", right_end="end_ts", bucket="month",
+    )
+    return joined.groupBy("promo_month").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "j8_salted_skew_join",
+    """
+    SELECT c.c_mktsegment, count(*) AS n_events, round(sum(e.value), 2) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q_j8(spark, sf_dir):
+    """Deterministically salted equi join (skew mitigation) — result is
+    bit-identical to the plain join, verified by the plain-join oracle."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(ev, cust, left_on="user_id", right_on="c_custkey", salt=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window-function extension surface (§2.5 beyond the reference)
+# ---------------------------------------------------------------------------
+
+@register(
+    "w2_lead_lag_gaps",
+    """
+    SELECT event_id, user_id, ts,
+           date_diff('second', prev_ts, ts)::BIGINT AS gap_seconds,
+           next_type
+    FROM (SELECT event_id, user_id, ts::TIMESTAMP AS ts,
+                 lag(ts::TIMESTAMP)  OVER w AS prev_ts,
+                 lead(event_type) OVER w AS next_type
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    """,
+)
+def q_w2(spark, sf_dir):
+    """lead/lag over per-user event sequences: inter-event gap seconds
+    and the next event's type."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)).alias("gap_seconds"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "w3_rolling_avg",
+    """
+    SELECT o_orderkey, o_custkey,
+           round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+             AS avg_last3
+    FROM orders
+    """,
+)
+def q_w3(spark, sf_dir):
+    """Frame-spec rolling aggregate: 3-order moving average per customer
+    (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey", "o_custkey",
+        F.round(F.avg("o_totalprice").over(w), 4).alias("avg_last3"),
+    )
+
+
+@register(
+    "w4_running_total",
+    """
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice::DECIMAL(14,2))
+                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS UNBOUNDED PRECEDING), 2)::DOUBLE AS lifetime_spend
+    FROM orders
+    """,
+)
+def q_w4(spark, sf_dir):
+    """Running cumulative sum per customer (decimal-exact accumulation)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey", "o_custkey",
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")).over(w), 2)
+        .cast("double")
+        .alias("lifetime_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-dimensional aggregation (§2.4 extension: rollup / cube / percentiles)
+# ---------------------------------------------------------------------------
+
+@register(
+    "a3_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag)::INTEGER * 2 + grouping(l_linestatus)::INTEGER AS gid,
+           count(*) AS n,
+           round(sum(l_quantity::DECIMAL(12,2)), 2)::DOUBLE AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_a3(spark, sf_dir):
+    """ROLLUP with grouping_id to disambiguate subtotal rows from NULL
+    group values."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+    )
+
+
+@register(
+    "a4_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           grouping(o_orderstatus)::INTEGER * 2 + grouping(o_orderpriority)::INTEGER AS gid,
+           count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_a4(spark, sf_dir):
+    """CUBE over two order dimensions."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.grouping_id().cast("int").alias("gid"), F.count(F.lit(1)).alias("n"))
+        .select("o_orderstatus", "o_orderpriority", "gid", "n")
+    )
+
+
+@register(
+    "a5_percentiles",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_a5(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`). At 100 TB swap in approx_percentile — kept
+    exact here for oracle parity."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+@register("a6_approx_count_distinct", None)  # HLL sketch impls differ → rows-only
+def q_a6(spark, sf_dir):
+    """HyperLogLog++ distinct-count sketch per event type — the
+    100 TB-scale substitute for exact COUNT(DISTINCT) (single pass, no
+    per-key state explosion). Sketch estimates are implementation-
+    specific, so the oracle check is rows-only."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reshaping: pivot / unpivot / explode (§1.2's wide↔long duality)
+# ---------------------------------------------------------------------------
+
+@register(
+    "pivot_event_counts",
+    """
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def q_pivot(spark, sf_dir):
+    """Long→wide pivot with an explicit value list (no extra distinct
+    pass; map-side partial agg on (user, type))."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "error", "purchase", "signup", "view"])
+    )
+
+
+@register(
+    "unpivot_lineitem",
+    """
+    SELECT l_orderkey, l_linenumber, measure, round(val, 2) AS val FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem)
+    """,
+)
+def q_unpivot(spark, sf_dir):
+    """Wide→long unpivot (melt) of three lineitem measures."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "val",
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("measure") == "l_quantity", "quantity")
+        .when(F.col("measure") == "l_extendedprice", "price")
+        .otherwise("discount")
+        .alias("measure"),
+        F.round("val", 2).alias("val"),
+    )
+
+
+@register(
+    "explode_token_counts",
+    """
+    SELECT tok, count(*) AS n
+    FROM (SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                    t -> t <> '')) AS tok
+          FROM documents)
+    GROUP BY tok
+    HAVING count(*) >= 100
+    """,
+)
+def q_explode(spark, sf_dir):
+    """Lateral explode of tokens + frequency count (the vocabulary-build
+    primitive; map-side combine keeps the shuffle at |vocab|)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 100)
+    )
+
+
+@register(
+    "json_props_stats",
+    """
+    SELECT event_type,
+           count(k) AS n_with_k,
+           round(avg(k), 4) AS avg_k,
+           min(k) AS min_k, max(k) AS max_k
+    FROM (SELECT event_type,
+                 TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+          FROM events)
+    GROUP BY event_type
+    """,
+)
+def q_json(spark, sf_dir):
+    """Semi-structured JSON column: extract props.k JVM-side
+    (get_json_object) and aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Additional TPC-H-style bench queries
+# ---------------------------------------------------------------------------
+
+@register(
+    "q6_revenue_delta",
+    """
+    SELECT round(sum(l_extendedprice::DECIMAL(12,2) * (l_discount::DECIMAL(4,2))), 2)::DOUBLE
+             AS revenue_delta
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q_q6(spark, sf_dir):
+    """TPC-H Q6-style: pure scan-filter-aggregate, zero shuffle beyond
+    the final single-row reduce — the pushdown showcase."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * F.col("l_discount").cast("decimal(4,2)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue_delta")
+        )
+    )
+
+
+@register(
+    "q10_returned_revenue",
+    f"""
+    SELECT c_custkey, c_name, round(sum({_DISC_PRICE_DEC}), 2)::DOUBLE AS revenue,
+           n_name
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+    GROUP BY c_custkey, c_name, n_name
+    QUALIFY row_number() OVER (ORDER BY revenue DESC, c_custkey) <= 20
+    """,
+)
+def q_q10(spark, sf_dir):
+    """TPC-H Q10-style: returned-item revenue per customer, top 20 —
+    fact filtered early, dims broadcast."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    agg = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(_disc_price_dec()), 2).cast("double").alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return (
+        agg.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= 20)
+        .select("c_custkey", "c_name", "revenue", "n_name")
     )
 
 
