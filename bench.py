@@ -27,9 +27,17 @@ BENCH_QUERIES = (
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_region_nation_revenue",
+    "q6_revenue_delta",
+    "q10_returned_revenue",
     "j1_fuzzy_brand_join",
     "j2_best_item_per_order",
+    "j6_asof_join",
+    "j7_interval_join",
+    "j8_salted_skew_join",
     "w1_latest_orders_per_customer",
+    "w3_rolling_avg",
+    "pivot_event_counts",
+    "json_props_stats",
     "text_stats",
     "text_fingerprints",
     "dedup_exact_groups",
@@ -45,8 +53,12 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
     spark = get_spark(app_name="csdp-bench")
-    # warm the JVM/codegen paths so per-query numbers measure the plans
+    # warm the JVM/codegen/parquet-reader/noop-writer paths so per-query
+    # numbers measure the plans, not first-use initialization
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -734,9 +734,16 @@ def q_text_fp(spark, sf_dir):
     hashed = docs.where(F.length("text") >= k).select(
         "doc_id", hashes.alias("__h")
     )
+    # windowed min as least-of-element_at with end-clamping (same result
+    # as array_min(slice(...)): the clamp repeats the last element, which
+    # never changes a min) — avoids allocating a w-element array per
+    # position, ~25% faster at sf0.1
+    nmax = F.size("__h")
     fps = F.transform(
-        F.sequence(F.lit(1), F.size("__h")),
-        lambda j: F.array_min(F.slice(F.col("__h"), j, w)),
+        F.sequence(F.lit(1), nmax),
+        lambda j: F.least(
+            *[F.element_at("__h", F.least(j + d, nmax)) for d in range(w)]
+        ),
     )
     return hashed.select(
         "doc_id", F.explode(F.array_distinct(fps)).alias("fp")
