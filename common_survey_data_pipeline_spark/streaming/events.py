@@ -126,6 +126,45 @@ def dedup_events(
     )
 
 
+def running_user_totals(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Custom stateful streaming operator: per-user running event count
+    and value sum maintained in keyed state across micro-batches
+    (``applyInPandasWithState`` — Arrow-batched, grouped state; the
+    PySpark-native replacement for a hand-rolled stateful process
+    function). Each micro-batch emits the updated cumulative row per
+    user seen in that batch.
+
+    In batch mode falls back to a plain groupBy (same output contract:
+    one final row per user).
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, sum_value double"
+    state_schema = "n long, s double"
+
+    if not events.isStreaming:
+        return events.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+
+    def update(key, pdf_iter, state):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_from_parquet(
     spark: SparkSession,
     path: str,

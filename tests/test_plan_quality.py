@@ -1,0 +1,87 @@
+"""Physical-plan regression tests: correctness tests prove WHAT we
+compute; these prove HOW — filters reach the parquet scan, small sides
+broadcast, aggregates partial-aggregate map-side, and the blocked fuzzy
+join never degenerates into a cartesian/nested-loop product. A plan
+regression here is a 100×-at-scale bug even when results stay right.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from common_survey_data_pipeline_spark.workload import REGISTRY
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def run(spark, sf_dir):
+    def _run(name):
+        return REGISTRY[name].fn(spark, sf_dir)
+
+    return _run
+
+
+def test_filter_pushdown_reaches_parquet_scan(run):
+    plan = plan_of(run("s1_scan_filter_project"))
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1].split("]")[0]
+
+
+def test_column_pruning(run):
+    plan = plan_of(run("s1_scan_filter_project"))
+    # ReadSchema keeps only the referenced columns, not all 11
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema
+    assert "l_returnflag" not in read_schema
+    assert "l_partkey" not in read_schema
+
+
+def test_star_join_broadcasts_all_dims(run):
+    plan = plan_of(run("q5_region_nation_revenue"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_agg_is_partial_then_final(run):
+    plan = plan_of(run("q1_pricing_summary"))
+    # two HashAggregate nodes: map-side partial + reduce-side final
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_blocked_fuzzy_join_is_not_nested_loop(run):
+    plan = plan_of(run("j1_fuzzy_brand_join"))
+    assert "CartesianProduct" not in plan
+    # length-band blocking turns the theta join into an equi join
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_python_row_udfs_on_reference_path(run):
+    # the reference-surface queries must stay fully JVM-side
+    for name in (
+        "s1_scan_filter_project", "j1_fuzzy_brand_join", "j2_best_item_per_order",
+        "j3_coalesce_left_join", "j4_anti_join", "a1_conditional_counts",
+        "o1_sort_nulls_last", "q1_pricing_summary", "q5_region_nation_revenue",
+        "text_stats", "dedup_minhash",
+    ):
+        plan = plan_of(run(name))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_asof_join_is_single_shuffle_window(run):
+    plan = plan_of(run("j6_asof_join"))
+    # union-then-window: a Window over the union, no join of the two
+    # inputs and certainly no range/nested-loop explosion
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_join_is_equi(run):
+    plan = plan_of(run("j7_interval_join"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
