@@ -253,6 +253,68 @@ def simhash_dedup_pairs(
     )
 
 
+def neardup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: assign every id
+    in ``pairs`` the minimum id reachable through the pair graph (the
+    cluster's canonical keeper).
+
+    Iterative min-label propagation: each round, every node takes the
+    min of its own label and its neighbors' labels — one shuffle join +
+    one shuffle aggregate per round, converging in O(graph diameter)
+    rounds (near-dup clusters are shallow; ``max_iter`` bounds
+    pathological chains). This is the standard large-graph CC formulation
+    on a relational engine — no driver-side union-find, no per-node
+    state, checkpointing to cut lineage growth.
+
+    Output: (doc_id, cluster_id) for every id appearing in ``pairs``.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        # edges are re-scanned every round (join + convergence check);
+        # without this the whole upstream pair pipeline (e.g. MinHash)
+        # re-executes per iteration
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    for i in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        )
+        # localCheckpoint truncates the query lineage (plans double per
+        # round otherwise); eager so convergence check reuses it
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,

@@ -24,6 +24,7 @@ from common_survey_data_pipeline_spark.operators.coalesce_join import coalesce_l
 from common_survey_data_pipeline_spark.operators.dedup import (
     exact_dedup_groups,
     minhash_dedup_pairs,
+    neardup_clusters,
     ngram_jaccard_pairs,
     simhash_dedup_pairs,
 )
@@ -808,6 +809,29 @@ def q_dedup_minhash(spark, sf_dir):
     return minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5)
 
 
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_SQL_NGRAM_PAIRS}),
+    e AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    r AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT r.a, e.b FROM r JOIN e ON r.b = e.a
+    )
+    SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM r GROUP BY a
+    """,
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive near-duplicate clusters: connected components (min-
+    label propagation) over the verified MinHash pair graph. Oracle:
+    recursive-CTE transitive closure over the exact all-pairs graph."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5)
+    return neardup_clusters(pairs)
+
+
 @register("dedup_simhash", None)  # xxhash64 not available in DuckDB → rows-only
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs (Hamming ≤ 3 via 16-bit banding)."""
@@ -1414,6 +1438,228 @@ def q_q10(spark, sf_dir):
         agg.withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") <= 20)
         .select("c_custkey", "c_name", "revenue", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sampling, statistics, subquery patterns, scalar-function coverage
+# ---------------------------------------------------------------------------
+
+@register(
+    "sample_deterministic",
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag
+    FROM lineitem
+    WHERE substr(md5(l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR), 1, 2) < '1a'
+    """,
+)
+def q_sample(spark, sf_dir):
+    """Deterministic ~10% hash sample (md5 prefix < '1a' ≈ 26/256).
+    Unlike TABLESAMPLE this is reproducible across engines, partitions
+    and reruns — the right sampling primitive for data pipelines."""
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+    return li.where(F.substring(F.md5(key), 1, 2) < "1a").select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    )
+
+
+@register(
+    "stats_moments",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_discount), 6) AS var_disc,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price,
+           round(skewness(l_quantity), 4) AS skew_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_stats(spark, sf_dir):
+    """Second/third-moment statistical aggregates per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qty_price"),
+        F.round(F.skewness("l_quantity"), 4).alias("skew_qty"),
+    )
+
+
+@register(
+    "scalar_subquery_above_brand_avg",
+    """
+    SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price
+    FROM part p
+    WHERE p_retailprice > 1.05 * (SELECT avg(p_retailprice) FROM part p2
+                                  WHERE p2.p_brand = p.p_brand)
+    """,
+)
+def q_scalar_subquery(spark, sf_dir):
+    """Correlated scalar subquery, decorrelated by hand into a
+    broadcast join against the per-brand aggregate (what Catalyst does
+    to the SQL form internally)."""
+    part = _t(spark, sf_dir, "part")
+    brand_avg = part.groupBy(F.col("p_brand").alias("__b")).agg(
+        F.avg("p_retailprice").alias("__avg")
+    )
+    return (
+        part.join(F.broadcast(brand_avg), part.p_brand == F.col("__b"))
+        .where(F.col("p_retailprice") > 1.05 * F.col("__avg"))
+        .select("p_partkey", "p_brand", F.round("p_retailprice", 2).alias("price"))
+    )
+
+
+@register(
+    "q12_priority_by_status",
+    """
+    SELECT l_linestatus,
+           count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_count,
+           count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def q_q12(spark, sf_dir):
+    """TPC-H Q12-style: join + CASE-bucketed conditional counts."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(is_high, 1)).alias("high_count"),
+            F.count(F.when(~is_high, 1)).alias("low_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_share",
+    f"""
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE_DEC}
+                                  ELSE 0::DECIMAL(12,2) END)
+                 / sum({_DISC_PRICE_DEC}), 4) AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-06-01' AND l.l_shipdate < TIMESTAMP '1997-09-01'
+    """,
+)
+def q_q14(spark, sf_dir):
+    """TPC-H Q14-style promo revenue share: broadcast dim join + ratio
+    of conditional sums (decimal-exact)."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-09-01").cast("timestamp"))
+    )
+    disc = _disc_price_dec()
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(
+                    F.lit(0).cast("decimal(12,2)")
+                ))
+                / F.sum(disc),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+    SELECT c_name, o_orderkey, o_orderdate, round(total_qty, 2) AS total_qty
+    FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+          FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) big
+    JOIN orders o ON big.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_q18(spark, sf_dir):
+    """TPC-H Q18-style: HAVING-filtered aggregate driving joins — the
+    tiny filtered side broadcasts into orders/customer."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "o_orderkey", "o_orderdate",
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "string_functions",
+    """
+    SELECT p_partkey,
+           regexp_replace(lower(p_name), '[^a-z0-9]+', '_', 'g') AS slug,
+           upper(left(p_name, 3)) AS prefix,
+           length(p_name)::INTEGER AS name_len,
+           reverse(p_name) AS rev,
+           replace(p_name, ' ', '-') AS dashed,
+           lpad(p_brand, 12, '.') AS padded
+    FROM part
+    """,
+)
+def q_string_funcs(spark, sf_dir):
+    """Scalar string-function coverage (slugify/case/pad/reverse)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_replace(F.lower("p_name"), "[^a-z0-9]+", "_").alias("slug"),
+        F.upper(F.substring("p_name", 1, 3)).alias("prefix"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.reverse(F.col("p_name")).alias("rev"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("-")).alias("dashed"),
+        F.lpad(F.col("p_brand"), 12, ".").alias("padded"),
+    )
+
+
+@register(
+    "date_functions",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate)::INTEGER AS yr,
+           quarter(o_orderdate)::INTEGER AS qtr,
+           month(o_orderdate)::INTEGER AS mth,
+           day(o_orderdate)::INTEGER AS dom,
+           last_day(o_orderdate)::DATE AS month_end,
+           (o_orderdate + INTERVAL 30 DAY)::TIMESTAMP AS due_ts,
+           date_diff('day', o_orderdate, TIMESTAMP '1999-01-01')::BIGINT AS days_to_cutoff
+    FROM orders
+    """,
+)
+def q_date_funcs(spark, sf_dir):
+    """Scalar date/time-function coverage."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        F.month("o_orderdate").cast("int").alias("mth"),
+        F.dayofmonth("o_orderdate").cast("int").alias("dom"),
+        F.last_day("o_orderdate").alias("month_end"),
+        (F.col("o_orderdate") + F.expr("interval 30 days")).alias("due_ts"),
+        F.datediff(F.lit("1999-01-01").cast("date"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days_to_cutoff"),
     )
 
 

@@ -1,0 +1,44 @@
+"""neardup_clusters (distributed min-label propagation) must equal a
+driver-side union-find on the same pair list."""
+
+from __future__ import annotations
+
+from common_survey_data_pipeline_spark.operators.dedup import neardup_clusters
+
+
+def _union_find_clusters(pairs):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    return {x: find(x) for x in parent}
+
+
+def test_clusters_match_union_find(spark):
+    # two chains, one triangle, one isolated pair — incl. a long chain
+    # that needs multiple propagation rounds
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12),
+             (20, 21), (30, 31), (31, 32), (32, 33), (33, 34), (34, 35)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["doc_id"]: r["cluster_id"] for r in neardup_clusters(df).collect()}
+    want = _union_find_clusters(pairs)
+    assert got == want
+
+
+def test_clusters_handle_reversed_edges(spark):
+    pairs = [(5, 1), (2, 5), (9, 2)]  # all one cluster, min id = 1
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["doc_id"]: r["cluster_id"] for r in neardup_clusters(df).collect()}
+    assert got == {1: 1, 2: 1, 5: 1, 9: 1}
