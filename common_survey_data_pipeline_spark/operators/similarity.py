@@ -111,44 +111,162 @@ def signlsh_topk(
     query_id: str = "query_id",
     query_vec: str = "query_vec",
     k: int = 10,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 4,
     seed: int = 42,
     multiprobe: bool = True,
     exclude_self: bool = True,
 ) -> DataFrame:
-    """Approximate top-k cosine neighbors via sign-LSH bucketing.
+    """Approximate top-k cosine neighbors via multi-table sign-LSH.
 
-    Corpus vectors land in one bucket each; each query probes its own
-    bucket (+ Hamming-1 neighbor buckets when ``multiprobe``) and ranks
-    only those candidates exactly. Same output contract as
-    ``cosine_topk`` — recall < 1 by design; at 100 TB the bucket join
-    is a shuffle equi-join instead of a full corpus scan per query.
+    ``n_tables`` independent hash tables of ``n_planes`` bits each;
+    corpus vectors land in one bucket per table, each query probes its
+    own bucket (+ Hamming-1 neighbors when ``multiprobe``) in every
+    table, and the UNION of candidates is ranked exactly. More tables →
+    higher recall at the cost of an n_tables× bucket index — the
+    classic LSH recall/space dial. Same output contract as
+    ``cosine_topk``; at 100 TB the bucket join is a shuffle equi-join
+    on (table, bucket) instead of a full corpus scan per query.
     """
     dim = len(corpus.select(corpus_vec).first()[0])
-    planes = _hyperplanes(dim, n_planes, seed)
+    tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+
+    def tagged_bucket(vec, t, planes):
+        # disjoint bucket spaces per table: bucket ids are tagged with t
+        return signlsh_bucket(vec, planes) + F.lit(t << (n_planes + 1)).cast("long")
 
     c = corpus.select(
         F.col(corpus_id).alias("vec_id"),
         F.col(corpus_vec).alias("__cv"),
-        signlsh_bucket(F.col(corpus_vec), planes).alias("bucket"),
+        F.explode(
+            F.array(
+                *[
+                    tagged_bucket(F.col(corpus_vec), t, planes)
+                    for t, planes in enumerate(tables)
+                ]
+            )
+        ).alias("bucket"),
     )
-    qb = queries.select(
+    # materialize each table's base bucket once, then derive the probe
+    # set from the column refs — inlining the (plane-literal-heavy)
+    # bucket expression into every XOR probe bloats the plan n_planes×
+    q0 = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("__qv"),
-        signlsh_bucket(F.col(query_vec), planes).alias("__qbucket"),
+        *[
+            tagged_bucket(F.col(query_vec), t, planes).alias(f"__b{t}")
+            for t, planes in enumerate(tables)
+        ],
     )
-    if multiprobe:
-        probes = F.array(
-            F.col("__qbucket"),
-            *[
-                F.col("__qbucket").bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), i))
+    probe_cols = []
+    for t in range(n_tables):
+        base = F.col(f"__b{t}")
+        probe_cols.append(base)
+        if multiprobe:
+            probe_cols.extend(
+                base.bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), i))
                 for i in range(n_planes)
-            ],
-        )
-        qb = qb.withColumn("bucket", F.explode(probes))
-    else:
-        qb = qb.withColumn("bucket", F.col("__qbucket"))
-    joined = c.join(F.broadcast(qb.drop("__qbucket")), "bucket")
+            )
+    qb = q0.select(
+        "query_id", "__qv", F.explode(F.array(*probe_cols)).alias("bucket")
+    )
+    joined = (
+        c.join(F.broadcast(qb), "bucket")
+        .select("query_id", "__qv", "vec_id", "__cv")
+        .dropDuplicates(["query_id", "vec_id"])  # union across tables/probes
+    )
+    if exclude_self:
+        joined = joined.where(F.col("vec_id") != F.col("query_id"))
+    scored = joined.withColumn(
+        "cosine_sim", F.round(cosine(F.col("__cv"), F.col("__qv")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc_nulls_last(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine_sim", "rank")
+    )
+
+
+def _unit_normalize(vec: Column) -> Column:
+    """vec / ||vec||, with the norm evaluated once (array-bind trick —
+    a bare ``transform(vec, x -> x / l2_norm(vec))`` recomputes the norm
+    per element, turning O(d) into O(d²))."""
+    return F.element_at(
+        F.transform(
+            F.array(F.nullif(l2_norm(vec), F.lit(0.0))),
+            lambda n: F.transform(vec, lambda x: x.cast("double") / n),
+        ),
+        1,
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via an IVF (inverted-file)
+    index: a KMeans coarse quantizer over unit-normalized vectors
+    partitions the corpus into ``nlist`` cells; each query probes its
+    ``nprobe`` nearest cells and ranks only those candidates exactly.
+
+    Same output contract as ``cosine_topk``. Scale shape: the corpus is
+    scanned once to assign cells (then the assignment is a materialized
+    column — at 100 TB you'd partition the parquet layout BY the cell
+    id); each query touches nprobe/nlist of the corpus via an equi-join
+    on the cell id. Recall rises with ``nprobe`` (= nlist → exact).
+
+    Unit-normalizing first makes KMeans' euclidean geometry equivalent
+    to cosine geometry (|a-b|² = 2-2cos on the unit sphere).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c_norm = corpus.select(
+        F.col(corpus_id).alias("vec_id"),
+        F.col(corpus_vec).alias("__cv"),
+        _unit_normalize(F.col(corpus_vec)).alias("__cn"),
+    ).withColumn("__features", array_to_vector("__cn"))
+
+    model = KMeans(k=nlist, seed=seed, featuresCol="__features").fit(c_norm)
+    c_cells = model.transform(c_norm).select(
+        "vec_id", "__cv", F.col("prediction").alias("cell")
+    )
+
+    # tiny (nlist × dim) centroid table — broadcast to rank cells per query
+    centroids = [
+        (i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
+    ]
+    spark = corpus.sparkSession
+    cdf = F.broadcast(
+        spark.createDataFrame(centroids, "cell int, centroid array<double>")
+    )
+
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("__qv"),
+        _unit_normalize(F.col(query_vec)).alias("__qn"),
+    )
+    qd = q.crossJoin(cdf).withColumn("__cdist", -dot(F.col("__qn"), F.col("centroid")))
+    w_cell = Window.partitionBy("query_id").orderBy(F.col("__cdist").asc(), F.col("cell"))
+    probes = (
+        qd.withColumn("__cr", F.row_number().over(w_cell))
+        .where(F.col("__cr") <= nprobe)
+        .select("query_id", "__qv", "cell")
+    )
+
+    joined = c_cells.join(F.broadcast(probes), "cell")
     if exclude_self:
         joined = joined.where(F.col("vec_id") != F.col("query_id"))
     scored = joined.withColumn(

@@ -43,6 +43,7 @@ from common_survey_data_pipeline_spark.operators.multimodal import (
 from common_survey_data_pipeline_spark.operators.similarity import (
     cosine_topk,
     embedding_neardup_pairs,
+    ivf_topk,
     signlsh_topk,
 )
 from common_survey_data_pipeline_spark.sources.tables import load_table
@@ -872,6 +873,17 @@ def q_sim_lsh(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return signlsh_topk(emb, queries, k=10)
+
+
+@register("similarity_ivf", None)  # KMeans cells → approximate, rows-only
+def q_sim_ivf(spark, sf_dir):
+    """Approximate top-10 via an IVF index (KMeans coarse quantizer,
+    4-of-16 cell probing)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(emb, queries, k=10, nlist=16, nprobe=4)
 
 
 @register("embedding_neardup", None)  # LSH recall < 1 → rows-only
