@@ -128,6 +128,57 @@ def decode_images(
     return src.mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("out_width", IntegerType(), True),
+        StructField("out_height", IntegerType(), True),
+    ]
+)
+
+
+def resize_images(
+    decoded: DataFrame,
+    target: int = 128,
+    use_fake: bool = True,
+) -> DataFrame:
+    """Aspect-preserving resize plumbing (fit longest side to
+    ``target``). The real kernel would transform pixel buffers (PIL —
+    absent here, clearly-marked stub); the fake computes the output
+    geometry in pure integer math so it is exactly mirrorable in the
+    SQL oracle: ``out = max(1, dim * target // max(w, h))``.
+
+    Arrow-batched ``mapInPandas`` like the decode stage — at scale this
+    is where the pixel work would be, so the plumbing (batch iteration,
+    schema, vectorized geometry) is the real contract being tested.
+    """
+    if not use_fake:
+        raise NotImplementedError(
+            "real resize requires pillow; this container stubs the kernel"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            longest = pdf[["width", "height"]].max(axis=1).clip(lower=1)
+            out_w = (pdf["width"] * target // longest).clip(lower=1)
+            out_h = (pdf["height"] * target // longest).clip(lower=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": pdf["width"].astype("int32"),
+                    "height": pdf["height"].astype("int32"),
+                    "out_width": out_w.astype("int32"),
+                    "out_height": out_h.astype("int32"),
+                }
+            )
+
+    return decoded.select("doc_id", "width", "height").mapInPandas(
+        batches, RESIZED_SCHEMA
+    )
+
+
 def sample_frames(
     media: DataFrame,
     payload_col: str = "payload",

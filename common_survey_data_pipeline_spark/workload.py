@@ -38,6 +38,7 @@ from common_survey_data_pipeline_spark.operators.temporal_joins import (
 from common_survey_data_pipeline_spark.operators.multimodal import (
     attach_binary_payload,
     decode_images,
+    resize_images,
     sample_frames,
 )
 from common_survey_data_pipeline_spark.operators.similarity import (
@@ -978,6 +979,26 @@ def q_mm_decode(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     media = attach_binary_payload(docs, "text", "doc_id")
     return decode_images(media).select("doc_id", "payload_bytes", "width", "height")
+
+
+@register(
+    "multimodal_resize",
+    """
+    SELECT doc_id, width, height,
+           greatest(1, width * 128 // greatest(width, height, 1))::INTEGER AS out_width,
+           greatest(1, height * 128 // greatest(width, height, 1))::INTEGER AS out_height
+    FROM (SELECT doc_id,
+                 (16 + strlen(text) % 64)::INTEGER AS width,
+                 (16 + (strlen(text) // 64) % 64)::INTEGER AS height
+          FROM documents)
+    """,
+)
+def q_mm_resize(spark, sf_dir):
+    """Decode → aspect-preserving resize chain (both mapInPandas
+    stages); the fake kernel's integer geometry is mirrored in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs, "text", "doc_id")
+    return resize_images(decode_images(media), target=128)
 
 
 @register(

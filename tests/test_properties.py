@@ -1,0 +1,131 @@
+"""Property-based tests (hypothesis) for the join-family invariants
+promised in SURVEY.md §5.2: fuzzy-join left preservation, distance-0 ⟺
+equality, blocked ≡ broadcast strategy equivalence, coalesce-join
+precedence, and as-of ≡ naive per-row maximum.
+
+Each property collects its random case into ONE Spark run (small data,
+bounded examples) — Spark jobs per example are the cost driver.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from common_survey_data_pipeline_spark.operators.coalesce_join import coalesce_left_join
+from common_survey_data_pipeline_spark.operators.fuzzy_join import (
+    keep_best_match,
+    stringdist_left_join,
+)
+from common_survey_data_pipeline_spark.operators.temporal_joins import asof_join
+
+# short alphabet → plenty of near-matches within small distances
+texts = st.text(alphabet="abcx ", min_size=0, max_size=8)
+SETTINGS = dict(max_examples=12, deadline=None)
+
+
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(lefts=st.lists(texts, min_size=1, max_size=6, unique=True),
+       rights=st.lists(texts, min_size=0, max_size=6, unique=True),
+       max_dist=st.integers(min_value=0, max_value=3))
+@settings(**SETTINGS)
+def test_fuzzy_join_matches_reference_model(spark, lefts, rights, max_dist):
+    ldf = spark.createDataFrame([(t,) for t in lefts], "lt string")
+    rdf = spark.createDataFrame([(t,) for t in rights], "rt string") \
+        if rights else spark.createDataFrame([], "rt string")
+
+    for strategy in ("broadcast", "blocked"):
+        out = stringdist_left_join(
+            ldf, rdf, "lt", "rt", max_dist=max_dist, strategy=strategy
+        ).collect()
+        got = {(r["lt"], r["rt"], r["string_distance"]) for r in out}
+        want = set()
+        for lt in lefts:
+            matches = [
+                (lt, rt, _levenshtein(lt, rt))
+                for rt in rights
+                if _levenshtein(lt, rt) <= max_dist
+            ]
+            want |= set(matches) if matches else {(lt, None, None)}
+        assert got == want, strategy
+        # left preservation: every left value appears
+        assert {r["lt"] for r in out} == set(lefts), strategy
+        # distance 0 ⟺ exact equality
+        for r in out:
+            if r["string_distance"] == 0:
+                assert r["lt"] == r["rt"]
+
+
+@given(lefts=st.lists(texts, min_size=1, max_size=5, unique=True),
+       rights=st.lists(texts, min_size=1, max_size=5, unique=True))
+@settings(**SETTINGS)
+def test_best_match_keeps_exactly_one_row_per_left(spark, lefts, rights):
+    ldf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(lefts)], "row_id long, lt string"
+    )
+    rdf = spark.createDataFrame([(t,) for t in rights], "rt string")
+    fuzzy = stringdist_left_join(ldf, rdf, "lt", "rt", max_dist=4)
+    best = keep_best_match(fuzzy, ["row_id"], tiebreakers=[F.col("rt").asc_nulls_last()])
+    rows = best.collect()
+    assert len(rows) == len(lefts)
+    by_id = {r["row_id"]: r for r in rows}
+    for i, lt in enumerate(lefts):
+        dists = [_levenshtein(lt, rt) for rt in rights]
+        md = min(dists)
+        if md <= 4:
+            # min distance, tie broken by smallest right text
+            want_rt = min(rt for rt in rights if _levenshtein(lt, rt) == md)
+            assert by_id[i]["rt"] == want_rt
+            assert by_id[i]["string_distance"] == md
+        else:
+            assert by_id[i]["rt"] is None
+
+
+@given(data=st.lists(
+    st.tuples(st.integers(0, 9),
+              st.one_of(st.none(), st.integers(0, 99)),
+              st.one_of(st.none(), st.integers(0, 99))),
+    min_size=1, max_size=8, unique_by=lambda t: t[0]))
+@settings(**SETTINGS)
+def test_coalesce_join_x_wins_when_nonnull(spark, data):
+    x = spark.createDataFrame([(k, v) for k, v, _ in data], "k long, v long")
+    y = spark.createDataFrame(
+        [(k, w) for k, _, w in data if w is not None], "k long, v long"
+    )
+    out = {r["k"]: r["v"] for r in coalesce_left_join(x, y, "k").collect()}
+    for k, v, w in data:
+        assert out[k] == (v if v is not None else w)
+
+
+@given(
+    levents=st.lists(st.integers(0, 50), min_size=1, max_size=8),
+    revents=st.lists(st.tuples(st.integers(0, 50), st.integers(0, 9)),
+                     min_size=0, max_size=8, unique_by=lambda t: t[0]),
+)
+@settings(**SETTINGS)
+def test_asof_equals_naive_model(spark, levents, revents):
+    base = dt.datetime(2024, 1, 1)
+    ldf = spark.createDataFrame(
+        [(1, base + dt.timedelta(hours=h), i) for i, h in enumerate(levents)],
+        "k long, ts timestamp, lid long",
+    )
+    rdf = spark.createDataFrame(
+        [(1, base + dt.timedelta(hours=h), v) for h, v in revents],
+        "k long, ts timestamp, v long",
+    ) if revents else spark.createDataFrame([], "k long, ts timestamp, v long")
+    got = {r["lid"]: r["v"] for r in asof_join(ldf, rdf, on="k").collect()}
+    for i, h in enumerate(levents):
+        eligible = [(rh, v) for rh, v in revents if rh <= h]
+        want = max(eligible)[1] if eligible else None
+        assert got[i] == want
