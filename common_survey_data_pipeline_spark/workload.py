@@ -1697,6 +1697,151 @@ def q_date_funcs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Behavioral analytics over the event stream (funnel, cohort, ntile)
+# ---------------------------------------------------------------------------
+
+@register(
+    "funnel_signup_purchase",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'signup')   AS t_signup,
+             min(ts) FILTER (WHERE event_type = 'click')    AS t_click,
+             min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY user_id)
+    SELECT count(*) FILTER (WHERE t_signup IS NOT NULL) AS n_signup,
+           count(*) FILTER (WHERE t_signup IS NOT NULL AND t_click > t_signup) AS n_clicked,
+           count(*) FILTER (WHERE t_signup IS NOT NULL AND t_click > t_signup
+                              AND t_purchase > t_click) AS n_purchased
+    FROM firsts
+    """,
+)
+def q_funnel(spark, sf_dir):
+    """Ordered conversion funnel (signup → click → purchase): one
+    groupBy computes each user's first-event times, then conditional
+    counts — no self-joins, one shuffle total."""
+    ev = _t(spark, sf_dir, "events")
+
+    def first_of(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_of("signup").alias("t_signup"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    signed = F.col("t_signup").isNotNull()
+    clicked = signed & (F.col("t_click") > F.col("t_signup"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.agg(
+        F.count(F.when(signed, 1)).alias("n_signup"),
+        F.count(F.when(clicked, 1)).alias("n_clicked"),
+        F.count(F.when(purchased, 1)).alias("n_purchased"),
+    )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', min(ts))::TIMESTAMP AS cohort
+      FROM events GROUP BY user_id)
+    SELECT f.cohort,
+           (date_diff('day', f.cohort, date_trunc('week', e.ts)) // 7)::INTEGER AS week_offset,
+           count(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort(spark, sf_dir):
+    """Cohort retention: users grouped by first-seen week, activity
+    counted per week offset. The cohort dimension broadcasts back onto
+    the fact table."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("WEEK", F.min("ts")).alias("cohort")
+    )
+    return (
+        ev.join(F.broadcast(first_seen), "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            (
+                F.datediff(F.date_trunc("WEEK", F.col("ts")), F.col("cohort"))
+                / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+@register(
+    "ntile_spend_quartiles",
+    """
+    SELECT quartile, count(*) AS n_customers,
+           round(min(spend), 2) AS min_spend, round(max(spend), 2) AS max_spend
+    FROM (SELECT o_custkey, sum(o_totalprice) AS spend,
+                 ntile(4) OVER (ORDER BY sum(o_totalprice), o_custkey)::INTEGER AS quartile
+          FROM orders GROUP BY o_custkey)
+    GROUP BY quartile
+    """,
+)
+def q_ntile(spark, sf_dir):
+    """Quantile bucketing (ntile) for stratified sampling: customers
+    into spend quartiles with per-bucket ranges."""
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spend"))
+    w = Window.orderBy(F.col("spend"), F.col("o_custkey"))
+    return (
+        spend.withColumn("quartile", F.ntile(4).over(w).cast("int"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("spend"), 2).alias("min_spend"),
+            F.round(F.max("spend"), 2).alias("max_spend"),
+        )
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, term,
+           round(tf * ln(n_docs / df), 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) <= 3
+    """,
+)
+def q_tfidf(spark, sf_dir):
+    """TF-IDF top-3 terms per document — term frequencies and document
+    frequencies as two aggregations over one exploded token table, IDF
+    broadcast back onto TF. The LLM-pipeline keyword-extraction
+    primitive, fully relational."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Flagship entry query
 # ---------------------------------------------------------------------------
 
