@@ -182,6 +182,47 @@ def stream_from_parquet(
     )
 
 
+def incremental_codebook_merge(
+    spark,
+    long_updates: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    timeout_s: int = 120,
+) -> None:
+    """The reference's 'new administration arrives → merge into the
+    cumulative codebook' lifecycle (SURVEY.md §2.10) as a real
+    Structured Streaming job: per-year update files stream in (LONG
+    form: item core + year + admin_value + question_text) and each
+    micro-batch upserts into a year-partitioned parquet codebook via
+    ``foreachBatch`` — new (item, year) rows are appended, existing ones
+    replaced (dynamic partition overwrite keeps untouched years intact).
+
+    This is the Spark-native version of "re-run the script when a new
+    export lands": the landing directory is the trigger, the merge is
+    the micro-batch, and the cumulative wide view is
+    ``codebook_to_wide(spark.read.parquet(state_path))`` on demand.
+    """
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        old_conf = sp.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            batch.write.mode("overwrite").partitionBy("year").parquet(state_path)
+        finally:
+            sp.conf.set("spark.sql.sources.partitionOverwriteMode", old_conf)
+
+    q = (
+        long_updates.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+
+
 def run_stream_to_memory(
     df: DataFrame, query_name: str, output_mode: str = "append", timeout_s: int = 60
 ) -> None:

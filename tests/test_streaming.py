@@ -93,6 +93,55 @@ def test_stateful_running_totals(spark, sf_dir, event_stream_dir):
     assert last == want
 
 
+def test_incremental_codebook_merge(spark, tmp_path):
+    """Per-year survey updates stream into a year-partitioned codebook;
+    a re-delivered year overwrites only its own partition."""
+    from common_survey_data_pipeline_spark.streaming.events import (
+        incremental_codebook_merge,
+    )
+
+    schema = "ITEM_NAME string, year string, admin_value string, question_text string"
+    landing = str(tmp_path / "landing")
+    state = str(tmp_path / "codebook")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = spark.createDataFrame(
+        [("Q1", "2023", "2023", "How satisfied?"), ("Q2", "2023", "2023", "Age?")],
+        schema,
+    )
+    batch1.coalesce(1).write.mode("append").parquet(landing)
+    stream = spark.readStream.schema(batch1.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(landing)
+    incremental_codebook_merge(spark, stream, state, ckpt)
+
+    def read_state():
+        # partition-value inference types `year=2023` as int; normalize
+        return spark.read.parquet(state).withColumn(
+            "year", F.col("year").cast("string")
+        )
+
+    got = {(r["ITEM_NAME"], r["year"]) for r in read_state().collect()}
+    assert got == {("Q1", "2023"), ("Q2", "2023")}
+
+    # new year lands + corrected re-delivery of 2023 (only Q1 kept)
+    batch2 = spark.createDataFrame(
+        [("Q1", "2024", "2024", "How satisfied are you?"),
+         ("Q1", "2023", "2023", "How satisfied? (rev)")],
+        schema,
+    )
+    batch2.coalesce(1).write.mode("append").parquet(landing)
+    incremental_codebook_merge(spark, stream, state, ckpt)
+    rows = read_state().collect()
+    got = {(r["ITEM_NAME"], r["year"]): r["question_text"] for r in rows}
+    # 2023 partition replaced wholesale by the corrected delivery;
+    # 2024 appended; nothing else
+    assert got == {
+        ("Q1", "2023"): "How satisfied? (rev)",
+        ("Q1", "2024"): "How satisfied are you?",
+    }
+
+
 def test_sliding_counts_stream(spark, event_stream_dir):
     from common_survey_data_pipeline_spark.streaming.events import sliding_counts
 
