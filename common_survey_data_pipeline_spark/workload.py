@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from common_survey_data_pipeline_spark.functions import text as T
 from common_survey_data_pipeline_spark.operators.coalesce_join import coalesce_left_join
+from common_survey_data_pipeline_spark.operators.curation import curate_corpus
 from common_survey_data_pipeline_spark.operators.dedup import (
     exact_dedup_groups,
     minhash_dedup_pairs,
@@ -656,11 +657,7 @@ _SQL_SW = {
 
 _SQL_LOWER_TOKS = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '')"
 
-@register(
-    "text_quality",
-    f"""
-    SELECT doc_id,
-           round(0.5 * least(len({_SQL_TOKS})::DOUBLE / 64.0, 1.0)
+_SQL_QUALITY_EXPR = f"""round(0.5 * least(len({_SQL_TOKS})::DOUBLE / 64.0, 1.0)
                + 0.5 * least(COALESCE(
                      len(list_filter({_SQL_LOWER_TOKS},
                          t -> list_contains({_SQL_SW['en']}, t)))::DOUBLE
@@ -668,7 +665,13 @@ _SQL_LOWER_TOKS = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
                - 0.25 * least(COALESCE(
                      length(regexp_replace(text, '[\\w\\s]', '', 'g'))::DOUBLE
                      / NULLIF(length(text), 0), 0.0) * 2.0, 1.0),
-               6) AS quality
+               6)"""
+
+
+@register(
+    "text_quality",
+    f"""
+    SELECT doc_id, {_SQL_QUALITY_EXPR} AS quality
     FROM documents
     """,
 )
@@ -776,10 +779,14 @@ CASE WHEN len(toks) < 3 THEN []
 END
 """
 
-_SQL_NGRAM_PAIRS = f"""
+def _sql_ngram_pairs(src: str = "documents") -> str:
+    """Exact all-pairs word-3-gram Jaccard ≥ 0.5 over table/CTE ``src``
+    — reused standalone and as the pair source of the clustering and
+    curation oracles."""
+    return f"""
     WITH sh AS (
       SELECT doc_id, {_SQL_SHINGLES} AS shingles
-      FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+      FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM {src})
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
@@ -789,6 +796,9 @@ _SQL_NGRAM_PAIRS = f"""
       AND round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
                 / NULLIF(len(list_distinct(a.shingles || b.shingles)), 0), 6) >= 0.5
 """
+
+
+_SQL_NGRAM_PAIRS = _sql_ngram_pairs()
 
 
 @register("dedup_ngram_exact", _SQL_NGRAM_PAIRS)
@@ -832,6 +842,50 @@ def q_dedup_clusters(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5)
     return neardup_clusters(pairs)
+
+
+@register(
+    "curate_corpus",
+    f"""
+    WITH RECURSIVE scored AS (
+      SELECT doc_id, text, {_SQL_QUALITY_EXPR} AS quality,
+             CASE WHEN best = 0 THEN 'unknown'
+                  WHEN s_de = best THEN 'de'
+                  WHEN s_en = best THEN 'en'
+                  WHEN s_es = best THEN 'es'
+                  WHEN s_fr = best THEN 'fr'
+                  ELSE 'unknown' END AS pred_lang
+      FROM (SELECT doc_id, text,
+                   {_sql_lang_score('de')} AS s_de,
+                   {_sql_lang_score('en')} AS s_en,
+                   {_sql_lang_score('es')} AS s_es,
+                   {_sql_lang_score('fr')} AS s_fr,
+                   greatest({_sql_lang_score('de')}, {_sql_lang_score('en')},
+                            {_sql_lang_score('es')}, {_sql_lang_score('fr')}) AS best
+            FROM documents)),
+    kept AS (SELECT doc_id, text, quality FROM scored
+             WHERE quality >= 0.3 AND pred_lang = 'en'),
+    uniq AS (SELECT k.doc_id, k.text, k.quality FROM kept k
+             JOIN (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)) u
+               USING (doc_id)),
+    pairs AS ({_sql_ngram_pairs('uniq')}),
+    e AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    r AS (SELECT a, b FROM e
+          UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+    labels AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM r GROUP BY a)
+    SELECT u.doc_id, u.quality
+    FROM uniq u LEFT JOIN labels l ON u.doc_id = l.doc_id
+    WHERE l.cluster_id IS NULL OR l.cluster_id = u.doc_id
+    """,
+)
+def q_curate(spark, sf_dir):
+    """The composed LLM corpus-curation pipeline: quality filter →
+    language filter → exact dedup → MinHash near-dup clustering → keep
+    cluster representatives (``operators/curation.py``). Oracle rebuilds
+    the identical funnel in SQL with the exact all-pairs dedup."""
+    docs = _t(spark, sf_dir, "documents")
+    return curate_corpus(docs, min_quality=0.3, lang="en", neardup_threshold=0.5)
 
 
 @register("dedup_simhash", None)  # xxhash64 not available in DuckDB → rows-only
