@@ -117,6 +117,79 @@ def q_s1(spark, sf_dir):
 
 
 @register(
+    "s3_metadata_transpose",
+    """
+    SELECT 'p_partkey' AS variable, p_partkey::VARCHAR AS first_value
+      FROM (SELECT * FROM part ORDER BY p_partkey LIMIT 1)
+    UNION ALL SELECT 'p_name', p_name FROM (SELECT * FROM part ORDER BY p_partkey LIMIT 1)
+    UNION ALL SELECT 'p_brand', p_brand FROM (SELECT * FROM part ORDER BY p_partkey LIMIT 1)
+    UNION ALL SELECT 'p_type', p_type FROM (SELECT * FROM part ORDER BY p_partkey LIMIT 1)
+    UNION ALL SELECT 'p_size', p_size::VARCHAR FROM (SELECT * FROM part ORDER BY p_partkey LIMIT 1)
+    UNION ALL SELECT 'p_retailprice', round(p_retailprice, 2)::VARCHAR
+      FROM (SELECT * FROM part ORDER BY p_partkey LIMIT 1)
+    """,
+)
+def q_s3(spark, sf_dir):
+    """Wide→long metadata transpose (SURVEY §2.1 S3; varinfo-update.R:
+    53-64): column names → rows, first row's values → a value column —
+    the Qualtrics header-extraction trick over an arbitrary table."""
+    p = _t(spark, sf_dir, "part")
+    first = p.orderBy("p_partkey").limit(1)
+    # round doubles before stringifying so both engines print '123.45'
+    cols = [
+        F.round(F.col(c), 2).cast("string") if t == "double" else F.col(c).cast("string")
+        for c, t in first.dtypes
+    ]
+    row = first.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("variable"), v.alias("first_value"))
+                    for (c, _), v in zip(first.dtypes, cols)
+                ]
+            )
+        ).alias("e")
+    )
+    return row.select("e.variable", "e.first_value")
+
+
+@register(
+    "f2_digit_recency_key",
+    """
+    SELECT admin_label,
+           CAST(list_aggregate(regexp_extract_all(admin_label, '\\d+'), 'string_agg', '')
+                AS BIGINT) AS recency_key,
+           count(*) AS n
+    FROM (SELECT 'SurveyAdminTerm' || year(o_orderdate) || '-' ||
+                 quarter(o_orderdate) AS admin_label
+          FROM orders)
+    GROUP BY admin_label
+    """,
+)
+def q_f2(spark, sf_dir):
+    """Digit-concat recency key as a COLUMN op (SURVEY §2.8 F2;
+    varinfo-update.R:166-168): 'SurveyAdminTerm1997-2' → 19972. The
+    driver-side analog (on column NAMES) lives in operators/recency.py."""
+    o = _t(spark, sf_dir, "orders")
+    label = F.concat(
+        F.lit("SurveyAdminTerm"), F.year("o_orderdate"), F.lit("-"),
+        F.quarter("o_orderdate"),
+    )
+    return (
+        o.select(label.alias("admin_label"))
+        .groupBy("admin_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "admin_label",
+            F.concat_ws("", F.regexp_extract_all("admin_label", F.lit(r"(\d+)"), 1))
+            .cast("long")
+            .alias("recency_key"),
+            "n",
+        )
+    )
+
+
+@register(
     "p5_filter_r_na_semantics",
     """
     SELECT et, count(*) AS n
