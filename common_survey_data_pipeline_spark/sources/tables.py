@@ -49,3 +49,13 @@ def load_tables(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: tuple[str, ...] = TPCH_TABLES
 ) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: tuple[str, ...] = TPCH_TABLES
+) -> None:
+    """Register every table as a temp view so the whole engine surface
+    is reachable from ``spark.sql(...)`` — the DataFrame operators and
+    the SQL API compile to the same Catalyst plans."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
