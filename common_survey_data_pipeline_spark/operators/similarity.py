@@ -287,30 +287,64 @@ def embedding_neardup_pairs(
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     threshold: float = 0.9,
-    n_planes: int = 8,
+    n_planes: int = 6,
+    n_tables: int = 16,
     seed: int = 42,
+    multiprobe: bool = True,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs: sign-LSH bucket self-join, then
-    exact cosine ≥ threshold. Output (id_a, id_b, cosine_sim)."""
+    """Embedding near-duplicate pairs: multi-table sign-LSH bucket
+    self-join with Hamming-1 multiprobe, then EXACT cosine ≥ threshold
+    verification. Output (id_a, id_b, cosine_sim), id_a < id_b.
+
+    Recall per pair at angle θ is 1-(1-p)^T with p the per-table
+    bucket-collision probability ((1-θ/π)^b plus the multiprobe terms);
+    the defaults give >0.99 recall down to cosine ≈ 0.45 — and since
+    every candidate is verified exactly, output == exact all-pairs
+    whenever recall holds (oracle-checked at sf0.01). Candidate volume,
+    not correctness, is what the dials trade: shrink n_tables / raise
+    n_planes for tighter thresholds at bigger scale.
+    """
     dim = len(corpus.select(corpus_vec).first()[0])
-    planes = _hyperplanes(dim, n_planes, seed)
-    c = corpus.select(
+    tables = [_hyperplanes(dim, n_planes, seed + 1000 + t) for t in range(n_tables)]
+
+    def tagged(vec, t, planes):
+        return signlsh_bucket(vec, planes) + F.lit(t << (n_planes + 1)).cast("long")
+
+    base = corpus.select(
         F.col(corpus_id).alias("__id"),
         F.col(corpus_vec).alias("__v"),
-        signlsh_bucket(F.col(corpus_vec), planes).alias("bucket"),
+        *[
+            tagged(F.col(corpus_vec), t, planes).alias(f"__b{t}")
+            for t, planes in enumerate(tables)
+        ],
     )
-    a, b = c.alias("a"), c.alias("b")
+    c = base.select(
+        "__id", "__v",
+        F.explode(F.array(*[F.col(f"__b{t}") for t in range(n_tables)])).alias("bucket"),
+    )
+    probe_cols = []
+    for t in range(n_tables):
+        bc = F.col(f"__b{t}")
+        probe_cols.append(bc)
+        if multiprobe:
+            probe_cols.extend(
+                bc.bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), i))
+                for i in range(n_planes)
+            )
+    p = base.select(
+        F.col("__id").alias("__pid"),
+        F.col("__v").alias("__pv"),
+        F.explode(F.array(*probe_cols)).alias("bucket"),
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .withColumn("cosine_sim", F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6))
+        c.join(p, (c["bucket"] == p["bucket"]) & (c["__id"] < p["__pid"]))
+        .select("__id", "__v", "__pid", "__pv")
+        .dropDuplicates(["__id", "__pid"])
+        .withColumn("cosine_sim", F.round(cosine(F.col("__v"), F.col("__pv")), 6))
         .where(F.col("cosine_sim") >= threshold)
         .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
+            F.col("__id").alias("id_a"),
+            F.col("__pid").alias("id_b"),
             "cosine_sim",
         )
     )

@@ -1014,10 +1014,22 @@ def q_sim_ivf(spark, sf_dir):
     return ivf_topk(emb, queries, k=10, nlist=16, nprobe=4)
 
 
-@register("embedding_neardup", None)  # LSH recall < 1 → rows-only
+@register(
+    "embedding_neardup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+             AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+          >= 0.45
+    """,
+)
 def q_emb_neardup(spark, sf_dir):
-    """Embedding near-duplicate pairs at cosine ≥ 0.45 within LSH
-    buckets (approximate; threshold matched to this corpus)."""
+    """Embedding near-duplicate pairs at cosine ≥ 0.45: multi-table
+    multiprobe sign-LSH candidates + exact verification — recall ≈ 1 at
+    the default dials, so the output hash-matches the exact all-pairs
+    oracle."""
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(emb, threshold=0.45)
 
