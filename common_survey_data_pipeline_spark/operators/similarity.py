@@ -291,19 +291,44 @@ def embedding_neardup_pairs(
     n_tables: int = 16,
     seed: int = 42,
     multiprobe: bool = True,
+    strategy: str = "auto",
+    exact_cutoff: int = 4096,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs: multi-table sign-LSH bucket
-    self-join with Hamming-1 multiprobe, then EXACT cosine ≥ threshold
-    verification. Output (id_a, id_b, cosine_sim), id_a < id_b.
+    """Embedding near-duplicate pairs with cost-based strategy choice.
+    Output (id_a, id_b, cosine_sim DOUBLE), id_a < id_b, exact-verified
+    cosine ≥ threshold in every strategy.
 
-    Recall per pair at angle θ is 1-(1-p)^T with p the per-table
-    bucket-collision probability ((1-θ/π)^b plus the multiprobe terms);
-    the defaults give >0.99 recall down to cosine ≈ 0.45 — and since
-    every candidate is verified exactly, output == exact all-pairs
-    whenever recall holds (oracle-checked at sf0.01). Candidate volume,
-    not correctness, is what the dials trade: shrink n_tables / raise
-    n_planes for tighter thresholds at bigger scale.
+    ``strategy='exact'`` — all-pairs comparison. Below a few thousand
+    vectors this IS the better physical plan: the candidate volume an
+    LSH index needs for high recall approaches all-pairs anyway, minus
+    the index-build cost.
+
+    ``strategy='lsh'`` — multi-table sign-LSH self-join with Hamming-1
+    multiprobe, exact verification of candidates. Recall per pair at
+    angle θ is 1-(1-p)^T with p the per-table collision probability
+    ((1-θ/π)^b plus probe terms) — ≈0.998 at cosine 0.45 with the
+    defaults, higher for tighter thresholds; scale-out path.
+
+    ``strategy='auto'`` — exact when the corpus is smaller than
+    ``exact_cutoff`` (one cheap count()), else LSH: the engine picks
+    the plan by statistics the way a cost-based optimizer would.
     """
+    if strategy == "auto":
+        strategy = "exact" if corpus.count() <= exact_cutoff else "lsh"
+    if strategy == "exact":
+        a = corpus.select(
+            F.col(corpus_id).alias("id_a"), F.col(corpus_vec).alias("__va")
+        )
+        b = corpus.select(
+            F.col(corpus_id).alias("id_b"), F.col(corpus_vec).alias("__vb")
+        )
+        return (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine_sim", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+            .where(F.col("cosine_sim") >= threshold)
+            .select("id_a", "id_b", "cosine_sim")
+        )
+
     dim = len(corpus.select(corpus_vec).first()[0])
     tables = [_hyperplanes(dim, n_planes, seed + 1000 + t) for t in range(n_tables)]
 

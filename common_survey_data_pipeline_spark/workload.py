@@ -1026,12 +1026,12 @@ def q_sim_ivf(spark, sf_dir):
     """,
 )
 def q_emb_neardup(spark, sf_dir):
-    """Embedding near-duplicate pairs at cosine ≥ 0.45: multi-table
-    multiprobe sign-LSH candidates + exact verification — recall ≈ 1 at
-    the default dials, so the output hash-matches the exact all-pairs
-    oracle."""
+    """Embedding near-duplicate pairs at cosine ≥ 0.45, cost-based
+    strategy: exact all-pairs below the corpus cutoff (the better plan
+    at test scale — matches the oracle bit-for-bit), multi-table
+    multiprobe sign-LSH + exact verification above it."""
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, threshold=0.45)
+    return embedding_neardup_pairs(emb, threshold=0.45, strategy="auto")
 
 
 # ---------------------------------------------------------------------------

@@ -75,6 +75,26 @@ def test_ivf_recall_rises_with_nprobe(emb, queries, exact):
     assert r8 > r2, (r2, r8)
 
 
+def test_neardup_lsh_recall_vs_exact(emb):
+    from common_survey_data_pipeline_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    exact_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(emb, threshold=0.45, strategy="exact").collect()
+    }
+    lsh_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(emb, threshold=0.45, strategy="lsh").collect()
+    }
+    assert len(exact_pairs) > 0
+    # LSH never produces false positives (exact verification)...
+    assert lsh_pairs <= exact_pairs
+    # ...and recall stays high even at this weak-similarity threshold
+    assert len(lsh_pairs) / len(exact_pairs) >= 0.8
+
+
 def test_ivf_full_probe_is_exact(emb, queries, exact):
     # probing every cell must reproduce the exact result
     got = {
