@@ -199,39 +199,88 @@ def simhash64(tokens_col: Column) -> Column:
     )
 
 
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Per-document SimHash signature, explode-then-aggregate form:
+    one plain-column hash per token row, then ``bits`` sign-sum
+    aggregates per doc (all inside whole-stage codegen, map-side
+    partial aggregation shrinks the shuffle to ``bits`` longs/doc).
+
+    ``hash_fn='md5'`` uses a 60-bit token hash both Spark and DuckDB
+    can compute bit-identically (first 15 hex chars of md5) — the
+    oracle-checkable profile. ``'xxhash64'`` is the cheaper 64-bit
+    JVM-only profile. Output: (__id, __sim LONG, __nbits INT literal).
+    """
+    from common_survey_data_pipeline_spark.functions.text import tokens
+
+    bits = 60 if hash_fn == "md5" else 64
+    tok = df.select(
+        F.col(id_col).alias("__id"), F.explode(tokens(F.col(text_col))).alias("__t")
+    )
+    if hash_fn == "md5":
+        h = F.conv(F.substring(F.md5("__t"), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64("__t")
+    th = tok.select("__id", h.alias("__h"))
+    sums = th.groupBy("__id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("__h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"__s{i}")
+            for i in range(bits)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(
+            F.col(f"__s{i}") > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return sums.select("__id", sig.alias("__sim")), bits
+
+
 def simhash_dedup_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
     max_hamming: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance ≤ max_hamming
-    (≤ 3 guaranteed complete via 4-chunk banding; larger thresholds are
-    best-effort with the same bands).
+    (≤ 3 guaranteed complete via 4-chunk banding — a pair within
+    Hamming 3 must agree on at least one of 4 chunks by pigeonhole;
+    larger thresholds are best-effort with the same bands).
 
-    Output: (id_a, id_b, hamming INT).
+    Output: (id_a, id_b, hamming INT). With ``hash_fn='md5'`` the
+    result is bit-identical to the all-pairs SQL oracle.
     """
-    from common_survey_data_pipeline_spark.functions.text import tokens
-
-    sigs = df.select(
-        F.col(id_col).alias("__id"),
-        simhash64(tokens(F.col(text_col))).alias("__sim"),
-    )
+    # docs with zero tokens have no exploded rows, hence no signature —
+    # they cannot pair (matching the oracle, where they vanish the same way)
+    sigs, bits = simhash_signatures(df, text_col, id_col, hash_fn)
+    chunk_w = bits // 4
+    mask = (1 << chunk_w) - 1
     chunks = sigs.select(
         "__id",
         "__sim",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda i: F.struct(
-                    i.alias("chunk"),
-                    F.call_function("shiftright", F.col("__sim"), i * 16)
-                    .bitwiseAND(F.lit(0xFFFF))
-                    .alias("chunk_val"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright("__sim", i * chunk_w)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk_val"),
+                    )
+                    for i in range(4)
+                ]
             )
         ).alias("c"),
-    ).select("__id", "__sim", F.col("c.chunk").alias("chunk"), F.col("c.chunk_val").alias("chunk_val"))
+    ).select(
+        "__id", "__sim", F.col("c.chunk").alias("chunk"), F.col("c.chunk_val").alias("chunk_val")
+    )
     a = chunks.alias("a")
     b = chunks.alias("b")
     return (

@@ -961,9 +961,29 @@ def q_curate(spark, sf_dir):
     return curate_corpus(docs, min_quality=0.3, lang="en", neardup_threshold=0.5)
 
 
-@register("dedup_simhash", None)  # xxhash64 not available in DuckDB → rows-only
+@register(
+    "dedup_simhash",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS t FROM documents),
+    th AS (SELECT doc_id, ('0x' || substring(md5(t), 1, 15))::BIGINT AS h FROM toks),
+    bits AS (SELECT doc_id, r.i AS i,
+                    sum(CASE WHEN (h >> r.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             FROM th CROSS JOIN (SELECT unnest(range(60)) AS i) r
+             GROUP BY 1, 2),
+    sig AS (SELECT doc_id,
+                   sum(CASE WHEN s > 0 THEN 1::BIGINT << i ELSE 0::BIGINT END)::BIGINT AS sim
+            FROM bits GROUP BY doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sim, b.sim))::INTEGER AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= 3
+    """,
+)
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (Hamming ≤ 3 via 16-bit banding)."""
+    """SimHash near-dup pairs, Hamming ≤ 3 via 4-chunk banding
+    (complete by pigeonhole). The 60-bit md5-derived token hash is
+    engine-portable, so the banding output hash-matches the all-pairs
+    SQL oracle bit-for-bit."""
     docs = _t(spark, sf_dir, "documents")
     return simhash_dedup_pairs(docs, "text", "doc_id", max_hamming=3)
 
