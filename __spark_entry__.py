@@ -39,8 +39,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL per query (tables pre-registered as
-    views). Rows-only entries (no SQL-expressible oracle: simhash —
-    DuckDB lacks xxhash64; sign-LSH — hyperplane literals) are omitted.
+    views). Rows-only entries (no SQL-expressible oracle: sign-LSH and
+    IVF — hyperplane/KMeans-centroid literals; approx_count_distinct —
+    HLL sketch estimates are implementation-specific) are omitted.
     """
     return {
         name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
