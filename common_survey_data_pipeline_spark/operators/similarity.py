@@ -190,6 +190,60 @@ def signlsh_topk(
     )
 
 
+def _exact_neardup_matmul(
+    corpus: DataFrame,
+    corpus_id: str,
+    corpus_vec: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold as a blocked BLAS product.
+
+    The unit-normalized matrix is broadcast (N×d float64 — 25 MB at
+    100k×64, the same shape of broadcast a dimension table would be);
+    each corpus partition computes its block's N_b×N similarity slab
+    with one numpy matmul inside ``mapInPandas`` and emits only the
+    above-threshold upper-triangle pairs. ~1.6 GFLOP for 5000 vectors
+    (sub-second in BLAS) versus tens of seconds for per-pair HOF
+    evaluation — this is the vectorized-pandas path reserved for
+    kernels the relational operators can't express efficiently.
+    """
+    import numpy as np
+    import pandas as pd
+
+    pdf_all = corpus.select(
+        F.col(corpus_id).alias("id"), F.col(corpus_vec).alias("v")
+    ).toPandas()
+    ids = pdf_all["id"].to_numpy()
+    x = np.stack(pdf_all["v"].to_numpy()).astype("float64")
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = np.nan  # zero vectors never match
+    xn = x / norms
+    bc = corpus.sparkSession.sparkContext.broadcast((ids, xn))
+
+    def block(it):
+        all_ids, all_xn = bc.value
+        for pdf in it:
+            b_ids = pdf["id"].to_numpy()
+            bx = np.stack(pdf["v"].to_numpy()).astype("float64")
+            bn = np.linalg.norm(bx, axis=1, keepdims=True)
+            bn[bn == 0] = np.nan
+            sims = np.round((bx / bn) @ all_xn.T, 6)
+            rows_i, cols_j = np.where(
+                (sims >= threshold) & (b_ids[:, None] < all_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "id_a": b_ids[rows_i].astype("int64"),
+                    "id_b": all_ids[cols_j].astype("int64"),
+                    "cosine_sim": sims[rows_i, cols_j],
+                }
+            )
+
+    return corpus.select(
+        F.col(corpus_id).alias("id"), F.col(corpus_vec).alias("v")
+    ).mapInPandas(block, "id_a long, id_b long, cosine_sim double")
+
+
 def _unit_normalize(vec: Column) -> Column:
     """vec / ||vec||, with the norm evaluated once (array-bind trick —
     a bare ``transform(vec, x -> x / l2_norm(vec))`` recomputes the norm
@@ -292,16 +346,19 @@ def embedding_neardup_pairs(
     seed: int = 42,
     multiprobe: bool = True,
     strategy: str = "auto",
-    exact_cutoff: int = 4096,
+    exact_cutoff: int = 65536,
 ) -> DataFrame:
     """Embedding near-duplicate pairs with cost-based strategy choice.
     Output (id_a, id_b, cosine_sim DOUBLE), id_a < id_b, exact-verified
     cosine ≥ threshold in every strategy.
 
-    ``strategy='exact'`` — all-pairs comparison. Below a few thousand
-    vectors this IS the better physical plan: the candidate volume an
-    LSH index needs for high recall approaches all-pairs anyway, minus
-    the index-build cost.
+    ``strategy='exact'`` — all-pairs comparison as a blocked BLAS
+    matmul (broadcast normalized matrix, per-partition numpy slab).
+    Up to tens of thousands of vectors this IS the better physical
+    plan: at weak thresholds the candidate volume an LSH index needs
+    for high recall approaches all-pairs anyway, minus the index-build
+    cost — and BLAS evaluates a pair for ~100× less than interpreted
+    per-pair expressions.
 
     ``strategy='lsh'`` — multi-table sign-LSH self-join with Hamming-1
     multiprobe, exact verification of candidates. Recall per pair at
@@ -316,18 +373,7 @@ def embedding_neardup_pairs(
     if strategy == "auto":
         strategy = "exact" if corpus.count() <= exact_cutoff else "lsh"
     if strategy == "exact":
-        a = corpus.select(
-            F.col(corpus_id).alias("id_a"), F.col(corpus_vec).alias("__va")
-        )
-        b = corpus.select(
-            F.col(corpus_id).alias("id_b"), F.col(corpus_vec).alias("__vb")
-        )
-        return (
-            a.join(b, F.col("id_a") < F.col("id_b"))
-            .withColumn("cosine_sim", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
-            .where(F.col("cosine_sim") >= threshold)
-            .select("id_a", "id_b", "cosine_sim")
-        )
+        return _exact_neardup_matmul(corpus, corpus_id, corpus_vec, threshold)
 
     dim = len(corpus.select(corpus_vec).first()[0])
     tables = [_hyperplanes(dim, n_planes, seed + 1000 + t) for t in range(n_tables)]
