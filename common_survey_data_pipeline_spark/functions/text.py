@@ -64,12 +64,22 @@ def quality_score(col: Column) -> Column:
     """Deterministic composite quality heuristic in [0, 1]:
     rewards reasonable length and stopword presence, penalizes
     punctuation soup. The exact formula is the contract (mirrored in the
-    DuckDB oracle); it is a heuristic, not a model."""
-    n_tok = token_count(col).cast("double")
-    len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
-    sw_score = F.least(F.coalesce(stopword_ratio(col), F.lit(0.0)) * 4.0, F.lit(1.0))
-    punct_pen = F.least(F.coalesce(punct_ratio(col), F.lit(0.0)) * 2.0, F.lit(1.0))
-    return F.round(0.5 * len_score + 0.5 * sw_score - 0.25 * punct_pen, 6)
+    DuckDB oracle); it is a heuristic, not a model.
+
+    The token array is evaluated once via ``_bind`` — the naive
+    composition re-tokenizes the text for each sub-score."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+
+    def score(t: Column) -> Column:
+        n_tok = F.size(t).cast("double")
+        len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+        hits = F.size(F.filter(t, lambda x: F.array_contains(sw, F.lower(x))))
+        sw_ratio = hits.cast("double") / F.nullif(F.size(t), F.lit(0))
+        sw_score = F.least(F.coalesce(sw_ratio, F.lit(0.0)) * 4.0, F.lit(1.0))
+        punct_pen = F.least(F.coalesce(punct_ratio(col), F.lit(0.0)) * 2.0, F.lit(1.0))
+        return F.round(0.5 * len_score + 0.5 * sw_score - 0.25 * punct_pen, 6)
+
+    return _bind(tokens(col), score)
 
 
 def lang_scores(col: Column) -> dict[str, Column]:

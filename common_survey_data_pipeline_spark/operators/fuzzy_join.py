@@ -61,7 +61,8 @@ def stringdist_left_join(
     right_on: str,
     max_dist: int = 6,
     distance_col: str = "string_distance",
-    strategy: str = "broadcast",
+    strategy: str = "auto",
+    broadcast_cutoff: int = 10_000,
 ) -> DataFrame:
     """Left outer join on ``levenshtein(left[left_on], right[right_on])
     <= max_dist``, emitting the distance as ``distance_col``.
@@ -69,9 +70,19 @@ def stringdist_left_join(
     Output columns: all of ``left`` then all of ``right`` then
     ``distance_col`` (INT, NULL for unmatched left rows). ``left_on`` and
     ``right_on`` must be distinct names (rename beforehand otherwise).
+
+    ``strategy='auto'`` picks the physical plan by statistics, like a
+    cost-based optimizer: the right side is counted once, and a small
+    right side (≤ ``broadcast_cutoff`` rows — the reference's ~260
+    survey variables by a wide margin) takes the shuffle-free
+    broadcast-NLJ with bounded Levenshtein; anything larger takes the
+    length-band blocked equi-join, whose cost scales with candidate
+    pairs instead of |L|×|R|.
     """
     if left_on == right_on:
         raise ValueError("left_on and right_on must differ; rename one side first")
+    if strategy == "auto":
+        strategy = "broadcast" if right.count() <= broadcast_cutoff else "blocked"
     if strategy == "broadcast":
         return _broadcast_nlj(left, right, left_on, right_on, max_dist, distance_col)
     if strategy == "blocked":

@@ -1361,6 +1361,38 @@ def q_w4(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @register(
+    "w5_rank_family",
+    """
+    SELECT p_partkey, p_brand,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           dense_rank() OVER w::INTEGER AS drank,
+           round(first_value(p_retailprice) OVER w, 2) AS cheapest,
+           round(last_value(p_retailprice)
+                 OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+             AS priciest
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+    """,
+)
+def q_w5(spark, sf_dir):
+    """The rank-function family (percent_rank / cume_dist / dense_rank /
+    first_value / full-frame last_value) per brand."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.dense_rank().over(w).cast("int").alias("drank"),
+        F.round(F.first("p_retailprice").over(w), 2).alias("cheapest"),
+        F.round(F.last("p_retailprice").over(w_full), 2).alias("priciest"),
+    )
+
+
+@register(
     "a3_rollup",
     """
     SELECT l_returnflag, l_linestatus,
