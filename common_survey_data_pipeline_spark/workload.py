@@ -1689,6 +1689,33 @@ def q_sample(spark, sf_dir):
 
 
 @register(
+    "stratified_sample",
+    """
+    SELECT l_returnflag, l_orderkey, l_linenumber
+    FROM lineitem
+    QUALIFY row_number() OVER (
+        PARTITION BY l_returnflag
+        ORDER BY md5(l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR),
+                 l_orderkey, l_linenumber) <= 100
+    """,
+)
+def q_stratified(spark, sf_dir):
+    """Deterministic stratified sampling: at most k rows per stratum,
+    chosen by hash order — reproducible across engines/partitionings,
+    the per-source quota primitive of training-data pipelines."""
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.md5(F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber")))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        key, F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    return (
+        li.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 100)
+        .select("l_returnflag", "l_orderkey", "l_linenumber")
+    )
+
+
+@register(
     "stats_moments",
     """
     SELECT l_returnflag,

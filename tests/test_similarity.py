@@ -51,6 +51,14 @@ def test_exact_topk_shape_and_selfsim(spark, emb, queries, exact):
     assert all(sorted(v) == list(range(1, 11)) for v in by_q.values())
 
 
+def test_matmul_strategy_equals_expr(emb, queries):
+    expr = cosine_topk(emb, queries, k=10, strategy="expr").collect()
+    mat = cosine_topk(emb, queries, k=10, strategy="matmul").collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(map(tuple, expr)) == sorted(map(tuple, mat))
+    assert len(mat) == 100
+
+
 def test_signlsh_recall(emb, queries, exact):
     got = {
         (r["query_id"], r["vec_id"])
