@@ -1104,6 +1104,44 @@ def q_ev_sessions(spark, sf_dir):
 
 
 @register(
+    "events_daily_dense",
+    """
+    WITH spans AS (
+      SELECT user_id, date_trunc('day', min(ts))::TIMESTAMP AS d0,
+             date_trunc('day', max(ts))::TIMESTAMP AS d1
+      FROM events GROUP BY user_id),
+    spine AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::TIMESTAMP AS day
+      FROM spans),
+    daily AS (
+      SELECT user_id, date_trunc('day', ts)::TIMESTAMP AS day, count(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT s.user_id, s.day, COALESCE(d.n, 0) AS n_events
+    FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    """,
+)
+def q_ev_dense(spark, sf_dir):
+    """Gap-filling date spine: every (user, day) between the user's
+    first and last event, zero-filled — sequence+explode generates the
+    spine (no driver loop), one left join attaches the sparse counts."""
+    ev = _t(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.date_trunc("DAY", F.min("ts")).alias("d0"),
+        F.date_trunc("DAY", F.max("ts")).alias("d1"),
+    )
+    spine = spans.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("DAY", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id", "day", F.coalesce("n", F.lit(0)).alias("n_events")
+    )
+
+
+@register(
     "events_dedup_first",
     """
     SELECT user_id, event_type, event_id, ts::TIMESTAMP AS ts
