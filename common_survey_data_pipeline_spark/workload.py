@@ -1075,6 +1075,30 @@ def q_ev_tumbling(spark, sf_dir):
 
 
 @register(
+    "events_sliding_2h_1h",
+    """
+    SELECT window_start,
+           (window_start + INTERVAL 2 HOUR)::TIMESTAMP AS window_end,
+           event_type, count(*) AS n_events
+    FROM (SELECT event_type,
+                 unnest([date_trunc('hour', ts)::TIMESTAMP,
+                         (date_trunc('hour', ts) - INTERVAL 1 HOUR)::TIMESTAMP])
+                   AS window_start
+          FROM events)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_ev_sliding(spark, sf_dir):
+    """Sliding windows (2h window, 1h slide): every event lands in two
+    overlapping windows (F.window with slideDuration in Spark; explicit
+    window-start expansion in the oracle)."""
+    from common_survey_data_pipeline_spark.streaming.events import sliding_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return sliding_counts(ev, "2 hours", "1 hour")
+
+
+@register(
     "events_sessions_30m",
     """
     WITH ev AS (
