@@ -1275,6 +1275,38 @@ def q_j6(spark, sf_dir):
 
 
 @register(
+    "j9_asof_forward",
+    """
+    WITH ev AS (  -- pre-reduce: one deterministic event per (user, instant)
+      SELECT user_id, ts::TIMESTAMP AS ts, min(event_id) AS next_event_id
+      FROM events GROUP BY 1, 2)
+    SELECT o.o_orderkey, o.user_id, o.ts, e.next_event_id, e.next_event_ts
+    FROM (SELECT o_orderkey, o_custkey AS user_id, o_orderdate AS ts,
+                 -epoch(o_orderdate) AS nts FROM orders) o
+    ASOF LEFT JOIN (SELECT user_id, ts AS next_event_ts, next_event_id,
+                           -epoch(ts) AS nts FROM ev) e
+      ON o.user_id = e.user_id AND o.nts >= e.nts
+    """,
+)
+def q_j9(spark, sf_dir):
+    """FORWARD as-of join: each order picks the user's first event at or
+    after the order instant (union-then-window with descending scan;
+    oracle = DuckDB backward ASOF on negated epochs)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    ev = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("next_event_id"))
+        .select("user_id", "ts", "next_event_id", F.col("ts").alias("next_event_ts"))
+    )
+    out = asof_join(orders, ev, on="user_id", left_ts="ts", direction="forward")
+    return out.select("o_orderkey", "user_id", "ts", "next_event_id", "next_event_ts")
+
+
+@register(
     "j7_interval_join",
     """
     SELECT p.promo_month, count(*) AS n_orders,
