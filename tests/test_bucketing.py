@@ -37,8 +37,6 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
         plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" in plan
         assert "Exchange" not in plan, plan
-        # and it still computes the right thing
-        plain = load_table(spark, sf_dir="/root/testdata/sf0.001", name="lineitem")
         assert joined.count() > 0
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
