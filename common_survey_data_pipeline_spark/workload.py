@@ -2154,6 +2154,435 @@ def q_tfidf(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H-adapted decision-support suite (the synthetic schema lacks
+# partsupp / commitdate / phone, so Q2/4/9/11/16/20-22 are adapted to the
+# columns that exist while keeping each query's PLAN SHAPE: EXISTS /
+# NOT EXISTS semi/anti joins, correlated scalar subqueries, HAVING
+# against a global aggregate, disjunctive pushdown, two-level aggs).
+# Money sums run on DECIMAL on both sides (see _DISC_PRICE_DEC note).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q4_order_priority_exists",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_q4(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS with a correlated non-equi condition →
+    left-semi join (equi key + residual predicate), then count per
+    priority. The date filter prunes orders before the join."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("interval 60 days")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q7_nation_trade_volume",
+    f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           year(l_shipdate)::INTEGER AS l_year,
+           round(sum({_DISC_PRICE_DEC}), 2)::DOUBLE AS volume
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    WHERE (sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+       OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3')
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_q7(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between two nations per
+    year. The nation filter is applied to BOTH dims before joining the
+    facts, so supplier/customer shrink first and every join side that
+    reaches lineitem/orders is broadcastable."""
+    pair = ("NATION_3", "NATION_7")
+    nat = _t(spark, sf_dir, "nation").where(F.col("n_name").isin(*pair))
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.round(F.sum(_disc_price_dec()), 2).cast("double").alias("volume"))
+    )
+
+
+@register(
+    "q8_market_share",
+    f"""
+    SELECT year(l_shipdate)::INTEGER AS l_year,
+           round(sum(CASE WHEN sn.n_name = 'NATION_7' THEN {_DISC_PRICE_DEC}
+                          ELSE 0::DECIMAL(12,2) END)::DOUBLE
+                 / sum({_DISC_PRICE_DEC})::DOUBLE, 6) AS mkt_share
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN region r   ON cn.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+    GROUP BY 1
+    """,
+)
+def q_q8(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of a region's revenue per
+    year. Region+part filters shrink the dims first; both decimal sums
+    convert to double only at the final ratio, so the boundary is
+    engine-deterministic."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nat = _t(spark, sf_dir, "nation")
+    cust_nat = nat.join(
+        F.broadcast(region), nat.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(cust_nat), F.col("c_nationkey") == F.col("cn_key"))
+        .select("c_custkey")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY").select("p_partkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem")
+    disc = _disc_price_dec()
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_7", disc).otherwise(
+                        F.lit(0).cast("decimal(12,2)")
+                    )
+                ).cast("double")
+                / F.sum(disc).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q9_profit_by_nation_year",
+    f"""
+    SELECT sn.n_name AS nation, year(l_shipdate)::INTEGER AS l_year,
+           round(sum({_DISC_PRICE_DEC}
+                     - p_retailprice::DECIMAL(12,2)
+                       * (l_quantity * 0.5)::DECIMAL(8,1)), 2)::DOUBLE AS profit
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def q_q9(spark, sf_dir):
+    """TPC-H Q9 shape: profit (revenue minus a cost proxy, all decimal
+    so the sum is exact) per supplier nation and year, with a LIKE
+    filter on part names. quantity*0.5 has exactly one decimal digit,
+    so the double→decimal(8,1) cast is tie-free on both engines."""
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").like("%widget%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    nat = _t(spark, sf_dir, "nation")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    cost = F.col("p_retailprice").cast("decimal(12,2)") * (
+        F.col("l_quantity") * F.lit(0.5)
+    ).cast("decimal(8,1)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("nation", F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(
+            F.round(F.sum(_disc_price_dec() - cost), 2).cast("double").alias("profit")
+        )
+    )
+
+
+@register(
+    "q11_supplier_revenue_share",
+    f"""
+    WITH rev AS (SELECT l_suppkey, sum({_DISC_PRICE_DEC}) AS revenue
+                 FROM lineitem GROUP BY l_suppkey)
+    SELECT l_suppkey, round(revenue, 2)::DOUBLE AS revenue
+    FROM rev
+    WHERE revenue::DOUBLE > 0.011 * (SELECT sum({_DISC_PRICE_DEC})
+                                     FROM lineitem)::DOUBLE
+    """,
+)
+def q_q11(spark, sf_dir):
+    """TPC-H Q11 shape: HAVING against a fraction of the GLOBAL
+    aggregate — per-supplier revenue kept only above 1.1% of total.
+    The scalar total is a 1-row broadcast cross join; both sums are
+    exact decimals so the threshold comparison is deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = _disc_price_dec()
+    rev = li.groupBy("l_suppkey").agg(F.sum(disc).alias("revenue"))
+    total = li.agg(F.sum(disc).alias("__total"))
+    return (
+        rev.crossJoin(F.broadcast(total))
+        .where(F.col("revenue").cast("double") > 0.011 * F.col("__total").cast("double"))
+        .select("l_suppkey", F.round("revenue", 2).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q13_order_count_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c LEFT JOIN orders o
+            ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q_q13(spark, sf_dir):
+    """TPC-H Q13: customer order-count histogram. Left join with an
+    extra ON-clause predicate (kept in the join, NOT a where — rows
+    must survive with count 0), then a second aggregation over the
+    first's result."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    joined = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey)
+        & (orders.o_orderpriority != "1-URGENT"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q15_top_supplier",
+    f"""
+    WITH rev AS (SELECT l_suppkey, sum({_DISC_PRICE_DEC}) AS total_rev
+                 FROM lineitem
+                 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                   AND l_shipdate < TIMESTAMP '1997-04-01'
+                 GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, round(total_rev, 2)::DOUBLE AS total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+)
+def q_q15(spark, sf_dir):
+    """TPC-H Q15: supplier(s) achieving the maximum quarterly revenue.
+    The revenue CTE is computed once and reused for both the max scalar
+    and the final join (decimal-exact equality); supplier is a
+    broadcast dim."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(_disc_price_dec()).alias("total_rev"))
+    max_rev = rev.agg(F.max("total_rev").alias("__max"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(max_rev))
+        .where(F.col("total_rev") == F.col("__max"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.round("total_rev", 2).cast("double").alias("total_rev"))
+    )
+
+
+@register(
+    "q16_brand_supplier_counts",
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size IN (1, 5, 9, 13)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_q16(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per part group with a
+    NOT IN exclusion list → broadcast left-anti join (the excluded-key
+    set is tiny and non-null, so anti-join ≡ NOT IN here)."""
+    part = _t(spark, sf_dir, "part").where(F.col("p_size").isin(1, 5, 9, 13)).select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT round(sum(l_extendedprice::DECIMAL(12,2))::DOUBLE / 7.0, 2) AS avg_yearly
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_type = 'PROMO'
+      AND l.l_quantity < (SELECT 0.4 * avg(l2.l_quantity) FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q_q17(spark, sf_dir):
+    """TPC-H Q17: revenue of small-quantity orders, correlated per-part
+    average decorrelated into a join against the per-part aggregate.
+    avg of integer-valued doubles is bit-identical across engines
+    (exact sums below 2^53), so the 0.4*avg threshold is stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select("p_partkey")
+    per_part_avg = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.avg("l_quantity").alias("__avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part_avg, li.l_partkey == F.col("__pk"))
+        .where(F.col("l_quantity") < 0.4 * F.col("__avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    f"""
+    SELECT round(sum({_DISC_PRICE_DEC}), 2)::DOUBLE AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 40)
+    """,
+)
+def q_q19(spark, sf_dir):
+    """TPC-H Q19: disjunction of conjunctive band predicates across
+    both join sides. The brand/size disjunction is pre-applied to part
+    (a valid implied filter Catalyst also derives) so only candidate
+    parts broadcast; the full OR stays as the residual."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30))
+    )
+    branch1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    branch2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 40)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(branch1 | branch2)
+        .agg(F.round(F.sum(_disc_price_dec()), 2).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    """
+    SELECT c_nationkey, count(*) AS numcust,
+           round(sum(c_acctbal::DECIMAL(12,2)), 2)::DOUBLE AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+)
+def q_q22(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with no urgent
+    orders — uncorrelated scalar average (broadcast cross join) + NOT
+    EXISTS (left-anti join on the filtered order keys), grouped by
+    nation. (Every synthetic customer has ≥1 order, so the anti-join
+    target is the urgent subset to keep the result non-trivial.)"""
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    order_keys = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("__avg"))
+        .join(order_keys, cust.c_custkey == order_keys.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Flagship entry query
 # ---------------------------------------------------------------------------
 
