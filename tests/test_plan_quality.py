@@ -85,3 +85,41 @@ def test_interval_join_is_equi(run):
     plan = plan_of(run("j7_interval_join"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q7_q8_q9_dims_broadcast(run):
+    # multi-way star joins: every dim side must broadcast; the only
+    # shuffle joins allowed are fact-to-fact (lineitem ⋈ orders)
+    for name in (
+        "q7_nation_trade_volume",
+        "q8_market_share",
+        "q9_profit_by_nation_year",
+    ):
+        plan = plan_of(run(name))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q4_exists_is_semi_join_not_nested_loop(run):
+    plan = plan_of(run("q4_order_priority_exists"))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q16_not_in_is_broadcast_anti_join(run):
+    plan = plan_of(run("q16_brand_supplier_counts"))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q19_part_filter_pushed_to_scan(run):
+    # the implied brand/size disjunction must reach the part scan as a
+    # pushed filter, not evaluate post-join
+    plan = plan_of(run("q19_disjunctive_predicates"))
+    pushed = [
+        seg.split("]")[0]
+        for seg in plan.split("PushedFilters: [")[1:]
+    ]
+    assert any("p_brand" in s or "p_size" in s for s in pushed)
