@@ -2582,6 +2582,138 @@ def q_q22(spark, sf_dir):
     )
 
 
+@register(
+    "grouping_sets_revenue",
+    """
+    SELECT n_name, o_orderpriority,
+           grouping(n_name)::INTEGER AS g_nation,
+           grouping(o_orderpriority)::INTEGER AS g_prio,
+           round(sum(o_totalprice::DECIMAL(12,2)), 2)::DOUBLE AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    """GROUPING SETS (neither rollup nor cube): two independent
+    one-dimension aggregates plus the grand total in ONE shuffle via
+    Expand, not three scans. Runs through the engine's SQL surface —
+    same Catalyst plan the DataFrame API would build."""
+    from common_survey_data_pipeline_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("orders", "customer", "nation"))
+    return spark.sql(
+        """
+        SELECT n_name, o_orderpriority,
+               CAST(grouping(n_name) AS INT) AS g_nation,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "w6_trailing_7d_revenue",
+    """
+    WITH daily AS (
+      SELECT n_name, o_orderdate::DATE AS day,
+             sum(o_totalprice::DECIMAL(12,2)) AS day_rev
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY 1, 2)
+    SELECT n_name, day,
+           round(sum(day_rev) OVER (
+             PARTITION BY n_name ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW), 2)::DOUBLE
+             AS trailing_7d
+    FROM daily
+    """,
+)
+def q_w6_range_frame(spark, sf_dir):
+    """Time-RANGE window frame (not ROWS): per-nation 7-day trailing
+    revenue over the daily aggregate. The window partitions by nation,
+    so the sort is per-nation, never a single global partition; the
+    frame key is epoch seconds to express the interval range. Decimal
+    sums keep the frame totals exact."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    daily = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name", F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("day_rev"))
+    )
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy(F.col("day").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return daily.select(
+        "n_name",
+        "day",
+        F.round(F.sum("day_rev").over(w), 2).cast("double").alias("trailing_7d"),
+    )
+
+
+@register(
+    "median_order_value",
+    """
+    SELECT o_orderpriority,
+           round(median(o_totalprice), 2) AS med_price,
+           round(avg(o_totalprice), 4) AS avg_price,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_median(spark, sf_dir):
+    """Exact median per group (interpolating percentile, matching
+    DuckDB's numeric median) alongside mean and count."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.median("o_totalprice"), 2).alias("med_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "locf_gap_fill",
+    """
+    SELECT event_id, user_id,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+    FROM (SELECT event_id, user_id, ts,
+                 CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+          FROM events)
+    """,
+)
+def q_locf(spark, sf_dir):
+    """Last-observation-carried-forward: error events' readings are
+    treated as missing and filled from the user's previous valid
+    reading (IGNORE NULLS running last_value) — the standard
+    time-series sensor-repair primitive, one window, no self-join."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(v, ignorenulls=True).over(w).alias("value_filled"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship entry query
 # ---------------------------------------------------------------------------
