@@ -45,6 +45,14 @@ BENCH_QUERIES = (
     "similarity_topk",
     "events_tumbling_1h",
     "events_sessions_30m",
+    "q4_order_priority_exists",
+    "q7_nation_trade_volume",
+    "q9_profit_by_nation_year",
+    "q13_order_count_distribution",
+    "q22_idle_rich_customers",
+    "grouping_sets_revenue",
+    "w6_trailing_7d_revenue",
+    "locf_gap_fill",
 )
 
 

@@ -2714,6 +2714,56 @@ def q_locf(spark, sf_dir):
     )
 
 
+@register(
+    "embedding_centroids",
+    """
+    SELECT label, i::INTEGER AS pos,
+           round(avg(embedding[i]::DOUBLE), 6) AS centroid_val
+    FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    GROUP BY 1, 2
+    """,
+)
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label centroid of the embedding vectors — the distributed
+    vector-mean at the core of IVF/k-means training, expressed
+    relationally (posexplode → groupBy(label, pos) → avg) so it scales
+    to any vector count with one shuffle and stays JVM-side. Elements
+    are widened to double BEFORE averaging so partition-order float
+    error stays ~1e-16 and the 6-decimal round is engine-stable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_val"))
+    )
+
+
+@register(
+    "embedding_norms",
+    """
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> x::DOUBLE * x::DOUBLE))), 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def q_embedding_norms(spark, sf_dir):
+    """Per-vector L2 norm via higher-order functions — pure map-side
+    expression (no explode, no shuffle), the normalization step every
+    cosine-similarity pipeline runs first. Elements widen to double
+    inside the fold so the sum is order-independent (F.aggregate folds
+    left-to-right on both engines: bit-identical)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return emb.select(
+        "vec_id", F.round(F.sqrt(sq_sum), 6).alias("l2_norm")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship entry query
 # ---------------------------------------------------------------------------
