@@ -29,6 +29,7 @@ from common_survey_data_pipeline_spark.operators.similarity import (
     signlsh_topk,
 )
 from common_survey_data_pipeline_spark.operators.stats import fuzzy_match_stats
+from common_survey_data_pipeline_spark.operators.timeseries import locf_fill
 from common_survey_data_pipeline_spark.operators.temporal_joins import (
     asof_join,
     interval_join,
@@ -61,4 +62,5 @@ __all__ = [
     "ivf_topk",
     "signlsh_topk",
     "embedding_neardup_pairs",
+    "locf_fill",
 ]

@@ -2700,18 +2700,14 @@ def q_locf(spark, sf_dir):
     treated as missing and filled from the user's previous valid
     reading (IGNORE NULLS running last_value) — the standard
     time-series sensor-repair primitive, one window, no self-join."""
+    from common_survey_data_pipeline_spark.operators.timeseries import locf_fill
+
     ev = _t(spark, sf_dir, "events")
     v = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled = locf_fill(
+        ev, v, partition_cols=["user_id"], order_cols=["ts", "event_id"]
     )
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.last(v, ignorenulls=True).over(w).alias("value_filled"),
-    )
+    return filled.select("event_id", "user_id", "value_filled")
 
 
 @register(

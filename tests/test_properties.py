@@ -129,3 +129,26 @@ def test_asof_equals_naive_model(spark, levents, revents):
         eligible = [(rh, v) for rh, v in revents if rh <= h]
         want = max(eligible)[1] if eligible else None
         assert got[i] == want
+
+
+@given(data=st.lists(
+    st.tuples(st.integers(0, 2),                       # series key
+              st.one_of(st.none(), st.integers(0, 99))),  # reading (None = gap)
+    min_size=1, max_size=10))
+@settings(**SETTINGS)
+def test_locf_fill_matches_sequential_model(spark, data):
+    from common_survey_data_pipeline_spark.operators.timeseries import locf_fill
+
+    rows = [(i, k, v) for i, (k, v) in enumerate(data)]
+    df = spark.createDataFrame(rows, "i long, k long, v long")
+    out = {
+        r["i"]: r["value_filled"]
+        for r in locf_fill(
+            df, "v", partition_cols=["k"], order_cols=["i"]
+        ).collect()
+    }
+    last_seen: dict[int, int | None] = {}
+    for i, (k, v) in enumerate(data):
+        if v is not None:
+            last_seen[k] = v
+        assert out[i] == last_seen.get(k)
