@@ -2760,6 +2760,47 @@ def q_embedding_norms(spark, sf_dir):
     )
 
 
+@register(
+    "events_hypertable_rollup",
+    """
+    SELECT date_trunc('day', ts)::TIMESTAMP AS day_bucket,
+           CASE WHEN grouping(date_trunc('hour', ts)) = 0
+                THEN date_trunc('hour', ts)::TIMESTAMP END AS hour_bucket,
+           grouping(date_trunc('hour', ts))::INTEGER + grouping(date_trunc('day', ts))::INTEGER AS lvl,
+           count(*) AS n_events,
+           round(sum(value::DECIMAL(10,2)), 2)::DOUBLE AS total_value
+    FROM events
+    GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
+    """,
+)
+def q_hypertable_rollup(spark, sf_dir):
+    """Hypertable-style multi-resolution time rollup: hourly, daily,
+    and grand-total aggregates of the event stream in ONE Expand-based
+    shuffle (rollup over the truncation hierarchy), instead of three
+    scans — the batch form of a continuous aggregate. lvl 0=hour,
+    1=day, 2=total."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    hour = F.date_trunc("hour", "ts")
+    b = ev.select(
+        day.alias("day_bucket"),
+        hour.alias("hour_bucket"),
+        F.col("value").cast("decimal(10,2)").alias("v"),
+    )
+    return (
+        b.rollup("day_bucket", "hour_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("v"), 2).cast("double").alias("total_value"),
+            (
+                F.grouping("hour_bucket").cast("int")
+                + F.grouping("day_bucket").cast("int")
+            ).alias("lvl"),
+        )
+        .select("day_bucket", "hour_bucket", "lvl", "n_events", "total_value")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship entry query
 # ---------------------------------------------------------------------------
