@@ -2824,6 +2824,60 @@ def q_hypertable_rollup(spark, sf_dir):
     )
 
 
+@register(
+    "q21_waiting_supplier",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name
+    """,
+)
+def q_q21(spark, sf_dir):
+    """TPC-H Q21 shape (adapted: 'late' = shipped >90 days after order
+    date): lineitems of the ONLY late supplier in a multi-supplier
+    order. The oracle keeps the correlated EXISTS/NOT-EXISTS form; the
+    Spark plan decorrelates both subqueries into ONE pass of per-order
+    aggregates — n_suppliers ≥ 2 ∧ n_late_suppliers = 1 — instead of
+    two self-joins of the fact table (at scale: two shuffles on
+    l_orderkey total, no O(rows²) correlation)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("interval 90 days"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    per_order = li.groupBy(F.col("l_orderkey").alias("__ok")).agg(
+        F.countDistinct("l_suppkey").alias("__n_supp")
+    )
+    late_per_order = late.groupBy(F.col("l_orderkey").alias("__lk")).agg(
+        F.countDistinct("l_suppkey").alias("__n_late")
+    )
+    qualifying = (
+        per_order.where(F.col("__n_supp") >= 2)
+        .join(late_per_order, F.col("__ok") == F.col("__lk"))
+        .where(F.col("__n_late") == 1)
+        .select("__ok")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        late.join(qualifying, late.l_orderkey == F.col("__ok"))
+        .join(F.broadcast(supp), late.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship entry query
 # ---------------------------------------------------------------------------
