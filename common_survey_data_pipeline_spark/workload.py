@@ -2878,6 +2878,79 @@ def q_q21(spark, sf_dir):
     )
 
 
+@register(
+    "q2_best_supplier_per_part",
+    """
+    WITH unit AS (SELECT l_partkey, l_suppkey,
+                         min(l_extendedprice / l_quantity) AS best
+                  FROM lineitem GROUP BY 1, 2)
+    SELECT u.l_partkey, u.l_suppkey, u.best AS best_price
+    FROM unit u
+    WHERE u.best = (SELECT min(u2.best) FROM unit u2
+                    WHERE u2.l_partkey = u.l_partkey)
+    """,
+)
+def q_q2(spark, sf_dir):
+    """TPC-H Q2 shape: the supplier(s) offering each part's minimum
+    unit price — correlated per-part min decorrelated into a window
+    min over the (part, supplier) aggregate: ONE extra shuffle on
+    l_partkey, no join-back. Per-row double division is deterministic
+    and min is order-independent, so the equality keeps ties
+    identically on both engines. best_price ships un-rounded: the
+    doubles are bit-identical across engines, while an explicit
+    round(double, 4) would diverge on .xxxx5 ties (Spark rounds the
+    shortest decimal repr, DuckDB the binary value)."""
+    li = _t(spark, sf_dir, "lineitem")
+    unit = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("best")
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        unit.withColumn("__best_all", F.min("best").over(w))
+        .where(F.col("best") == F.col("__best_all"))
+        .select("l_partkey", "l_suppkey", F.col("best").alias("best_price"))
+    )
+
+
+@register(
+    "q20_dominant_suppliers",
+    """
+    WITH sp AS (SELECT l_partkey, l_suppkey, sum(l_quantity::BIGINT) AS qty
+                FROM lineitem GROUP BY 1, 2),
+         tot AS (SELECT l_partkey, sum(qty) AS total, count(*) AS n_supp
+                 FROM sp GROUP BY 1)
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (SELECT sp.l_suppkey FROM sp
+                        JOIN tot ON sp.l_partkey = tot.l_partkey
+                        WHERE sp.qty * tot.n_supp > 3 * tot.total)
+    """,
+)
+def q_q20(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers shipping >3× a part's average
+    per-supplier volume — nested aggregation (per part-supplier, then
+    per part) feeding an IN-subquery → left-semi join. The share-vs-
+    average form is scale-stable (an absolute majority threshold goes
+    empty as supplier counts grow) and all-integer, so the comparison
+    is exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    sp = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("qty")
+    )
+    tot = sp.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum("qty").alias("total"), F.count(F.lit(1)).alias("n_supp")
+    )
+    dominant = (
+        sp.join(tot, sp.l_partkey == F.col("__pk"))
+        .where(F.col("qty") * F.col("n_supp") > 3 * F.col("total"))
+        .select("l_suppkey")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return supp.join(
+        dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
 # ---------------------------------------------------------------------------
 # Flagship entry query
 # ---------------------------------------------------------------------------
