@@ -114,6 +114,27 @@ def test_q16_not_in_is_broadcast_anti_join(run):
     assert "BroadcastHashJoin" in plan
 
 
+def test_q2_is_window_min_without_join_back(run):
+    # decorrelated per-part min: one Window over the aggregate, no
+    # second join of the unit-price table against itself
+    plan = plan_of(run("q2_best_supplier_per_part"))
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_in_subquery_is_semi_join(run):
+    plan = plan_of(run("q20_dominant_suppliers"))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_decorrelated_no_self_join_explosion(run):
+    plan = plan_of(run("q21_waiting_supplier"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_q19_part_filter_pushed_to_scan(run):
     # the implied brand/size disjunction must reach the part scan as a
     # pushed filter, not evaluate post-join
