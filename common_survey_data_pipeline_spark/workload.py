@@ -622,8 +622,11 @@ def q_q1(spark, sf_dir):
 
 @register(
     "q3_top_revenue_orders",
-    f"""
-    SELECT l_orderkey, round(sum({_DISC_PRICE_DEC}), 2)::DOUBLE AS revenue,
+    """
+    SELECT l_orderkey,
+           (((sum(round(l_extendedprice * 100)::BIGINT
+                  * round((1 - l_discount) * 100)::BIGINT) + 50) // 100)::DOUBLE)
+             / 100.0 AS revenue,
            o_orderdate, o_orderpriority
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
                     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -636,7 +639,10 @@ def q_q1(spark, sf_dir):
 )
 def q_q3(spark, sf_dir):
     """TPC-H Q3-style: selective dim filter broadcast into the fact
-    join, aggregate, top-k."""
+    join, aggregate, top-k. Revenue runs on the integer-cents fast
+    path (see q1): exact int64 arithmetic in the hot loop, integer
+    half-up rounding back to 2 decimals — engine-identical and on the
+    codegen fast path, unlike >18-digit decimal sums."""
     cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
@@ -644,15 +650,19 @@ def q_q3(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1999-01-01").cast("timestamp")
     )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    pct = F.round((F.lit(1.0) - F.col("l_discount")) * 100).cast("long")
     agg = (
         li.join(
             F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(F.sum(_disc_price_dec()), 2).cast("double").alias("revenue")
+        .agg(F.sum(cents * pct).alias("__s4"))
+        .withColumn(
+            "revenue", F.expr("cast((__s4 + 50) div 100 as double) / 100.0")
         )
+        .drop("__s4")
     )
     w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
     return (
