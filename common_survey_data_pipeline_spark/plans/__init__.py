@@ -1,0 +1,22 @@
+"""Plan-shape introspection: helpers for asserting the physical plans
+Catalyst produces (broadcast build sides, top-k strategy, pushdown)."""
+
+from .asserts import (
+    broadcast_scanned_tables,
+    broadcast_subtrees,
+    no_auto_broadcast,
+    operator_order,
+    plan_of,
+    scanned_tables,
+    subtree_of,
+)
+
+__all__ = [
+    "broadcast_scanned_tables",
+    "broadcast_subtrees",
+    "no_auto_broadcast",
+    "operator_order",
+    "plan_of",
+    "scanned_tables",
+    "subtree_of",
+]

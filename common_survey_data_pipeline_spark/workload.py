@@ -451,16 +451,20 @@ def q_w1(spark, sf_dir):
 )
 def q_o1(spark, sf_dir):
     """NULLS-LAST ordering materialized as a rank (SURVEY §2.6 O1 — R
-    arrange puts NA last; Spark's default is nulls-first)."""
+    arrange puts NA last; Spark's default is nulls-first).
+
+    Scale note: top-k is computed with ``orderBy().limit(k)``, which
+    compiles to TakeOrderedAndProject — a distributed partial top-k on
+    every partition followed by a k-row merge on the driver. The rank
+    is attached AFTER the limit, so the only Window in the plan runs
+    over k rows, never over the full fact table (a partition-less
+    Window funnels every row through one task)."""
     ev = _t(spark, sf_dir, "events")
     et = F.when(F.col("event_type") == "error", None).otherwise(F.col("event_type"))
-    w = Window.orderBy(F.col("et").asc_nulls_last(), F.col("event_id"))
-    return (
-        ev.select("event_id", et.alias("et"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 100)
-        .select("rn", "event_id", "et")
-    )
+    order = [F.col("et").asc_nulls_last(), F.col("event_id").asc()]
+    top = ev.select("event_id", et.alias("et")).orderBy(*order).limit(100)
+    w = Window.orderBy(*order)
+    return top.withColumn("rn", F.row_number().over(w)).select("rn", "event_id", "et")
 
 
 @register(
@@ -474,12 +478,18 @@ def q_o1(spark, sf_dir):
     """,
 )
 def q_topk(spark, sf_dir):
-    """Global top-k with deterministic tiebreak (SURVEY §2.6 O2)."""
+    """Global top-k with deterministic tiebreak (SURVEY §2.6 O2).
+
+    ``orderBy().limit(k)`` → TakeOrderedAndProject (each partition
+    keeps its own top k, driver merges k·P candidate rows) instead of
+    a partition-less row_number Window that would sort the whole fact
+    table through a single task. Rank attached post-limit (k rows)."""
     orders = _t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    order = [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()]
+    top = orders.select("o_orderkey", "o_totalprice").orderBy(*order).limit(10)
+    w = Window.orderBy(*order)
     return (
-        orders.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 10)
+        top.withColumn("rk", F.row_number().over(w))
         .select("o_orderkey", F.round("o_totalprice", 2).alias("total"), "rk")
     )
 
@@ -642,7 +652,14 @@ def q_q3(spark, sf_dir):
     join, aggregate, top-k. Revenue runs on the integer-cents fast
     path (see q1): exact int64 arithmetic in the hot loop, integer
     half-up rounding back to 2 decimals — engine-identical and on the
-    codegen fast path, unlike >18-digit decimal sums."""
+    codegen fast path, unlike >18-digit decimal sums.
+
+    Scale shape: only the segment-filtered CUSTOMER dim is broadcast;
+    lineitem ⋈ orders is the canonical fact-to-fact shuffle join (a
+    date-filtered orders is still fact-proportional — broadcasting it
+    OOMs at 100×; AQE may promote it at small SF, which is its call,
+    not a hard hint). Top-k via orderBy().limit() →
+    TakeOrderedAndProject, never a partition-less Window."""
     cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
@@ -654,7 +671,7 @@ def q_q3(spark, sf_dir):
     pct = F.round((F.lit(1.0) - F.col("l_discount")) * 100).cast("long")
     agg = (
         li.join(
-            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -664,10 +681,9 @@ def q_q3(spark, sf_dir):
         )
         .drop("__s4")
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
     return (
-        agg.withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") <= 10)
+        agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
     )
 
@@ -690,8 +706,13 @@ def q_q3(spark, sf_dir):
     """,
 )
 def q_q5(spark, sf_dir):
-    """TPC-H Q5-style star join: every dimension broadcast, the fact
-    table never shuffles before aggregation."""
+    """TPC-H Q5-style star join.
+
+    Scale shape: true dims (nation, region, supplier) broadcast; the
+    customer⋈dims frame and the date-filtered orders are
+    fact-proportional, so lineitem ⋈ orders ⋈ customer run as shuffle
+    joins on their keys (AQE promotes them to broadcast at small SF
+    when runtime stats allow — that is its call, not a hard hint)."""
     region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer")
@@ -707,8 +728,8 @@ def q_q5(spark, sf_dir):
         .select("c_custkey", "c_nationkey", "n_name")
     )
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(dims), F.col("o_custkey") == dims.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(dims, F.col("o_custkey") == dims.c_custkey)
         .join(
             F.broadcast(sup),
             (li.l_suppkey == sup.s_suppkey)
@@ -1769,7 +1790,12 @@ def q_q6(spark, sf_dir):
 )
 def q_q10(spark, sf_dir):
     """TPC-H Q10-style: returned-item revenue per customer, top 20 —
-    fact filtered early, dims broadcast."""
+    fact filtered early at the scan.
+
+    Scale shape: orders (date-filtered but still fact-proportional)
+    and customer join as shuffle joins; only the 25-row nation dim is
+    broadcast. Top-20 via orderBy().limit() → TakeOrderedAndProject
+    instead of a partition-less Window over the aggregate."""
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     orders = _t(spark, sf_dir, "orders").where(
@@ -1778,16 +1804,15 @@ def q_q10(spark, sf_dir):
     )
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     agg = (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.round(F.sum(_disc_price_dec()), 2).cast("double").alias("revenue"))
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
     return (
-        agg.withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") <= 20)
+        agg.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
         .select("c_custkey", "c_name", "revenue", "n_name")
     )
 
@@ -1902,14 +1927,19 @@ def q_scalar_subquery(spark, sf_dir):
     """,
 )
 def q_q12(spark, sf_dir):
-    """TPC-H Q12-style: join + CASE-bucketed conditional counts."""
-    orders = _t(spark, sf_dir, "orders")
+    """TPC-H Q12-style: join + CASE-bucketed conditional counts.
+
+    Scale shape: lineitem ⋈ orders is the canonical fact-to-fact
+    shuffle join — orders is ~lineitem/4 and unfiltered here, so a
+    broadcast hint would be a guaranteed OOM at 100×. Only the two
+    projected columns of orders reach the join (column pruning)."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     li = _t(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
     )
     is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_linestatus")
         .agg(
             F.count(F.when(is_high, 1)).alias("high_count"),
@@ -1963,8 +1993,12 @@ def q_q14(spark, sf_dir):
     """,
 )
 def q_q18(spark, sf_dir):
-    """TPC-H Q18-style: HAVING-filtered aggregate driving joins — the
-    tiny filtered side broadcasts into orders/customer."""
+    """TPC-H Q18-style: HAVING-filtered aggregate driving joins.
+
+    Scale shape: the >150-qty aggregate is data-dependent (usually
+    tiny, but not provably so) and customer is fact-proportional — no
+    hard broadcast hints; AQE promotes either side to broadcast at
+    runtime when its actual post-filter size allows."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
@@ -1974,8 +2008,8 @@ def q_q18(spark, sf_dir):
         .where(F.col("total_qty") > 150)
     )
     return (
-        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_name", "o_orderkey", "o_orderdate",
             F.round("total_qty", 2).alias("total_qty"),
@@ -2100,14 +2134,18 @@ def q_funnel(spark, sf_dir):
 )
 def q_cohort(spark, sf_dir):
     """Cohort retention: users grouped by first-seen week, activity
-    counted per week offset. The cohort dimension broadcasts back onto
-    the fact table."""
+    counted per week offset.
+
+    Scale shape: first_seen is one row PER USER — fact-proportional,
+    not a dimension, so it must not broadcast. The shuffle join on
+    user_id reuses the hash partitioning that the groupBy already
+    produced on the first_seen side."""
     ev = _t(spark, sf_dir, "events")
     first_seen = ev.groupBy("user_id").agg(
         F.date_trunc("WEEK", F.min("ts")).alias("cohort")
     )
     return (
-        ev.join(F.broadcast(first_seen), "user_id")
+        ev.join(first_seen, "user_id")
         .select(
             "user_id",
             "cohort",

@@ -9,11 +9,13 @@ from __future__ import annotations
 
 import pytest
 
+from common_survey_data_pipeline_spark.plans import (
+    broadcast_scanned_tables,
+    no_auto_broadcast,
+    operator_order,
+    plan_of,
+)
 from common_survey_data_pipeline_spark.workload import REGISTRY
-
-
-def plan_of(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
 
 
 @pytest.fixture(scope="module")
@@ -39,10 +41,13 @@ def test_column_pruning(run):
     assert "l_partkey" not in read_schema
 
 
-def test_star_join_broadcasts_all_dims(run):
+def test_star_join_broadcasts_dims_shuffles_facts(run):
+    # true dims (nation/region/supplier) broadcast; the fact-to-fact
+    # joins (lineitem ⋈ orders ⋈ customer) must NOT be forced to
+    # broadcast — at test SF AQE may promote them, so the real
+    # assertion is the hint-free one in test_no_fact_side_broadcast_hints
     plan = plan_of(run("q5_region_nation_revenue"))
     assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
 
 
@@ -133,6 +138,46 @@ def test_q21_decorrelated_no_self_join_explosion(run):
     plan = plan_of(run("q21_waiting_supplier"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_fact_side_broadcast_hints(spark, run):
+    # VERDICT r1 item 1: a BroadcastExchange built from a fact-scale
+    # scan (orders/lineitem/events, or frames derived from them) is a
+    # guaranteed OOM at 100×. With size-based broadcast selection
+    # disabled, any BroadcastExchange left is hint-driven — assert no
+    # hint ships a fact-table scan to the executors.
+    fact_tables = {"orders", "lineitem", "events"}
+    with no_auto_broadcast(spark):
+        for name in (
+            "q3_top_revenue_orders",
+            "q5_region_nation_revenue",
+            "q10_returned_revenue",
+            "q12_priority_by_status",
+            "q18_large_orders",
+            "cohort_retention",
+            "topk_orders",
+            "o1_sort_nulls_last",
+        ):
+            plan = plan_of(run(name))
+            shipped = broadcast_scanned_tables(plan) & fact_tables
+            assert not shipped, f"{name} broadcasts fact scan(s): {shipped}"
+
+
+def test_topk_is_take_ordered_not_global_window(spark, run):
+    # VERDICT r1 item 2: global top-k must compile to
+    # TakeOrderedAndProject (distributed per-partition top-k), never a
+    # partition-less row_number Window that funnels the full table
+    # through one task. Where a rank column is part of the contract,
+    # the Window must sit ABOVE the limit (k rows), i.e. print before
+    # TakeOrderedAndProject in the top-down plan text.
+    for name in ("topk_orders", "o1_sort_nulls_last"):
+        plan = plan_of(run(name))
+        assert "TakeOrderedAndProject" in plan, name
+        assert operator_order(plan, "Window", "TakeOrderedAndProject"), name
+    for name in ("q3_top_revenue_orders", "q10_returned_revenue"):
+        plan = plan_of(run(name))
+        assert "TakeOrderedAndProject" in plan, name
+        assert "Window" not in plan, name
 
 
 def test_q19_part_filter_pushed_to_scan(run):
