@@ -2,6 +2,7 @@
 Catalyst produces (broadcast build sides, top-k strategy, pushdown)."""
 
 from .asserts import (
+    broadcast_scan_tables,
     broadcast_scanned_tables,
     broadcast_subtrees,
     no_auto_broadcast,
@@ -12,6 +13,7 @@ from .asserts import (
 )
 
 __all__ = [
+    "broadcast_scan_tables",
     "broadcast_scanned_tables",
     "broadcast_subtrees",
     "no_auto_broadcast",

@@ -23,6 +23,7 @@ __all__ = [
     "subtree_of",
     "broadcast_subtrees",
     "broadcast_scanned_tables",
+    "broadcast_scan_tables",
     "scanned_tables",
     "no_auto_broadcast",
     "operator_order",
@@ -110,6 +111,52 @@ def broadcast_scanned_tables(plan: str) -> set[str]:
     out: set[str] = set()
     for sub in broadcast_subtrees(plan):
         out |= scanned_tables(sub)
+    return out
+
+
+# Operators whose output size is bounded by something other than their
+# input size: an aggregate's output is bounded by group cardinality, a
+# limit/top-k by k. A scan BELOW one of these feeding a BroadcastExchange
+# is fine — the broadcast payload is the reduced frame, not the scan.
+_SIZE_BARRIERS = (
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "TakeOrderedAndProject",
+    "CollectLimit",
+    "GlobalLimit",
+    "LocalLimit",
+)
+
+
+def broadcast_scan_tables(plan: str) -> set[str]:
+    """Tables whose RAW (un-reduced) scan feeds a BroadcastExchange —
+    i.e. the broadcast payload scales with the table itself. Unlike
+    :func:`broadcast_scanned_tables`, descent stops at size barriers
+    (aggregates / limits): ``BroadcastExchange ← HashAggregate ← scan``
+    broadcasts grouped rows, which stay small no matter the SF, while
+    ``BroadcastExchange ← Filter ← scan`` broadcasts a constant
+    FRACTION of the table and OOMs at 100×."""
+    out: set[str] = set()
+    for sub in broadcast_subtrees(plan):
+        barrier_depth = None
+        kept: list[str] = []
+        for line in sub:
+            d = _depth(line)
+            if d == -1:
+                # metadata/continuation line: belongs to the operator
+                # above it, so it shares that operator's barrier state
+                if barrier_depth is None:
+                    kept.append(line)
+                continue
+            if barrier_depth is not None and d > barrier_depth:
+                continue  # still under the barrier subtree
+            barrier_depth = None
+            if any(b in line for b in _SIZE_BARRIERS):
+                barrier_depth = d
+                continue
+            kept.append(line)
+        out |= scanned_tables(kept)
     return out
 
 

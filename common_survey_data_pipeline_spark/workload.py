@@ -309,7 +309,11 @@ def q_j2(spark, sf_dir):
 )
 def q_j3(spark, sf_dir):
     """Coalescing left join — x wins when non-null (SURVEY §2.3 J3;
-    varinfo-update.R:67-90)."""
+    varinfo-update.R:67-90). The delta side here is a customer-
+    proportional slice (every 3rd key), so it is NOT hint-broadcast —
+    ``broadcast_right=True`` is reserved for genuinely small deltas
+    (the reference's per-administration codebook updates); AQE promotes
+    this one at runtime where it fits."""
     cust = _t(spark, sf_dir, "customer")
     x = cust.select(
         "c_custkey",
@@ -321,7 +325,7 @@ def q_j3(spark, sf_dir):
     y = cust.where(F.col("c_custkey") % 3 == 0).select(
         "c_custkey", F.lit("RECOVERED").alias("segment")
     )
-    return coalesce_left_join(x, y, "c_custkey", broadcast_right=True)
+    return coalesce_left_join(x, y, "c_custkey")
 
 
 @register(
@@ -654,12 +658,13 @@ def q_q3(spark, sf_dir):
     half-up rounding back to 2 decimals — engine-identical and on the
     codegen fast path, unlike >18-digit decimal sums.
 
-    Scale shape: only the segment-filtered CUSTOMER dim is broadcast;
-    lineitem ⋈ orders is the canonical fact-to-fact shuffle join (a
-    date-filtered orders is still fact-proportional — broadcasting it
-    OOMs at 100×; AQE may promote it at small SF, which is its call,
-    not a hard hint). Top-k via orderBy().limit() →
-    TakeOrderedAndProject, never a partition-less Window."""
+    Scale shape: NO broadcast hints on sf-scaled scans — the
+    segment-filtered customer is still a constant FRACTION of a
+    fact-proportional table (multi-GB at 100×), so customer ⋈ orders
+    and lineitem ⋈ orders run as shuffle joins on their keys; AQE
+    promotes either side to broadcast at runtime when stats allow.
+    Top-k via orderBy().limit() → TakeOrderedAndProject, never a
+    partition-less Window."""
     cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
@@ -671,7 +676,7 @@ def q_q3(spark, sf_dir):
     pct = F.round((F.lit(1.0) - F.col("l_discount")) * 100).cast("long")
     agg = (
         li.join(
-            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            orders.join(cust, orders.o_custkey == cust.c_custkey),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -708,11 +713,12 @@ def q_q3(spark, sf_dir):
 def q_q5(spark, sf_dir):
     """TPC-H Q5-style star join.
 
-    Scale shape: true dims (nation, region, supplier) broadcast; the
-    customer⋈dims frame and the date-filtered orders are
-    fact-proportional, so lineitem ⋈ orders ⋈ customer run as shuffle
-    joins on their keys (AQE promotes them to broadcast at small SF
-    when runtime stats allow — that is its call, not a hard hint)."""
+    Scale shape: only the constant-size dims (nation 25 rows, region
+    5 rows) carry broadcast hints. customer and supplier are sf-scaled
+    (SF×150k / SF×10k rows — multi-GB at 100×), so every join touching
+    them runs as a shuffle join on its key; AQE promotes a side to
+    broadcast at runtime when stats allow — that is its call, not a
+    hard hint."""
     region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer")
@@ -731,7 +737,7 @@ def q_q5(spark, sf_dir):
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(dims, F.col("o_custkey") == dims.c_custkey)
         .join(
-            F.broadcast(sup),
+            sup,
             (li.l_suppkey == sup.s_suppkey)
             & (sup.s_nationkey == F.col("c_nationkey")),
         )
@@ -1959,8 +1965,10 @@ def q_q12(spark, sf_dir):
     """,
 )
 def q_q14(spark, sf_dir):
-    """TPC-H Q14-style promo revenue share: broadcast dim join + ratio
-    of conditional sums (decimal-exact)."""
+    """TPC-H Q14-style promo revenue share: ratio of conditional sums
+    (decimal-exact). part is sf-scaled (SF×200k rows), so the join is
+    an unhinted shuffle join — AQE promotes part to broadcast at small
+    SF where it fits."""
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
     li = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
@@ -1968,7 +1976,7 @@ def q_q14(spark, sf_dir):
     )
     disc = _disc_price_dec()
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 F.lit(100.0)
@@ -2285,8 +2293,10 @@ def q_q4(spark, sf_dir):
 def q_q7(spark, sf_dir):
     """TPC-H Q7 shape: bilateral trade volume between two nations per
     year. The nation filter is applied to BOTH dims before joining the
-    facts, so supplier/customer shrink first and every join side that
-    reaches lineitem/orders is broadcastable."""
+    facts, so supplier/customer shrink first — but a 2-of-25-nations
+    slice is still a constant FRACTION of sf-scaled tables, so neither
+    carries a broadcast hint; only the 25-row nation dim does. AQE
+    promotes the filtered sides at runtime when they fit."""
     pair = ("NATION_3", "NATION_7")
     nat = _t(spark, sf_dir, "nation").where(F.col("n_name").isin(*pair))
     supp = (
@@ -2302,9 +2312,9 @@ def q_q7(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .where(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
             "supp_nation",
@@ -2336,9 +2346,12 @@ def q_q7(spark, sf_dir):
 )
 def q_q8(spark, sf_dir):
     """TPC-H Q8 shape: one nation's share of a region's revenue per
-    year. Region+part filters shrink the dims first; both decimal sums
-    convert to double only at the final ratio, so the boundary is
-    engine-deterministic."""
+    year. Region+part filters shrink the sides first, but customer /
+    supplier / part are all sf-scaled, so none carries a broadcast
+    hint (a region or p_type slice is a constant fraction — multi-GB
+    at 100×); only frames derived purely from nation⋈region (≤25
+    rows) are hinted. Both decimal sums convert to double only at the
+    final ratio, so the boundary is engine-deterministic."""
     region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     nat = _t(spark, sf_dir, "nation")
     cust_nat = nat.join(
@@ -2359,10 +2372,10 @@ def q_q8(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     disc = _disc_price_dec()
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(F.year("l_shipdate").cast("int").alias("l_year"))
         .agg(
             F.round(
@@ -2397,7 +2410,9 @@ def q_q9(spark, sf_dir):
     """TPC-H Q9 shape: profit (revenue minus a cost proxy, all decimal
     so the sum is exact) per supplier nation and year, with a LIKE
     filter on part names. quantity*0.5 has exactly one decimal digit,
-    so the double→decimal(8,1) cast is tie-free on both engines."""
+    so the double→decimal(8,1) cast is tie-free on both engines.
+    part/supplier are sf-scaled, so their joins are unhinted shuffle
+    joins (AQE promotes at runtime); only nation is hint-broadcast."""
     part = _t(spark, sf_dir, "part").where(F.col("p_name").like("%widget%")).select(
         "p_partkey", "p_retailprice"
     )
@@ -2412,8 +2427,8 @@ def q_q9(spark, sf_dir):
         F.col("l_quantity") * F.lit(0.5)
     ).cast("decimal(8,1)")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .groupBy("nation", F.year("l_shipdate").cast("int").alias("l_year"))
         .agg(
             F.round(F.sum(_disc_price_dec() - cost), 2).cast("double").alias("profit")
@@ -2494,8 +2509,10 @@ def q_q13(spark, sf_dir):
 def q_q15(spark, sf_dir):
     """TPC-H Q15: supplier(s) achieving the maximum quarterly revenue.
     The revenue CTE is computed once and reused for both the max scalar
-    and the final join (decimal-exact equality); supplier is a
-    broadcast dim."""
+    and the final join (decimal-exact equality). Scale shape: supplier
+    is sf-scaled, so it gets NO hint — instead the max-filtered revenue
+    frame (an aggregate filtered to its own max: a handful of rows,
+    bounded regardless of SF) is the broadcast build side."""
     li = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
@@ -2503,10 +2520,11 @@ def q_q15(spark, sf_dir):
     rev = li.groupBy("l_suppkey").agg(F.sum(_disc_price_dec()).alias("total_rev"))
     max_rev = rev.agg(F.max("total_rev").alias("__max"))
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    best = rev.crossJoin(F.broadcast(max_rev)).where(
+        F.col("total_rev") == F.col("__max")
+    )
     return (
-        rev.crossJoin(F.broadcast(max_rev))
-        .where(F.col("total_rev") == F.col("__max"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        supp.join(F.broadcast(best), F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_suppkey", "s_name", F.round("total_rev", 2).cast("double").alias("total_rev"))
     )
 
@@ -2523,8 +2541,10 @@ def q_q15(spark, sf_dir):
 )
 def q_q16(spark, sf_dir):
     """TPC-H Q16 shape: distinct-supplier counts per part group with a
-    NOT IN exclusion list → broadcast left-anti join (the excluded-key
-    set is tiny and non-null, so anti-join ≡ NOT IN here)."""
+    NOT IN exclusion list → left-anti join (the excluded-key set is
+    non-null, so anti-join ≡ NOT IN here). Scale shape: part and the
+    acctbal-filtered supplier slice are both sf-scaled, so neither is
+    hint-broadcast — AQE promotes them at runtime where they fit."""
     part = _t(spark, sf_dir, "part").where(F.col("p_size").isin(1, 5, 9, 13)).select(
         "p_partkey", "p_brand", "p_type", "p_size"
     )
@@ -2533,8 +2553,8 @@ def q_q16(spark, sf_dir):
     )
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -2561,7 +2581,7 @@ def q_q17(spark, sf_dir):
         F.avg("l_quantity").alias("__avg_qty")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(per_part_avg, li.l_partkey == F.col("__pk"))
         .where(F.col("l_quantity") < 0.4 * F.col("__avg_qty"))
         .agg(
@@ -2589,7 +2609,9 @@ def q_q19(spark, sf_dir):
     """TPC-H Q19: disjunction of conjunctive band predicates across
     both join sides. The brand/size disjunction is pre-applied to part
     (a valid implied filter Catalyst also derives) so only candidate
-    parts broadcast; the full OR stays as the residual."""
+    parts reach the join; part is sf-scaled so the join is unhinted
+    (AQE promotes the filtered side at runtime where it fits) and the
+    full OR stays as the residual."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").where(
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15))
@@ -2606,7 +2628,7 @@ def q_q19(spark, sf_dir):
         & F.col("l_quantity").between(10, 40)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .where(branch1 | branch2)
         .agg(F.round(F.sum(_disc_price_dec()), 2).cast("double").alias("revenue"))
     )
@@ -2716,7 +2738,7 @@ def q_w6_range_frame(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     daily = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy("n_name", F.to_date("o_orderdate").alias("day"))
         .agg(F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("day_rev"))
@@ -2920,7 +2942,7 @@ def q_q21(spark, sf_dir):
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         late.join(qualifying, late.l_orderkey == F.col("__ok"))
-        .join(F.broadcast(supp), late.l_suppkey == supp.s_suppkey)
+        .join(supp, late.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

@@ -9,11 +9,14 @@ from __future__ import annotations
 
 import pytest
 
+import re
+
 from common_survey_data_pipeline_spark.plans import (
-    broadcast_scanned_tables,
+    broadcast_scan_tables,
     no_auto_broadcast,
     operator_order,
     plan_of,
+    scanned_tables,
 )
 from common_survey_data_pipeline_spark.workload import REGISTRY
 
@@ -80,8 +83,9 @@ def test_no_python_row_udfs_on_reference_path(run):
 def test_asof_join_is_single_shuffle_window(run):
     plan = plan_of(run("j6_asof_join"))
     # union-then-window: a Window over the union, no join of the two
-    # inputs and certainly no range/nested-loop explosion
-    assert "Window" in plan
+    # inputs and certainly no range/nested-loop explosion ("Window ["
+    # = the Window exec node, not WindowGroupLimit)
+    assert "Window [" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
@@ -123,7 +127,7 @@ def test_q2_is_window_min_without_join_back(run):
     # decorrelated per-part min: one Window over the aggregate, no
     # second join of the unit-price table against itself
     plan = plan_of(run("q2_best_supplier_per_part"))
-    assert "Window" in plan
+    assert "Window [" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
 
@@ -140,27 +144,62 @@ def test_q21_decorrelated_no_self_join_explosion(run):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+# Every sf-scaled table in the schema: anything here grows linearly with
+# the data, so broadcasting its raw (even filtered) scan is a guaranteed
+# OOM at 100×. Only nation (25 rows) and region (5 rows) are constant.
+SF_SCALED_TABLES = {
+    "customer",
+    "part",
+    "supplier",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+}
+
+# Queries whose plan may legitimately show an sf-scaled scan under a
+# BroadcastExchange with NO aggregate/limit barrier. Every entry needs a
+# documented reason; an UNFILTERED sf-scaled scan is never allowed.
+_FIVE_QUERY_VECTORS = (
+    "query set = embeddings filtered to 5 literal key points (vec_id < 5):"
+    " bounded by the predicate's key count, not a fraction of the table —"
+    " the ANN contract requires the query set to fit in executor RAM"
+)
+BROADCAST_ALLOWLIST: dict[str, str] = {
+    "similarity_topk": _FIVE_QUERY_VECTORS,
+    "similarity_signlsh": _FIVE_QUERY_VECTORS,
+    "similarity_ivf": _FIVE_QUERY_VECTORS,
+}
+
+
 def test_no_fact_side_broadcast_hints(spark, run):
-    # VERDICT r1 item 1: a BroadcastExchange built from a fact-scale
-    # scan (orders/lineitem/events, or frames derived from them) is a
-    # guaranteed OOM at 100×. With size-based broadcast selection
-    # disabled, any BroadcastExchange left is hint-driven — assert no
-    # hint ships a fact-table scan to the executors.
-    fact_tables = {"orders", "lineitem", "events"}
+    # VERDICT r1 item 1 / r2 item 1: a BroadcastExchange built from a
+    # raw sf-scaled scan (filtered or not) OOMs at 100×. With
+    # size-based broadcast selection disabled, any BroadcastExchange
+    # left is hint-driven — assert no hint ships an un-reduced
+    # sf-scaled scan to the executors, over the ENTIRE registry.
+    # Scans under an aggregate/limit barrier are exempt (the broadcast
+    # payload is the reduced frame — see broadcast_scan_tables).
     with no_auto_broadcast(spark):
-        for name in (
-            "q3_top_revenue_orders",
-            "q5_region_nation_revenue",
-            "q10_returned_revenue",
-            "q12_priority_by_status",
-            "q18_large_orders",
-            "cohort_retention",
-            "topk_orders",
-            "o1_sort_nulls_last",
-        ):
+        violations = {}
+        for name in REGISTRY:
+            if name in BROADCAST_ALLOWLIST:
+                continue
             plan = plan_of(run(name))
-            shipped = broadcast_scanned_tables(plan) & fact_tables
-            assert not shipped, f"{name} broadcasts fact scan(s): {shipped}"
+            # ADVICE r2: Spark truncates long plan metadata; an empty
+            # scan set would make this test pass vacuously. Every
+            # registry query reads at least one source table — unless
+            # its lineage is deliberately cut (localCheckpoint /
+            # cache), in which case no FileScan can appear at all.
+            lineage_cut = "ExistingRDD" in plan or "InMemoryTableScan" in plan
+            assert lineage_cut or scanned_tables(plan.splitlines()), (
+                f"{name}: no scans parsed"
+            )
+            shipped = broadcast_scan_tables(plan) & SF_SCALED_TABLES
+            if shipped:
+                violations[name] = shipped
+        assert not violations, f"sf-scaled scans broadcast: {violations}"
 
 
 def test_topk_is_take_ordered_not_global_window(spark, run):
@@ -170,14 +209,17 @@ def test_topk_is_take_ordered_not_global_window(spark, run):
     # through one task. Where a rank column is part of the contract,
     # the Window must sit ABOVE the limit (k rows), i.e. print before
     # TakeOrderedAndProject in the top-down plan text.
+    # "Window [" matches the Window exec node's render ("Window [spec...")
+    # and not WindowGroupLimit, which Spark 3.5+ inserts for rank-limit
+    # pushdown and which a bare "Window" substring would confuse.
     for name in ("topk_orders", "o1_sort_nulls_last"):
         plan = plan_of(run(name))
         assert "TakeOrderedAndProject" in plan, name
-        assert operator_order(plan, "Window", "TakeOrderedAndProject"), name
+        assert operator_order(plan, "Window [", "TakeOrderedAndProject"), name
     for name in ("q3_top_revenue_orders", "q10_returned_revenue"):
         plan = plan_of(run(name))
         assert "TakeOrderedAndProject" in plan, name
-        assert "Window" not in plan, name
+        assert "Window [" not in plan, name
 
 
 def test_q19_part_filter_pushed_to_scan(run):
