@@ -27,6 +27,13 @@ _DEFAULT_CONF: dict[str, str] = {
     # make it explicit — this is the knob to retune at 100 TB).
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",
+    # Loud-overflow guard for the integer-cents money path (q1/q3):
+    # per-row products are bounded by ~1e11, so int64 sums can wrap past
+    # ~9e7 rows per group at extreme scale. ANSI mode (Spark 4.x default,
+    # pinned here so a cluster-side conf can't silently disable it) turns
+    # that wrap into ARITHMETIC_OVERFLOW — a failed job, never a silently
+    # wrong total. tests/test_overflow_canary.py proves the behavior.
+    "spark.sql.ansi.enabled": "true",
 }
 
 

@@ -604,7 +604,10 @@ def q_q1(spark, sf_dir):
     identical by construction on both engines — no double-round ties.
     Headroom: ≤1e11 per row → int64 overflows past ~9e7 rows per
     group×1e11; at that scale split the sum into two columns or fall
-    back to _DISC_PRICE_DEC decimals."""
+    back to _DISC_PRICE_DEC decimals. The session pins
+    spark.sql.ansi.enabled=true (session.py) so crossing that bound
+    raises ARITHMETIC_OVERFLOW instead of silently wrapping —
+    tests/test_overflow_canary.py proves it."""
     li = _t(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     pct = F.round((F.lit(1.0) - F.col("l_discount")) * 100).cast("long")
@@ -1616,15 +1619,37 @@ def q_a5(spark, sf_dir):
     )
 
 
-@register("a6_approx_count_distinct", None)  # HLL sketch impls differ → rows-only
+@register(
+    "a6_approx_count_distinct",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           (abs(approx_count_distinct(user_id)::DOUBLE
+                / count(DISTINCT user_id) - 1) < 0.05) AS approx_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def q_a6(spark, sf_dir):
     """HyperLogLog++ distinct-count sketch per event type — the
     100 TB-scale substitute for exact COUNT(DISTINCT) (single pass, no
-    per-key state explosion). Sketch estimates are implementation-
-    specific, so the oracle check is rows-only."""
+    per-key state explosion). Raw sketch estimates are implementation-
+    specific, so the CONTRACT each engine exports is (a) the exact
+    distinct count — identical by definition — and (b) a boolean that
+    its own sketch lands within 5% relative error of that exact count
+    (Spark HLL++ at rsd=1%, DuckDB HLL). Hash-comparable without
+    pinning either engine's sketch internals; at 100 TB you'd drop the
+    exact column and keep only the sketch."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=0.01).cast("double")
+                / F.count_distinct("user_id")
+                - 1
+            )
+            < 0.05
+        ).alias("approx_ok"),
     )
 
 
