@@ -27,6 +27,7 @@ __all__ = [
     "scanned_tables",
     "no_auto_broadcast",
     "operator_order",
+    "partitionless_windows",
 ]
 
 _MARKER = re.compile(r"[+:]- ")
@@ -181,6 +182,33 @@ def no_auto_broadcast(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def partitionless_windows(plan: str) -> list[str]:
+    """The ``Window`` operator lines that have NO partition spec — the
+    every-row-through-one-task shape ("No Partition Defined for Window
+    operation"). A Window exec node prints its argument lists as
+    top-level bracket groups after ``Window ``: three for a partitioned
+    window (functions, partition spec, order spec), two for an
+    unpartitioned one. Harmless only when the input is already bounded
+    (e.g. above a TakeOrderedAndProject); callers allowlist those."""
+    out = []
+    for line in plan.splitlines():
+        m = re.search(r"\bWindow \[", line)
+        if not m:
+            continue
+        depth = 0
+        groups = 0
+        for ch in line[m.end() - 1 :]:
+            if ch == "[":
+                if depth == 0:
+                    groups += 1
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+        if groups < 3:
+            out.append(line)
+    return out
 
 
 def operator_order(plan: str, *needles: str) -> bool:

@@ -36,6 +36,7 @@ from common_survey_data_pipeline_spark.operators.temporal_joins import (
     interval_join,
     salted_join,
 )
+from common_survey_data_pipeline_spark.operators.ranking import global_ntile
 from common_survey_data_pipeline_spark.operators.multimodal import (
     attach_binary_payload,
     decode_images,
@@ -2205,12 +2206,20 @@ def q_cohort(spark, sf_dir):
 )
 def q_ntile(spark, sf_dir):
     """Quantile bucketing (ntile) for stratified sampling: customers
-    into spend quartiles with per-bucket ranges."""
+    into spend quartiles with per-bucket ranges.
+
+    Scale shape: ``ntile(4) OVER (ORDER BY ...)`` as a partition-less
+    Window funnels every customer through ONE task. ``global_ntile``
+    (operators/ranking.py) keeps SQL-exact semantics but computes the
+    bucket from a range-partitioned distributed row number — one range
+    shuffle, no single-task stage."""
     orders = _t(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spend"))
-    w = Window.orderBy(F.col("spend"), F.col("o_custkey"))
+    bucketed = global_ntile(
+        spend, [F.col("spend"), F.col("o_custkey")], 4, name="quartile"
+    )
     return (
-        spend.withColumn("quartile", F.ntile(4).over(w).cast("int"))
+        bucketed
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),

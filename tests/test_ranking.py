@@ -1,0 +1,86 @@
+"""Distributed global ranking (operators/ranking.py): SQL-exact ntile /
+row_number semantics without a partition-less Window, plus the plan
+proof that the registry's ntile query really lost its single-task stage.
+"""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from common_survey_data_pipeline_spark.operators.ranking import (
+    global_ntile,
+    global_row_number,
+)
+from common_survey_data_pipeline_spark.plans.asserts import (
+    partitionless_windows,
+    plan_of,
+)
+from common_survey_data_pipeline_spark.workload import REGISTRY
+
+
+def _window_reference(df, order, k):
+    """Spark's own single-task ntile as the semantics oracle."""
+    w = Window.orderBy(*order)
+    return {
+        (r["id"], r["b"])
+        for r in df.withColumn("b", F.ntile(k).over(w)).select("id", "b").collect()
+    }
+
+
+@pytest.mark.parametrize("n,k", [(17, 4), (16, 4), (3, 5), (1, 2), (100, 7)])
+def test_global_ntile_matches_sql_semantics(spark, n, k):
+    # ids shuffled via a hash so range partitioning actually reorders
+    df = (
+        spark.range(n)
+        .select(F.col("id"), F.xxhash64("id").alias("key"))
+        .repartition(4)
+    )
+    got = {
+        (r["id"], r["bucket"])
+        for r in global_ntile(df, [F.col("key"), F.col("id")], k)
+        .select("id", "bucket")
+        .collect()
+    }
+    want = _window_reference(df, [F.col("key"), F.col("id")], k)
+    assert got == want
+
+
+def test_global_row_number_matches_window(spark):
+    df = spark.range(250).select(
+        F.col("id"), (F.col("id") % 13).alias("key")
+    ).repartition(5)
+    order = [F.col("key").asc(), F.col("id").asc()]
+    got = {
+        (r["id"], r["rn"])
+        for r in global_row_number(df, order).select("id", "rn").collect()
+    }
+    w = Window.orderBy(*order)
+    want = {
+        (r["id"], r["rn"])
+        for r in df.withColumn("rn", F.row_number().over(w).cast("long"))
+        .select("id", "rn")
+        .collect()
+    }
+    assert got == want
+
+
+def test_global_ntile_empty_input(spark):
+    df = spark.range(0).select(F.col("id"))
+    assert global_ntile(df, ["id"], 4).count() == 0
+
+
+def test_registry_ntile_has_no_partitionless_window(spark, sf_dir):
+    df = REGISTRY["ntile_spend_quartiles"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    offenders = partitionless_windows(plan)
+    assert offenders == [], f"single-task Window in ntile plan: {offenders}"
+
+
+def test_partitionless_window_detector(spark):
+    df = spark.range(10)
+    global_w = df.withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    assert len(partitionless_windows(plan_of(global_w))) == 1
+    part_w = df.withColumn(
+        "rn", F.row_number().over(Window.partitionBy(F.col("id") % 2).orderBy("id"))
+    )
+    assert partitionless_windows(plan_of(part_w)) == []
