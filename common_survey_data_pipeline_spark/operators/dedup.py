@@ -321,7 +321,17 @@ def neardup_clusters(
     state, checkpointing to cut lineage growth.
 
     Output: (doc_id, cluster_id) for every id appearing in ``pairs``.
+
+    Convergence is checked every round (count of changed labels); if
+    ``max_iter`` rounds pass with labels still moving, the result would
+    silently contain SPLIT clusters (one real cluster under several
+    labels), so a ``RuntimeWarning`` is raised naming the residual
+    changed-label count — callers either raise ``max_iter`` or treat
+    the warning as a data-quality signal (a near-dup graph with
+    diameter > 20 usually means a degenerate shingle, not real text).
     """
+    import warnings
+
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -334,6 +344,7 @@ def neardup_clusters(
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )
+    changed = None  # labels-changed count of the last completed round
     for i in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -361,6 +372,14 @@ def neardup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        warnings.warn(
+            f"neardup_clusters: label propagation did not converge in "
+            f"{max_iter} rounds ({changed} labels still changing) — "
+            f"clusters may be split; raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

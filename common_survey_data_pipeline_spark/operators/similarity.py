@@ -167,6 +167,41 @@ def _cosine_topk_matmul(
     )
 
 
+def recall_vs_exact(
+    ann: DataFrame,
+    exact: DataFrame,
+    k: int,
+    min_recall: float = 0.9,
+) -> DataFrame:
+    """Per-query recall contract of an approximate top-k result against
+    the exact one. Both inputs carry (query_id, vec_id, ...) rows.
+
+    Output: (query_id, found_k INT, recall_ok BOOLEAN) where ``found_k``
+    is how many neighbors the ANN index returned and ``recall_ok`` is
+    ``|ann ∩ exact| / k >= min_recall``. This is the harness every ANN
+    query in the registry exports: instead of "returned 50 rows", the
+    driver's value-hash pins "full k found AND recall ≥ min_recall" per
+    query. The exact side is a full corpus scan — the verification cost,
+    paid on a query SAMPLE at 100 TB, never on the whole query log.
+    """
+    hits = ann.select("query_id", "vec_id").join(
+        exact.select("query_id", "vec_id"), ["query_id", "vec_id"]
+    )
+    found = ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("found_k"))
+    hit_n = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("__hits"))
+    return (
+        found.join(hit_n, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("found_k").cast("int").alias("found_k"),
+            (
+                F.coalesce(F.col("__hits"), F.lit(0)) / F.lit(float(k))
+                >= min_recall
+            ).alias("recall_ok"),
+        )
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return np.random.RandomState(seed).standard_normal((n_planes, dim))
 

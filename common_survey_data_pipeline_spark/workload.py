@@ -47,6 +47,7 @@ from common_survey_data_pipeline_spark.operators.similarity import (
     cosine_topk,
     embedding_neardup_pairs,
     ivf_topk,
+    recall_vs_exact,
     signlsh_topk,
 )
 from common_survey_data_pipeline_spark.sources.tables import load_table
@@ -1077,25 +1078,48 @@ def q_sim_topk(spark, sf_dir):
     return cosine_topk(emb, queries, k=10)
 
 
-@register("similarity_signlsh", None)  # hyperplane literals → rows-only
+_ANN_ORACLE = """
+    SELECT q.vec_id AS query_id, 10 AS found_k, TRUE AS recall_ok
+    FROM embeddings q WHERE q.vec_id < 5
+"""
+
+
+@register("similarity_signlsh", _ANN_ORACLE)
 def q_sim_lsh(spark, sf_dir):
-    """Approximate top-10 via sign-LSH multiprobe buckets."""
+    """Approximate top-10 via sign-LSH multiprobe buckets, exported as a
+    RECALL CONTRACT: per query, (found_k, recall_ok) with recall_ok =
+    |lsh_top10 ∩ exact_top10| / 10 ≥ 0.9. The oracle pins found_k = 10
+    and recall_ok = TRUE for every query — the Spark side computes both
+    for real (exact side = full-scan cosine_topk), so an index
+    regression (sparser buckets, lost neighbors) breaks the value hash
+    instead of hiding behind a rows-only check. 8 tables × 4-bit
+    multiprobe gives deterministic per-query recall 1.0 on this corpus
+    (seeded hyperplanes)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return signlsh_topk(emb, queries, k=10)
+    ann = signlsh_topk(emb, queries, k=10, n_tables=8)
+    exact = cosine_topk(emb, queries, k=10)
+    return recall_vs_exact(ann, exact, k=10, min_recall=0.9)
 
 
-@register("similarity_ivf", None)  # KMeans cells → approximate, rows-only
+@register("similarity_ivf", _ANN_ORACLE)
 def q_sim_ivf(spark, sf_dir):
-    """Approximate top-10 via an IVF index (KMeans coarse quantizer,
-    4-of-16 cell probing)."""
+    """Approximate top-10 via an IVF index (KMeans coarse quantizer),
+    exported as the same RECALL CONTRACT as ``similarity_signlsh``.
+    These near-isotropic synthetic embeddings are IVF's worst case —
+    neighbors spread across cells, so recall ≈ nprobe/nlist — hence
+    nprobe=14/nlist=16 to deterministically clear the 0.9 bar at both
+    driver SFs; on real (clustered) embeddings the same contract holds
+    at nprobe ≪ nlist. The dial, not the constant, is the operator."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return ivf_topk(emb, queries, k=10, nlist=16, nprobe=4)
+    ann = ivf_topk(emb, queries, k=10, nlist=16, nprobe=14)
+    exact = cosine_topk(emb, queries, k=10)
+    return recall_vs_exact(ann, exact, k=10, min_recall=0.9)
 
 
 @register(

@@ -3,6 +3,10 @@ driver-side union-find on the same pair list."""
 
 from __future__ import annotations
 
+import warnings
+
+import pytest
+
 from common_survey_data_pipeline_spark.operators.dedup import neardup_clusters
 
 
@@ -35,6 +39,25 @@ def test_clusters_match_union_find(spark):
     got = {r["doc_id"]: r["cluster_id"] for r in neardup_clusters(df).collect()}
     want = _union_find_clusters(pairs)
     assert got == want
+
+
+def test_clusters_warn_on_max_iter_exhaustion(spark):
+    # a 12-node path has diameter 11; min-label propagation moves the
+    # min one hop per round, so max_iter=3 CANNOT converge — the
+    # operator must say so instead of silently returning split clusters
+    pairs = [(i, i + 1) for i in range(11)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        neardup_clusters(df, max_iter=3).collect()
+
+
+def test_clusters_converged_run_emits_no_warning(spark):
+    pairs = [(1, 2), (2, 3), (10, 11)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        got = {r["doc_id"]: r["cluster_id"] for r in neardup_clusters(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
 def test_clusters_handle_reversed_edges(spark):

@@ -103,6 +103,19 @@ def test_neardup_lsh_recall_vs_exact(emb):
     assert len(lsh_pairs) / len(exact_pairs) >= 0.8
 
 
+@pytest.mark.parametrize("name", ["similarity_signlsh", "similarity_ivf"])
+def test_registry_ann_recall_contract(spark, name):
+    """The registry's ANN queries export (query_id, found_k, recall_ok)
+    and must report full k found and recall ≥ 0.9 for EVERY query — the
+    driver's value-hash pins the same via the oracle."""
+    from common_survey_data_pipeline_spark.workload import REGISTRY
+
+    rows = REGISTRY[name].fn(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    assert all(r["found_k"] == 10 for r in rows), rows
+    assert all(r["recall_ok"] for r in rows), rows
+
+
 def test_ivf_full_probe_is_exact(emb, queries, exact):
     # probing every cell must reproduce the exact result
     got = {
