@@ -30,6 +30,7 @@ BENCH_QUERIES = (
     "q6_revenue_delta",
     "q10_returned_revenue",
     "j1_fuzzy_brand_join",
+    "j10_fuzzy_bigjoin",
     "j2_best_item_per_order",
     "j6_asof_join",
     "j7_interval_join",

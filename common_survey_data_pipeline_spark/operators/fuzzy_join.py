@@ -24,7 +24,24 @@ Two physical strategies (SURVEY.md §4.2):
     sides — followed by the cheap length filter and the bounded
     Levenshtein on surviving candidates only. Candidate generation runs
     on DISTINCT left keys, so cost scales with text cardinality, not row
-    count; results re-attach to the left by an equi join.
+    count; results re-attach to the left by an equi join. Caveat: when
+    lengths barely vary (ID-like keys, fixed-width codes) every row
+    lands in the same band and the candidate set degenerates toward
+    |L|×|R| — that shape belongs to ``deletion``.
+
+``deletion``
+    Deletion-neighborhood blocking (the public FastSS / SymSpell
+    family) for big×big joins on SHORT keys at small ``max_dist``:
+    every string emits the set of variants reachable by deleting up to
+    ``max_dist`` characters; ``lv(a,b) <= d`` implies a and b share a
+    variant (delete the substituted/deleted chars from a, the
+    substituted/inserted ones from b), so an EQUI join on the variant
+    string finds every true pair, sharing a variant only bounds
+    ``lv <= 2d``, and the bounded Levenshtein verify removes the false
+    positives. Candidate volume tracks TRUE matches (variant keys are
+    near-unique), not bucket density — the only strategy that survives
+    constant-length 100M-row ID pools. Key fan-out is C(len, <=d):
+    linear in length at d=1, quadratic at d=2, unsupported beyond.
 
 Both strategies produce identical results (property-tested in
 ``tests/test_fuzzy_join.py``).
@@ -45,6 +62,7 @@ from pyspark.sql import functions as F
 
 _LEN = "__csdp_len"
 _BUCKET = "__csdp_bucket"
+_VAR = "__csdp_var"
 
 
 def _q(name: str) -> str:
@@ -75,18 +93,29 @@ def stringdist_left_join(
     cost-based optimizer: the right side is counted once, and a small
     right side (≤ ``broadcast_cutoff`` rows — the reference's ~260
     survey variables by a wide margin) takes the shuffle-free
-    broadcast-NLJ with bounded Levenshtein; anything larger takes the
-    length-band blocked equi-join, whose cost scales with candidate
-    pairs instead of |L|×|R|.
+    broadcast-NLJ with bounded Levenshtein. A larger right side takes
+    deletion-neighborhood blocking when the key shape allows it
+    (``max_dist`` ≤ 2 and right keys ≤ 64 chars — one cheap max-length
+    aggregate), else the length-band blocked equi-join.
     """
     if left_on == right_on:
         raise ValueError("left_on and right_on must differ; rename one side first")
     if strategy == "auto":
-        strategy = "broadcast" if right.count() <= broadcast_cutoff else "blocked"
+        if right.count() <= broadcast_cutoff:
+            strategy = "broadcast"
+        else:
+            max_len = right.agg(
+                F.max(F.length(_q(right_on))).alias("m")
+            ).first()["m"]
+            strategy = (
+                "deletion" if max_dist <= 2 and (max_len or 0) <= 64 else "blocked"
+            )
     if strategy == "broadcast":
         return _broadcast_nlj(left, right, left_on, right_on, max_dist, distance_col)
     if strategy == "blocked":
         return _blocked(left, right, left_on, right_on, max_dist, distance_col)
+    if strategy == "deletion":
+        return _deletion(left, right, left_on, right_on, max_dist, distance_col)
     raise ValueError(f"unknown strategy: {strategy!r}")
 
 
@@ -165,6 +194,85 @@ def _blocked(
     )
     # Re-attach matches to the full left side; unmatched lefts (including
     # NULL keys, which never equi-join) survive with NULL right columns.
+    return left.join(cand, on=left_on, how="left")
+
+
+def _delete_one(col: Column) -> Column:
+    """Array of every string reachable by deleting exactly one char."""
+    return F.when(
+        F.length(col) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.length(col)),
+            lambda i: F.concat(
+                col.substr(F.lit(1), i - F.lit(1)),
+                col.substr(i + F.lit(1), F.length(col)),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _variants(col: Column, max_dist: int) -> Column:
+    """Deletion neighborhood: the string plus every variant reachable
+    with ≤ ``max_dist`` character deletions (distinct)."""
+    one = _delete_one(col)
+    if max_dist == 1:
+        return F.array_distinct(F.concat(F.array(col), one))
+    two = F.flatten(F.transform(one, _delete_one))
+    return F.array_distinct(F.concat(F.array(col), one, two))
+
+
+def _deletion(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    max_dist: int,
+    distance_col: str,
+) -> DataFrame:
+    """Deletion-neighborhood blocked similarity join (FastSS/SymSpell
+    family); equivalent to the NLJ form for ``max_dist`` in {1, 2}.
+
+    ``lv(a, b) <= d`` guarantees a shared ≤d-deletion variant (delete
+    a's substituted+deleted chars and b's substituted+inserted chars
+    from an optimal alignment); sharing one only guarantees
+    ``lv <= 2d``, so candidates are verified with the bounded
+    Levenshtein. Candidate generation runs on DISTINCT texts of BOTH
+    sides — variant keys are near-unique, so the equi-join's candidate
+    volume tracks true matches, not bucket density."""
+    if not 1 <= max_dist <= 2:
+        raise ValueError(
+            "deletion strategy supports max_dist in {1, 2} (key fan-out is "
+            "C(len, <=d)); use 'blocked' or 'broadcast' for larger distances"
+        )
+    lt = (
+        left.select(F.col(_q(left_on)))
+        .where(F.col(_q(left_on)).isNotNull())
+        .distinct()
+        .withColumn(_VAR, F.explode(_variants(F.col(_q(left_on)), max_dist)))
+    )
+    rt = (
+        right.select(F.col(_q(right_on)))
+        .where(F.col(_q(right_on)).isNotNull())
+        .distinct()
+        .withColumn(_VAR, F.explode(_variants(F.col(_q(right_on)), max_dist)))
+    )
+    # Verify BEFORE deduplicating: the bounded Levenshtein is a map-side
+    # filter, so the dropDuplicates shuffle only carries true matches
+    # (candidates sharing a variant are bounded by lv <= 2d — roughly
+    # half die here at d=1).
+    pairs = (
+        lt.join(rt, _VAR)
+        .drop(_VAR)
+        .withColumn(
+            distance_col, _bounded_lv(F.col(_q(left_on)), F.col(_q(right_on)), max_dist)
+        )
+        .where(F.col(distance_col).isNotNull())
+        .dropDuplicates([left_on, right_on])
+        .withColumn(distance_col, F.col(distance_col).cast("int"))
+    )
+    # Re-attach the full right rows, then all matches to the full left
+    # side; unmatched lefts (incl. NULL keys) survive with NULL rights.
+    cand = pairs.join(right, on=right_on)
     return left.join(cand, on=left_on, how="left")
 
 

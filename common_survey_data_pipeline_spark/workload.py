@@ -270,6 +270,39 @@ def q_j1(spark, sf_dir):
 
 
 @register(
+    "j10_fuzzy_bigjoin",
+    """
+    SELECT a.key_a, b.key_b,
+           levenshtein(a.key_a, b.key_b)::INTEGER AS string_distance
+    FROM (SELECT DISTINCT o_orderkey::VARCHAR AS key_a FROM orders) a
+    JOIN (SELECT DISTINCT o_orderkey::VARCHAR AS key_b FROM orders) b
+      ON a.key_a < b.key_b
+     AND abs(length(a.key_a) - length(b.key_b)) <= 1
+     AND levenshtein(a.key_a, b.key_b) <= 1
+    """,
+)
+def q_j10(spark, sf_dir):
+    """Big×big fuzzy self-join on ID-like keys (dirty-record linkage
+    shape) via the deletion-neighborhood strategy
+    (operators/fuzzy_join.py::_deletion). The pool — every order key as
+    a digit string, ~150k distinct at sf0.1 — is exactly where length
+    banding degenerates (a handful of length bands → near-quadratic
+    candidates) while deletion variants stay near-unique, keeping the
+    equi-join's candidate volume proportional to TRUE matches. This is
+    the headline big×big entry in bench.py; at 100 TB both pools
+    shuffle-partition on the variant key and no stage is quadratic."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.select(F.col("o_orderkey").cast("string").alias("key_a")).distinct()
+    b = orders.select(F.col("o_orderkey").cast("string").alias("key_b")).distinct()
+    out = stringdist_left_join(
+        a, b, "key_a", "key_b", max_dist=1, strategy="deletion"
+    )
+    return out.where(
+        F.col("key_b").isNotNull() & (F.col("key_a") < F.col("key_b"))
+    ).select("key_a", "key_b", "string_distance")
+
+
+@register(
     "j2_best_item_per_order",
     """
     SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS best_price

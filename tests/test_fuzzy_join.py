@@ -48,6 +48,43 @@ def test_blocked_equals_broadcast(spark, seed, max_dist):
     assert a.count() == b.count()
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("max_dist", [1, 2])
+def test_deletion_equals_broadcast(spark, seed, max_dist):
+    # incl. NULL left keys, empty strings, duplicated left rows — the
+    # deletion strategy must reproduce the NLJ's result exactly
+    rng = random.Random(100 + seed)
+    pool = _random_pool(rng, 60) + ["", ""]
+    left = spark.createDataFrame(
+        [(s,) for s in pool] + [(None,), (pool[0],)], ["ltext"]
+    )
+    right = spark.createDataFrame(
+        [(s,) for s in _random_pool(rng, 40) + [""]], ["rtext"]
+    )
+    a = stringdist_left_join(left, right, "ltext", "rtext", max_dist, strategy="broadcast")
+    d = stringdist_left_join(left, right, "ltext", "rtext", max_dist, strategy="deletion")
+    assert _result_set(a, "ltext", "rtext") == _result_set(d, "ltext", "rtext")
+    assert a.count() == d.count()
+
+
+def test_deletion_rejects_large_max_dist(spark):
+    left = spark.createDataFrame([("abc",)], ["l"])
+    right = spark.createDataFrame([("abd",)], ["r"])
+    with pytest.raises(ValueError, match="max_dist"):
+        stringdist_left_join(left, right, "l", "r", 3, strategy="deletion")
+
+
+def test_deletion_constant_length_keys(spark):
+    # the length-banding worst case: every key the same length —
+    # deletion blocking must still find exactly the true d<=1 pairs
+    keys = [f"{i:05d}" for i in range(0, 3000, 7)]
+    left = spark.createDataFrame([(k,) for k in keys], ["ka"])
+    right = spark.createDataFrame([(k,) for k in keys], ["kb"])
+    got = stringdist_left_join(left, right, "ka", "kb", 1, strategy="deletion")
+    want = stringdist_left_join(left, right, "ka", "kb", 1, strategy="broadcast")
+    assert _result_set(got, "ka", "kb") == _result_set(want, "ka", "kb")
+
+
 def test_distance_zero_iff_equal(spark):
     left = spark.createDataFrame([("abc",), ("abd",), ("zzz",)], ["l"])
     right = spark.createDataFrame([("abc",), ("abe",)], ["r"])
@@ -63,14 +100,14 @@ def test_max_dist_boundary(spark):
     left = spark.createDataFrame([("aaaa",)], ["l"])
     # distance 2 ("aabb") included at max_dist=2, distance 3 ("abbb") excluded
     right = spark.createDataFrame([("aabb",), ("abbb",)], ["r"])
-    for strategy in ("broadcast", "blocked"):
+    for strategy in ("broadcast", "blocked", "deletion"):
         got = {
             r["r"]
             for r in stringdist_left_join(
                 left, right, "l", "r", max_dist=2, strategy=strategy
             ).collect()
         }
-        assert got == {"aabb"}
+        assert got == {"aabb"}, strategy
 
 
 def test_left_preservation_after_best_match(spark):
@@ -96,11 +133,11 @@ def test_left_preservation_after_best_match(spark):
 def test_unmatched_left_rows_survive_with_nulls(spark):
     left = spark.createDataFrame([("aaaaaaaaaa",), ("bbbb",)], ["l"])
     right = spark.createDataFrame([("bbbc",)], ["r"])
-    for strategy in ("broadcast", "blocked"):
+    for strategy in ("broadcast", "blocked", "deletion"):
         out = stringdist_left_join(left, right, "l", "r", 1, strategy=strategy)
         rows = {r["l"]: (r["r"], r["string_distance"]) for r in out.collect()}
-        assert rows["aaaaaaaaaa"] == (None, None)
-        assert rows["bbbb"] == ("bbbc", 1)
+        assert rows["aaaaaaaaaa"] == (None, None), strategy
+        assert rows["bbbb"] == ("bbbc", 1), strategy
 
 
 def test_with_row_id_is_one_based_dense(spark):
