@@ -285,12 +285,14 @@ def with_row_id(
     §2.5 W1).
 
     With ``order_by``, ids follow that explicit order — the scalable,
-    deterministic contract. Without it, ids follow physical partition
-    order (file order for a single-file CSV read), captured via
-    ``monotonically_increasing_id`` and densified by a global window:
-    correct for metadata-scale frames, but the single-partition window
-    is a deliberate non-goal at 100 TB — large data must supply
-    ``order_by``.
+    deterministic contract, computed by the distributed global ranking
+    kernel (``operators/ranking.py``: range repartition + local ranks +
+    cumulative offsets), never a partition-less Window. Without it, ids
+    follow physical partition order (file order for a single-file CSV
+    read), captured via ``monotonically_increasing_id`` and densified by
+    a global window: correct for metadata-scale frames, but the
+    single-partition window is a deliberate non-goal at 100 TB — large
+    data must supply ``order_by``.
     """
     if order_by is None:
         df = df.withColumn("__csdp_mid", F.monotonically_increasing_id())
@@ -299,8 +301,11 @@ def with_row_id(
             df.withColumn(name, F.row_number().over(w).cast("long"))
             .drop("__csdp_mid")
         )
-    w = Window.orderBy(*order_by)
-    return df.withColumn(name, F.row_number().over(w).cast("long"))
+    from common_survey_data_pipeline_spark.operators.ranking import (
+        global_row_number,
+    )
+
+    return global_row_number(df, list(order_by), name=name)
 
 
 def keep_best_match(
