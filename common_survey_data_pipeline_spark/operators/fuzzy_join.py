@@ -276,6 +276,53 @@ def _deletion(
     return left.join(cand, on=left_on, how="left")
 
 
+def strdist_neardup_pairs(
+    df: DataFrame,
+    text_col: str,
+    max_dist: int = 1,
+    distance_col: str = "string_distance",
+    out_a: str = "text_a",
+    out_b: str = "text_b",
+) -> DataFrame:
+    """Edit-distance near-duplicate PAIRS over one string pool — the
+    fuzzy-join counterpart of ``minhash_dedup_pairs`` /
+    ``embedding_neardup_pairs``: output ``(text_a, text_b,
+    string_distance)`` with ``text_a < text_b`` and ``lv <= max_dist``,
+    each unordered pair once.
+
+    Same deletion-neighborhood candidate generation as the ``deletion``
+    join strategy, but the symmetric self-join shape lets the ``a < b``
+    ordering filter run BEFORE the bounded-Levenshtein verify and the
+    pair dedup, halving candidate volume and shuffling only ordered
+    true pairs — and no left-preservation re-attach joins are needed.
+    At 100 TB this is one explode + one equi-join + one dedup shuffle,
+    all partitioned on near-unique keys.
+    """
+    if not 1 <= max_dist <= 2:
+        raise ValueError(
+            "deletion blocking supports max_dist in {1, 2}; for larger "
+            "distances use stringdist_left_join(strategy='blocked')"
+        )
+    texts = (
+        df.select(F.col(_q(text_col)).alias(out_a))
+        .where(F.col(out_a).isNotNull())
+        .distinct()
+    )
+    a = texts.withColumn(_VAR, F.explode(_variants(F.col(out_a), max_dist)))
+    b = a.select(F.col(out_a).alias(out_b), _VAR)
+    return (
+        a.join(b, _VAR)
+        .where(F.col(out_a) < F.col(out_b))
+        .drop(_VAR)
+        .withColumn(
+            distance_col, _bounded_lv(F.col(out_a), F.col(out_b), max_dist)
+        )
+        .where(F.col(distance_col).isNotNull())
+        .dropDuplicates([out_a, out_b])
+        .withColumn(distance_col, F.col(distance_col).cast("int"))
+    )
+
+
 def with_row_id(
     df: DataFrame,
     name: str = "row_id",

@@ -29,7 +29,10 @@ from common_survey_data_pipeline_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_dedup_pairs,
 )
-from common_survey_data_pipeline_spark.operators.fuzzy_join import stringdist_left_join
+from common_survey_data_pipeline_spark.operators.fuzzy_join import (
+    strdist_neardup_pairs,
+    stringdist_left_join,
+)
 from common_survey_data_pipeline_spark.operators.joins import anti_join, semi_join
 from common_survey_data_pipeline_spark.operators.temporal_joins import (
     asof_join,
@@ -283,22 +286,21 @@ def q_j1(spark, sf_dir):
 )
 def q_j10(spark, sf_dir):
     """Big×big fuzzy self-join on ID-like keys (dirty-record linkage
-    shape) via the deletion-neighborhood strategy
-    (operators/fuzzy_join.py::_deletion). The pool — every order key as
-    a digit string, ~150k distinct at sf0.1 — is exactly where length
-    banding degenerates (a handful of length bands → near-quadratic
-    candidates) while deletion variants stay near-unique, keeping the
-    equi-join's candidate volume proportional to TRUE matches. This is
-    the headline big×big entry in bench.py; at 100 TB both pools
-    shuffle-partition on the variant key and no stage is quadratic."""
+    shape) via deletion-neighborhood blocking
+    (operators/fuzzy_join.py::strdist_neardup_pairs). The pool — every
+    order key as a digit string, ~150k distinct at sf0.1 — is exactly
+    where length banding degenerates (a handful of length bands →
+    near-quadratic candidates) while deletion variants stay
+    near-unique, keeping the equi-join's candidate volume proportional
+    to TRUE matches; the symmetric pair form orders (a < b) BEFORE
+    verify+dedup, so only true ordered pairs shuffle. This is the
+    headline big×big entry in bench.py; at 100 TB every stage is an
+    explode / equi-join / dedup partitioned on near-unique keys —
+    nothing quadratic."""
     orders = _t(spark, sf_dir, "orders")
-    a = orders.select(F.col("o_orderkey").cast("string").alias("key_a")).distinct()
-    b = orders.select(F.col("o_orderkey").cast("string").alias("key_b")).distinct()
-    out = stringdist_left_join(
-        a, b, "key_a", "key_b", max_dist=1, strategy="deletion"
-    )
-    return out.where(
-        F.col("key_b").isNotNull() & (F.col("key_a") < F.col("key_b"))
+    pool = orders.select(F.col("o_orderkey").cast("string").alias("key"))
+    return strdist_neardup_pairs(
+        pool, "key", max_dist=1, out_a="key_a", out_b="key_b"
     ).select("key_a", "key_b", "string_distance")
 
 

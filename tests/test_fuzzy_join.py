@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from common_survey_data_pipeline_spark.operators.fuzzy_join import (
     keep_best_match,
+    strdist_neardup_pairs,
     stringdist_left_join,
     with_row_id,
 )
@@ -83,6 +84,34 @@ def test_deletion_constant_length_keys(spark):
     got = stringdist_left_join(left, right, "ka", "kb", 1, strategy="deletion")
     want = stringdist_left_join(left, right, "ka", "kb", 1, strategy="broadcast")
     assert _result_set(got, "ka", "kb") == _result_set(want, "ka", "kb")
+
+
+@pytest.mark.parametrize("max_dist", [1, 2])
+def test_neardup_pairs_equal_bruteforce(spark, max_dist):
+    import itertools
+
+    def lv(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    rng = random.Random(42)
+    pool = list(set(_random_pool(rng, 80) + [""]))
+    want = {
+        (min(a, b), max(a, b), lv(min(a, b), max(a, b)))
+        for a, b in itertools.combinations(pool, 2)
+        if lv(a, b) <= max_dist
+    }
+    df = spark.createDataFrame([(s,) for s in pool + pool[:5]], ["t"])  # dups too
+    got = {
+        (r["text_a"], r["text_b"], r["string_distance"])
+        for r in strdist_neardup_pairs(df, "t", max_dist=max_dist).collect()
+    }
+    assert got == want
 
 
 def test_distance_zero_iff_equal(spark):
