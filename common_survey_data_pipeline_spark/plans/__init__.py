@@ -7,6 +7,7 @@ from .asserts import (
     broadcast_subtrees,
     no_auto_broadcast,
     operator_order,
+    partitionless_windows,
     plan_of,
     scanned_tables,
     subtree_of,
@@ -18,6 +19,7 @@ __all__ = [
     "broadcast_subtrees",
     "no_auto_broadcast",
     "operator_order",
+    "partitionless_windows",
     "plan_of",
     "scanned_tables",
     "subtree_of",

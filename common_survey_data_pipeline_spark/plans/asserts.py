@@ -188,25 +188,35 @@ def partitionless_windows(plan: str) -> list[str]:
     """The ``Window`` operator lines that have NO partition spec — the
     every-row-through-one-task shape ("No Partition Defined for Window
     operation"). A Window exec node prints its argument lists as
-    top-level bracket groups after ``Window ``: three for a partitioned
-    window (functions, partition spec, order spec), two for an
-    unpartitioned one. Harmless only when the input is already bounded
-    (e.g. above a TakeOrderedAndProject); callers allowlist those."""
+    top-level bracket groups after ``Window ``: (functions, partition
+    spec, order spec) when both specs exist, two groups when only one
+    does. A partitioned-but-unordered window (e.g. a per-group min over
+    the whole partition) also prints two groups, so the second group is
+    classified by content: an ORDER spec carries ``ASC``/``DESC``
+    direction tokens, a partition spec never does. Flagged lines are
+    harmless only when the input is already bounded (e.g. above a
+    TakeOrderedAndProject); callers allowlist those."""
     out = []
     for line in plan.splitlines():
         m = re.search(r"\bWindow \[", line)
         if not m:
             continue
         depth = 0
-        groups = 0
+        groups: list[str] = []
         for ch in line[m.end() - 1 :]:
             if ch == "[":
                 if depth == 0:
-                    groups += 1
+                    groups.append("")
                 depth += 1
             elif ch == "]":
                 depth -= 1
-        if groups < 3:
+            if depth > 0 and len(groups) <= 3:
+                groups[-1] += ch
+        if len(groups) >= 3:
+            continue  # functions + partition + order → partitioned
+        second = groups[1] if len(groups) > 1 else ""
+        if re.search(r"\b(ASC|DESC)\b", second) or not second.strip("["):
+            # ordered-but-unpartitioned, or no spec at all → one task
             out.append(line)
     return out
 

@@ -15,6 +15,7 @@ from common_survey_data_pipeline_spark.plans import (
     broadcast_scan_tables,
     no_auto_broadcast,
     operator_order,
+    partitionless_windows,
     plan_of,
     scanned_tables,
 )
@@ -220,6 +221,32 @@ def test_topk_is_take_ordered_not_global_window(spark, run):
         plan = plan_of(run(name))
         assert "TakeOrderedAndProject" in plan, name
         assert "Window [" not in plan, name
+
+
+# Queries whose plan legitimately contains a partition-less Window:
+# only where the window's input is already bounded by a limit/top-k, so
+# the single task sees ≤ k rows, never the table.
+PARTITIONLESS_WINDOW_ALLOWLIST: dict[str, str] = {
+    "o1_sort_nulls_last": (
+        "rank column over the ALREADY-limited top-100 — Window prints above "
+        "TakeOrderedAndProject (asserted in test_topk_is_take_ordered...)"
+    ),
+    "topk_orders": "same bounded shape: Window above TakeOrderedAndProject",
+}
+
+
+def test_no_partitionless_windows_registry(run):
+    # the every-row-through-one-task Window is the same class of
+    # 100x-at-scale bug as a fact-side broadcast; sweep the whole
+    # registry (global ranking needs go through operators/ranking.py)
+    violations = {}
+    for name in REGISTRY:
+        if name in PARTITIONLESS_WINDOW_ALLOWLIST:
+            continue
+        offenders = partitionless_windows(plan_of(run(name)))
+        if offenders:
+            violations[name] = offenders
+    assert not violations, f"partition-less Windows: {violations}"
 
 
 def test_q19_part_filter_pushed_to_scan(run):

@@ -84,3 +84,9 @@ def test_partitionless_window_detector(spark):
         "rn", F.row_number().over(Window.partitionBy(F.col("id") % 2).orderBy("id"))
     )
     assert partitionless_windows(plan_of(part_w)) == []
+    # partitioned but UNordered (per-group min over the full partition)
+    # prints only two bracket groups — must not be a false positive
+    part_unordered = df.withColumn(
+        "m", F.min("id").over(Window.partitionBy(F.col("id") % 2))
+    )
+    assert partitionless_windows(plan_of(part_unordered)) == []
