@@ -69,9 +69,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL per query (tables pre-registered as
-    views). Rows-only entries (no SQL-expressible oracle: sign-LSH and
-    IVF — hyperplane/KMeans-centroid literals; approx_count_distinct —
-    HLL sketch estimates are implementation-specific) are omitted.
+    views). Every registry query has one: operators whose internals SQL
+    can't mirror (sign-LSH / IVF hyperplanes, HLL sketches) are oracled
+    through engine-independent contracts instead — recall-vs-exact and
+    error-tolerance booleans both engines compute identically.
     """
     return {
         name: REGISTRY[name].oracle

@@ -41,6 +41,8 @@ BENCH_QUERIES = (
     "json_props_stats",
     "text_stats",
     "text_fingerprints",
+    "text_pii_redact",
+    "corpus_mix_rebalance",
     "dedup_exact_groups",
     "dedup_minhash",
     "similarity_topk",

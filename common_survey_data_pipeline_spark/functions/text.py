@@ -175,3 +175,36 @@ def bpe_ish_token_count(col: Column) -> Column:
         r"\s+",
     )
     return F.size(F.filter(pieces, lambda t: t != ""))
+
+
+#: PII patterns shared by the Spark expressions below and the DuckDB
+#: oracle SQL in ``workload.py`` — restricted to syntax with identical
+#: semantics in Java regex (Spark) and RE2 (DuckDB): no backreferences,
+#: no lookaround.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d[\d-]{7,}\d",
+}
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace email / IPv4 / phone-number spans with typed placeholder
+    tags. Order matters: emails first (their domains contain dots that
+    the IPv4 pattern must not see), then IPs, then phones. All JVM-side
+    ``regexp_replace`` — no UDF, safe in a 100 TB scan stage."""
+    out = F.regexp_replace(col, PII_PATTERNS["email"], "<EMAIL>")
+    out = F.regexp_replace(out, PII_PATTERNS["ipv4"], "<IP>")
+    return F.regexp_replace(out, PII_PATTERNS["phone"], "<PHONE>")
+
+
+def pii_count(col: Column) -> Column:
+    """Number of PII spans that ``redact_pii`` would replace."""
+    total = F.lit(0)
+    scrubbed = col
+    for tag in ("email", "ipv4", "phone"):
+        total = total + F.size(
+            F.regexp_extract_all(scrubbed, F.lit(PII_PATTERNS[tag]), 0)
+        )
+        scrubbed = F.regexp_replace(scrubbed, PII_PATTERNS[tag], " ")
+    return total

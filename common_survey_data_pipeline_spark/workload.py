@@ -3115,6 +3115,141 @@ def q_q20(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Training-data corpus management (extension surface): source/language
+# re-weighting, PII scrubbing, corpus shape profiling
+# ---------------------------------------------------------------------------
+
+@register(
+    "corpus_mix_rebalance",
+    """
+    WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         quota AS (SELECT min(n) AS q FROM counts)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    JOIN counts c USING (lang)
+    CROSS JOIN quota
+    WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::UBIGINT
+          / 4294967296.0 < q::DOUBLE / c.n
+    """,
+)
+def q_corpus_mix(spark, sf_dir):
+    """Language-rebalanced corpus: deterministically downsample each
+    language to ~the smallest language's row count (per-lang keep
+    fraction = min(n)/n, membership decided by an md5 hash of the doc
+    id). This is the source/language re-weighting primitive of a
+    training-data mixer: reproducible across engines, reruns and
+    partitionings, one scan + one constant-size broadcast join.
+
+    100 TB shape: the per-lang count frame is |distinct langs| rows —
+    broadcast is bounded by vocabulary, not data size; the sample itself
+    is a stateless filter in the scan stage (no shuffle of the corpus).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    quota = counts.agg(F.min("n").alias("q"))
+    frac = counts.crossJoin(F.broadcast(quota)).select(
+        "lang", (F.col("q").cast("double") / F.col("n")).alias("__keep")
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        docs.join(F.broadcast(frac), "lang")
+        .where(u < F.col("__keep"))
+        .select("doc_id", "lang", "source")
+    )
+
+
+_SQL_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_SQL_PII_IP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_SQL_PII_PHONE = "\\+\\d[\\d-]{7,}\\d"
+_SQL_PII_DOC = (
+    "text || ' user' || doc_id::VARCHAR || '@mail.example.com ip 10.0.' || "
+    "(doc_id % 200)::VARCHAR || '.7 tel +1-555-' || "
+    "lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+)
+
+
+@register(
+    "text_pii_redact",
+    f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(raw,
+               '{_SQL_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_SQL_PII_IP}', '<IP>', 'g'),
+               '{_SQL_PII_PHONE}', '<PHONE>', 'g') AS redacted,
+           (len(regexp_extract_all(raw, '{_SQL_PII_EMAIL}'))
+            + len(regexp_extract_all(regexp_replace(raw, '{_SQL_PII_EMAIL}', ' ', 'g'),
+                                     '{_SQL_PII_IP}'))
+            + len(regexp_extract_all(
+                  regexp_replace(regexp_replace(raw, '{_SQL_PII_EMAIL}', ' ', 'g'),
+                                 '{_SQL_PII_IP}', ' ', 'g'),
+                  '{_SQL_PII_PHONE}')))::BIGINT AS n_pii
+    FROM (SELECT doc_id, {_SQL_PII_DOC} AS raw FROM documents)
+    """,
+)
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing over the document corpus: emails, IPv4 addresses and
+    phone numbers replaced with typed tags, plus a per-doc span count.
+    The synthetic corpus carries no PII, so the query first plants
+    deterministic spans derived from ``doc_id`` (same construction in the
+    oracle) and then proves the scrubber removes exactly those spans.
+
+    All JVM-side ``regexp_replace``/``regexp_extract_all`` (patterns are
+    restricted to the Java-regex ∩ RE2 common subset) — a pure map stage,
+    no shuffle, safe to run inside the 100 TB ingest scan."""
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com ip 10.0."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".7 tel +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return docs.select(
+        "doc_id",
+        T.redact_pii(raw).alias("redacted"),
+        T.pii_count(raw).cast("long").alias("n_pii"),
+    )
+
+
+@register(
+    "doc_token_histogram",
+    f"""
+    SELECT floor(n_tokens / 8.0)::BIGINT AS bucket,
+           count(*) AS n_docs,
+           min(n_tokens)::BIGINT AS min_tokens,
+           max(n_tokens)::BIGINT AS max_tokens,
+           sum(n_chars)::BIGINT AS total_chars
+    FROM (SELECT len({_SQL_TOKS})::BIGINT AS n_tokens, n_chars
+          FROM documents)
+    GROUP BY 1
+    """,
+)
+def q_token_hist(spark, sf_dir):
+    """Corpus shape profile: histogram of per-document token counts in
+    fixed-width buckets — the length-distribution report every pretraining
+    data pipeline runs before choosing sequence lengths / packing. One
+    scan, map-side partial aggregation into |buckets| groups."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = T.token_count(F.col("text")).cast("long")
+    return (
+        docs.select(tok.alias("n_tokens"), "n_chars")
+        .groupBy(F.floor(F.col("n_tokens") / 8.0).cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Flagship entry query
 # ---------------------------------------------------------------------------
 
