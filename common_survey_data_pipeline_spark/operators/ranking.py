@@ -123,3 +123,60 @@ def global_ntile(
     return ranked.withColumn(
         name, ntile_bucket(F.col(_GRN), total, k).cast("int")
     ).drop(_GRN)
+
+
+_LCS = "__csdp_lcs"
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_by: Sequence[Column | str],
+    value_col: str,
+    name: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running ``sum(value_col) OVER (ORDER BY order_by ROWS UNBOUNDED
+    PRECEDING)`` with no single-task stage — the distributed prefix-sum.
+
+    Same decomposition as ``global_row_number``: range-partition on the
+    sort keys, local running sum per range partition, then add the
+    cumulative total of all earlier partitions (a #partitions-row
+    driver pass). ``order_by`` must be a total order — with ties the
+    row-frame running sum is placement-dependent, exactly as in SQL.
+
+    This is the primitive behind token-offset sharding / sequence
+    packing: pack_id = floor(tokens_before / budget) turns a corpus into
+    contiguous ~budget-token shards in one shuffle.
+    """
+    order = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    if num_partitions:
+        ranged = df.repartitionByRange(num_partitions, *order)
+    else:
+        ranged = df.repartitionByRange(*order)
+    local = ranged.withColumn(_PID, F.spark_partition_id()).withColumn(
+        _LCS,
+        F.sum(value_col).over(
+            Window.partitionBy(_PID)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    # one shuffle feeds both the per-partition totals and the output rows
+    local = local.localCheckpoint(eager=False)
+    totals = {
+        r[_PID]: r["s"]
+        for r in local.groupBy(_PID).agg(F.sum(value_col).alias("s")).collect()
+    }
+    offsets: dict[int, int] = {}
+    running = 0
+    for pid in sorted(totals):
+        offsets[pid] = running
+        running += totals[pid] or 0
+    if offsets:
+        offset_map = F.create_map(
+            *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+        )
+        glob = F.col(_LCS) + F.element_at(offset_map, F.col(_PID))
+    else:
+        glob = F.col(_LCS)
+    return local.withColumn(name, glob.cast("long")).drop(_PID, _LCS)

@@ -39,7 +39,10 @@ from common_survey_data_pipeline_spark.operators.temporal_joins import (
     interval_join,
     salted_join,
 )
-from common_survey_data_pipeline_spark.operators.ranking import global_ntile
+from common_survey_data_pipeline_spark.operators.ranking import (
+    global_cumsum,
+    global_ntile,
+)
 from common_survey_data_pipeline_spark.operators.multimodal import (
     attach_binary_payload,
     decode_images,
@@ -3214,6 +3217,43 @@ def q_pii_redact(spark, sf_dir):
         "doc_id",
         T.redact_pii(raw).alias("redacted"),
         T.pii_count(raw).cast("long").alias("n_pii"),
+    )
+
+
+@register(
+    "doc_pack_assignment",
+    f"""
+    SELECT doc_id, n_tokens,
+           cum_tokens::BIGINT AS cum_tokens,
+           ((cum_tokens - n_tokens) // 2048)::BIGINT AS pack_id
+    FROM (SELECT doc_id, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum_tokens
+          FROM (SELECT doc_id, len({_SQL_TOKS})::BIGINT AS n_tokens
+                FROM documents))
+    """,
+)
+def q_doc_pack(spark, sf_dir):
+    """Token-offset sequence packing: assign each document to the
+    ~2048-token training shard its start offset falls in (pack_id =
+    floor(tokens_before / budget) over the doc_id order). The global
+    running token count comes from the distributed prefix-sum kernel
+    (``operators/ranking.py::global_cumsum``) — one range shuffle, no
+    partition-less Window, so the corpus never funnels through one task.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    with_tok = docs.select(
+        "doc_id", T.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    cum = global_cumsum(with_tok, ["doc_id"], "n_tokens", "cum_tokens")
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        "cum_tokens",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / 2048)
+        .cast("long")
+        .alias("pack_id"),
     )
 
 

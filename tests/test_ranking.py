@@ -90,3 +90,41 @@ def test_partitionless_window_detector(spark):
         "m", F.min("id").over(Window.partitionBy(F.col("id") % 2))
     )
     assert partitionless_windows(plan_of(part_unordered)) == []
+
+
+def test_global_cumsum_matches_window(spark):
+    from common_survey_data_pipeline_spark.operators.ranking import global_cumsum
+
+    df = spark.range(300).select(
+        F.col("id"), (F.col("id") % 17 + 1).alias("v")
+    ).repartition(6)
+    got = {
+        (r["id"], r["cs"])
+        for r in global_cumsum(df, ["id"], "v", "cs").select("id", "cs").collect()
+    }
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        (r["id"], r["cs"])
+        for r in df.withColumn("cs", F.sum("v").over(w).cast("long"))
+        .select("id", "cs")
+        .collect()
+    }
+    assert got == want
+
+
+def test_global_cumsum_empty_and_single(spark):
+    from common_survey_data_pipeline_spark.operators.ranking import global_cumsum
+
+    assert global_cumsum(spark.range(0).select("id"), ["id"], "id").count() == 0
+    row = (
+        global_cumsum(spark.range(5, 6).select("id"), ["id"], "id", "cs")
+        .select("cs")
+        .first()
+    )
+    assert row.cs == 5
+
+
+def test_doc_pack_has_no_partitionless_window(spark, sf_dir):
+    df = REGISTRY["doc_pack_assignment"].fn(spark, sf_dir)
+    offenders = partitionless_windows(plan_of(df))
+    assert offenders == [], f"single-task Window in pack plan: {offenders}"
