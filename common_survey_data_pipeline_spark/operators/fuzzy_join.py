@@ -292,33 +292,66 @@ def strdist_neardup_pairs(
 
     Same deletion-neighborhood candidate generation as the ``deletion``
     join strategy, but the symmetric self-join shape lets the ``a < b``
-    ordering filter run BEFORE the bounded-Levenshtein verify and the
-    pair dedup, halving candidate volume and shuffling only ordered
-    true pairs — and no left-preservation re-attach joins are needed.
-    At 100 TB this is one explode + one equi-join + one dedup shuffle,
-    all partitioned on near-unique keys.
+    ordering filter run BEFORE the bounded-Levenshtein verify — and no
+    left-preservation re-attach joins are needed.
+
+    Two scale refinements over the naive explode-join-dedup:
+
+    - variants join as ``xxhash64`` longs, not strings — the candidate
+      shuffle carries 8-byte keys (collisions are harmless: every
+      candidate is lv-verified);
+    - for ``max_dist=1`` NO pair dedup exists in the plan at all: an
+      lv≤1 pair shares EXACTLY one deletion-1 variant (a substitution
+      at position i shares only the delete-i variant; an insert/delete
+      pair shares only the shorter string itself), so after the
+      bounded-lv verify each pair already appears exactly once.
+      Duplicate CANDIDATES (e.g. "ab"/"ba" share two variants) have
+      lv=2 and die in the verify. For ``max_dist=2`` a pair can share
+      many variants, so each side carries its hashed-variant array and
+      only the candidate whose join key equals
+      ``array_min(array_intersect(va, vb))`` survives — still an exact,
+      purely map-side dedup, no post-join shuffle.
     """
     if not 1 <= max_dist <= 2:
         raise ValueError(
             "deletion blocking supports max_dist in {1, 2}; for larger "
             "distances use stringdist_left_join(strategy='blocked')"
         )
+    va, vb = "__csdp_va", "__csdp_vb"
     texts = (
         df.select(F.col(_q(text_col)).alias(out_a))
         .where(F.col(out_a).isNotNull())
         .distinct()
+        .withColumn(
+            va,
+            F.array_distinct(
+                F.transform(
+                    _variants(F.col(out_a), max_dist), lambda v: F.xxhash64(v)
+                )
+            ),
+        )
     )
-    a = texts.withColumn(_VAR, F.explode(_variants(F.col(out_a), max_dist)))
-    b = a.select(F.col(out_a).alias(out_b), _VAR)
+    a = texts.withColumn(_VAR, F.explode(F.col(va)))
+    if max_dist == 1:  # arrays not needed post-join; keep the shuffle lean
+        a = a.drop(va)
+        b = a.select(F.col(out_a).alias(out_b), _VAR)
+        cand = a.join(b, _VAR).where(F.col(out_a) < F.col(out_b))
+    else:
+        b = a.select(F.col(out_a).alias(out_b), F.col(va).alias(vb), _VAR)
+        cand = (
+            a.join(b, _VAR)
+            .where(F.col(out_a) < F.col(out_b))
+            .where(
+                F.col(_VAR)
+                == F.array_min(F.array_intersect(F.col(va), F.col(vb)))
+            )
+        )
     return (
-        a.join(b, _VAR)
-        .where(F.col(out_a) < F.col(out_b))
-        .drop(_VAR)
+        cand.drop(_VAR, va, vb)
         .withColumn(
             distance_col, _bounded_lv(F.col(out_a), F.col(out_b), max_dist)
         )
         .where(F.col(distance_col).isNotNull())
-        .dropDuplicates([out_a, out_b])
         .withColumn(distance_col, F.col(distance_col).cast("int"))
     )
 

@@ -3221,6 +3221,60 @@ def q_pii_redact(spark, sf_dir):
 
 
 @register(
+    "embedding_quantize",
+    """
+    SELECT vec_id, scale,
+           list_aggregate(codes, 'sum')::BIGINT AS sum_codes,
+           list_aggregate(codes, 'min')::BIGINT AS min_code,
+           list_aggregate(codes, 'max')::BIGINT AS max_code,
+           len(codes)::BIGINT AS n_dims
+    FROM (
+      SELECT vec_id, scale,
+             list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
+                 ELSE floor(x::DOUBLE / scale + 0.5)::BIGINT END) AS codes
+      FROM (SELECT vec_id, embedding,
+                   list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
+                   / 127.0 AS scale
+            FROM embeddings))
+    """,
+)
+def q_embedding_quantize(spark, sf_dir):
+    """Per-vector symmetric int8 quantization — the storage/bandwidth
+    path for ANN at 100 TB (4× smaller than float32, SIMD-friendly
+    integer dot products). code_i = floor(v_i/scale + 0.5) with
+    scale = max|v|/127; ``floor(x+0.5)`` instead of ``round`` because
+    round's half-tie direction differs across engines for negatives
+    while floor is universal. All JVM higher-order functions on the
+    embedding array — one scan, no shuffle, no UDF. The contract row is
+    (scale, sum/min/max of codes, dims): engine-independent integers
+    plus a double both engines derive identically from the float input.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    absmax = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    scale = (absmax / F.lit(127.0)).alias("scale")
+    with_scale = emb.select("vec_id", "embedding", scale)
+    codes = F.transform(
+        F.col("embedding"),
+        lambda x: F.when(F.col("scale") == 0, F.lit(0).cast("long")).otherwise(
+            F.floor(x.cast("double") / F.col("scale") + F.lit(0.5))
+        ),
+    )
+    with_codes = with_scale.select("vec_id", "scale", codes.alias("codes"))
+    return with_codes.select(
+        "vec_id",
+        "scale",
+        F.aggregate(
+            F.col("codes"), F.lit(0).cast("long"), lambda acc, c: acc + c
+        ).alias("sum_codes"),
+        F.array_min("codes").cast("long").alias("min_code"),
+        F.array_max("codes").cast("long").alias("max_code"),
+        F.size("codes").cast("long").alias("n_dims"),
+    )
+
+
+@register(
     "doc_pack_assignment",
     f"""
     SELECT doc_id, n_tokens,
