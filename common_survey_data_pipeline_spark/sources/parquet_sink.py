@@ -1,0 +1,58 @@
+"""Scale-aware partitioned Parquet sink for corpus/fact tables.
+
+The three decisions that matter when writing 100 TB:
+
+1. **Partition columns** — low-cardinality routing keys (lang, source,
+   date) become directory levels, so downstream readers prune whole
+   subtrees (`WHERE lang = 'en'` never lists other languages' files).
+   Never partition by a high-cardinality key: one directory per value
+   murders the metastore and the file system.
+2. **File sizing** — `maxRecordsPerFile` bounds the big side;
+   `repartition(cols)` before the write puts each output partition's
+   rows in the same task so a partition writes few large files instead
+   of #tasks × #partitions shards (the classic small-files explosion).
+3. **Row ordering** — `sortWithinPartitions` on the query keys gives
+   parquet row-group min/max statistics real selectivity, which is what
+   makes predicate pushdown skip row groups at read time.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = (),
+    sort_within_by: Sequence[str] = (),
+    max_records_per_file: int = 1_000_000,
+    compression: str = "zstd",
+) -> None:
+    """Write ``df`` as a partitioned, sorted, size-bounded parquet table.
+
+    ``repartition(partition_by)`` routes every output-partition's rows to
+    one task (no small-files explosion); ``sortWithinPartitions`` orders
+    rows inside each file for row-group stats; ``maxRecordsPerFile``
+    splits oversized partitions into bounded files. zstd: best
+    size/speed trade for cold corpus storage, splittable in parquet.
+    """
+    out = df
+    if partition_by:
+        out = out.repartition(*partition_by)
+    if sort_within_by:
+        # partition columns lead the sort: the dynamic-partition writer
+        # requires rows ordered by partition value and would otherwise
+        # re-sort (unstably), destroying the data ordering we just paid
+        # for
+        out = out.sortWithinPartitions(*partition_by, *sort_within_by)
+    writer = (
+        out.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .option("compression", compression)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
