@@ -42,6 +42,7 @@ BENCH_QUERIES = (
     "text_stats",
     "text_fingerprints",
     "text_pii_redact",
+    "text_unigram_logprob",
     "corpus_mix_rebalance",
     "dedup_exact_groups",
     "dedup_minhash",

@@ -1180,6 +1180,53 @@ def q_emb_neardup(spark, sf_dir):
     return embedding_neardup_pairs(emb, threshold=0.45, strategy="auto")
 
 
+@register(
+    "embedding_dedup_keep",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]), 6) >= 0.45
+    ),
+    e AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    r AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT r.a, e.b FROM r JOIN e ON r.b = e.a
+    ),
+    lab AS (SELECT a AS vec_id, least(a, min(b)) AS cluster_id FROM r GROUP BY a)
+    SELECT v.vec_id,
+           coalesce(l.cluster_id, v.vec_id) AS cluster_id,
+           (coalesce(l.cluster_id, v.vec_id) = v.vec_id) AS kept
+    FROM embeddings v LEFT JOIN lab l USING (vec_id)
+    """,
+)
+def q_emb_dedup_keep(spark, sf_dir):
+    """End-to-end semantic dedup: near-dup pairs (cosine ≥ 0.45) →
+    connected components → canonical keeper per cluster (min vec_id);
+    singletons keep themselves. The downstream corpus is
+    ``WHERE kept`` — exactly one representative per semantic cluster.
+
+    100 TB shape: pair generation is the cost-based exact↔LSH switch of
+    ``embedding_neardup``; clustering is min-label propagation (one
+    equi-join shuffle per diameter round); the final keep decision is a
+    broadcast-size label frame joined back to the corpus scan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(emb, threshold=0.45, strategy="auto").select(
+        "id_a", "id_b"
+    )
+    labels = neardup_clusters(pairs).withColumnRenamed("doc_id", "vec_id")
+    out = emb.select("vec_id").join(labels, "vec_id", "left")
+    cluster = F.coalesce(F.col("cluster_id"), F.col("vec_id"))
+    return out.select(
+        "vec_id",
+        cluster.alias("cluster_id"),
+        (cluster == F.col("vec_id")).alias("kept"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event streams (batch-checkable forms of the streaming operators)
 # ---------------------------------------------------------------------------
@@ -3217,6 +3264,51 @@ def q_pii_redact(spark, sf_dir):
         "doc_id",
         T.redact_pii(raw).alias("redacted"),
         T.pii_count(raw).cast("long").alias("n_pii"),
+    )
+
+
+@register(
+    "text_unigram_logprob",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+    ),
+    freqs AS (
+      SELECT tok, count(*) AS tf, sum(count(*)) OVER () AS total
+      FROM toks GROUP BY tok
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           round(avg(ln(f.tf / f.total)), 4) AS avg_logprob
+    FROM toks t JOIN freqs f USING (tok)
+    GROUP BY t.doc_id
+    """,
+)
+def q_unigram_logprob(spark, sf_dir):
+    """Unigram LM scoring — the cheap perplexity proxy used to quality-
+    filter pretraining corpora: score each document by the mean log
+    corpus-frequency of its tokens (rare-token soup scores low, fluent
+    common-word text scores high).
+
+    Two aggregations over one exploded token frame: corpus term
+    frequencies, then a token→frequency equi-join back and a per-doc
+    mean. At 100 TB the frequency table is vocabulary-sized (≪ corpus);
+    Spark's AQE broadcasts it at runtime, so the corpus shuffles once
+    (the per-doc group-by), never on the join. The windowed total is a
+    1-row aggregate, not a data-wide window.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("tok")
+    )
+    freqs = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    total = freqs.agg(F.sum("tf").alias("total"))
+    scored = toks.join(freqs, "tok").crossJoin(F.broadcast(total))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg(F.log(F.col("tf") / F.col("total"))), 4).alias(
+            "avg_logprob"
+        ),
     )
 
 
