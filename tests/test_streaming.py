@@ -24,6 +24,9 @@ def event_stream_dir(spark, sf_dir, tmp_path_factory):
     """events (sf0.001) split into 3 parquet files — 3 micro-batches."""
     path = str(tmp_path_factory.mktemp("evstream"))
     ev = load_table(spark, sf_dir, "events")
+    # watermarks require TIMESTAMP (with local tz); the parquet testdata
+    # may surface ts as TIMESTAMP_NTZ depending on how it was written
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     ev.repartition(3).write.mode("overwrite").parquet(path)
     yield path, ev.schema
     shutil.rmtree(path, ignore_errors=True)
