@@ -140,6 +140,27 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     )
 
 
+def word_ngrams(col: Column, n: int = 2) -> Column:
+    """ALL word n-grams in document order (NOT deduplicated — unlike
+    :func:`word_shingles`); empty array when fewer than n tokens.
+
+    The multiset form is what repetition metrics need: a 2-gram that
+    occurs 9 times must contribute 9 entries, not 1.
+
+    SQL: ``case when len(toks) < n then [] else
+    [toks[i] || ' ' || ... for i in range(1, len(toks) - n + 2)] end``.
+    """
+    return _bind(
+        tokens(col),
+        lambda t: F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            )
+        ),
+    )
+
+
 def char_shingles(col: Column, k: int = 5) -> Column:
     """Distinct character k-grams; empty array for strings shorter than k.
 

@@ -1,0 +1,159 @@
+"""Corpus hygiene operators for pretraining-data pipelines:
+
+- :func:`ngram_decontaminate` — flag training documents that share any
+  word n-gram with a held-out evaluation set (the GPT-3 style "13-gram
+  overlap" decontamination step, parameterized by n).
+- :func:`repetition_metrics` — per-document repetition scores in the
+  style of the Gopher quality rules (top-2-gram token fraction,
+  duplicate-3-gram token fraction).
+- :func:`boilerplate_spans` — word spans shared verbatim across many
+  distinct documents (corpus-level boilerplate: headers, license
+  blurbs, navigation chrome).
+
+All three are pure DataFrame compositions (explode → equi-join /
+group-by) — no UDFs, no all-pairs stage, no driver-side loops — so each
+scales as O(corpus tokens) with shuffles keyed on either the n-gram or
+the document id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from common_survey_data_pipeline_spark.functions.text import (
+    token_count,
+    word_ngrams,
+    word_shingles,
+)
+
+
+def _exploded_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, gram) pairs, grams distinct within each document."""
+    return df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("gram")
+    )
+
+
+def ngram_decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+) -> DataFrame:
+    """Flag every training document sharing ≥1 word n-gram with the
+    evaluation set. Returns ``(id_col, n_contaminated_grams)`` — one row
+    per contaminated training document; the clean corpus is the anti-join
+    of ``train`` against this result.
+
+    100 TB shape: the eval side collapses to its DISTINCT n-gram
+    vocabulary (benchmark suites are MBs, corpora are TBs), so the join
+    is corpus-grams ⋈ small-vocab — AQE broadcasts the eval vocabulary
+    at runtime and the corpus never shuffles on the join; the only
+    corpus-wide shuffle is the final per-document group-by. No stage is
+    quadratic in either input.
+    """
+    train_grams = _exploded_shingles(train, text_col, id_col, n)
+    eval_vocab = (
+        _exploded_shingles(eval_set, text_col, id_col, n)
+        .select("gram")
+        .distinct()
+    )
+    hits = train_grams.join(eval_vocab, "gram")
+    # grams are distinct per doc, so count(*) = distinct contaminated grams
+    return hits.groupBy(id_col).agg(
+        F.count("*").alias("n_contaminated_grams")
+    )
+
+
+def repetition_metrics(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition scores (Gopher-style quality filters):
+
+    - ``top2_frac``: fraction of tokens covered by the single most
+      frequent 2-gram (``2 * max_count / n_tokens``).
+    - ``dup3_frac``: fraction of tokens inside REPEATED 3-gram
+      occurrences beyond each 3-gram's first (``3 * Σ max(c-1, 0) /
+      n_tokens``).
+
+    Repetitive machine-generated text scores high on both; fluent text
+    scores near zero. Three shuffles, all keyed on (doc, gram) or doc —
+    per-document state never exceeds the document's own n-gram multiset,
+    so skew is bounded by max document length, not corpus size.
+    """
+    ident = F.col(id_col)
+    base = docs.select(
+        ident, token_count(F.col(text_col)).cast("long").alias("n_tokens")
+    )
+
+    def _freqs(n: int) -> DataFrame:
+        return (
+            docs.select(
+                ident,
+                F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+            )
+            .groupBy(id_col, "gram")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    top2 = _freqs(2).groupBy(id_col).agg(F.max("cnt").alias("top2_cnt"))
+    dup3 = (
+        _freqs(3)
+        .groupBy(id_col)
+        .agg(F.sum(F.col("cnt") - F.lit(1)).alias("dup3_extra"))
+    )
+    out = (
+        base.join(top2, id_col, "left")
+        .join(dup3, id_col, "left")
+        .select(
+            ident,
+            F.col("n_tokens"),
+            F.coalesce(F.col("top2_cnt"), F.lit(0)).cast("long").alias("top2_cnt"),
+            F.round(
+                F.lit(2.0)
+                * F.coalesce(F.col("top2_cnt"), F.lit(0))
+                / F.col("n_tokens"),
+                6,
+            ).alias("top2_frac"),
+            F.round(
+                F.lit(3.0)
+                * F.coalesce(F.col("dup3_extra"), F.lit(0))
+                / F.col("n_tokens"),
+                6,
+            ).alias("dup3_frac"),
+        )
+    )
+    return out.where(F.col("n_tokens") > 0)
+
+
+def boilerplate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Word n-gram spans appearing verbatim in ≥ ``min_docs`` DISTINCT
+    documents — the corpus-level boilerplate report (license headers,
+    navigation chrome, templated sentences) that drives span-level
+    cleaning. Returns ``(gram, n_docs, first_doc)``.
+
+    Spans are deduplicated within each document first, so the group-by
+    count IS the distinct-document count — one explode, one shuffle on
+    the gram. Heavy boilerplate (the point of the query) creates hot
+    gram keys, but they land in a count aggregate with map-side partial
+    aggregation, so skew is absorbed before the shuffle.
+    """
+    grams = _exploded_shingles(docs, text_col, id_col, n)
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("first_doc"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )

@@ -22,6 +22,11 @@ from pyspark.sql import functions as F
 from common_survey_data_pipeline_spark.functions import text as T
 from common_survey_data_pipeline_spark.operators.coalesce_join import coalesce_left_join
 from common_survey_data_pipeline_spark.operators.curation import curate_corpus
+from common_survey_data_pipeline_spark.operators.decontam import (
+    boilerplate_spans,
+    ngram_decontaminate,
+    repetition_metrics,
+)
 from common_survey_data_pipeline_spark.operators.dedup import (
     exact_dedup_groups,
     minhash_dedup_pairs,
@@ -3433,6 +3438,112 @@ def q_token_hist(spark, sf_dir):
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+def _sql_word_grams(n: int, distinct: bool = True) -> str:
+    """DuckDB expression for word n-grams of a ``toks`` list column —
+    the SQL twin of ``functions.text.word_shingles`` (distinct=True) /
+    ``word_ngrams`` (distinct=False)."""
+    idx = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    lst = f"[{idx} for i in range(1, len(toks) - {n} + 2)]"
+    if distinct:
+        lst = f"list_distinct({lst})"
+    return f"CASE WHEN len(toks) < {n} THEN [] ELSE {lst} END"
+
+
+@register(
+    "decontaminate_ngrams",
+    f"""
+    WITH g AS (
+      SELECT doc_id, unnest({_sql_word_grams(4)}) AS gram
+      FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    ),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 0),
+    tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 37 <> 0)
+    SELECT doc_id, count(*) AS n_contaminated_grams
+    FROM tr JOIN ev USING (gram)
+    GROUP BY doc_id
+    """,
+)
+def q_decontaminate(spark, sf_dir):
+    """Train/eval n-gram decontamination (the GPT-3-style overlap
+    check): flag every training document sharing a word 4-gram with the
+    held-out split (doc_id % 37 == 0 stands in for the benchmark set).
+
+    Explode-join-group via ``operators/decontam.py::ngram_decontaminate``
+    — the eval side reduces to its distinct gram vocabulary (benchmark
+    suites are tiny next to a 100 TB corpus), AQE broadcasts it, and the
+    corpus shuffles once on the per-doc group-by. No all-pairs stage.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    eval_set = docs.where(F.col("doc_id") % 37 == 0)
+    train = docs.where(F.col("doc_id") % 37 != 0)
+    return ngram_decontaminate(train, eval_set, "text", "doc_id", n=4)
+
+
+@register(
+    "text_repetition",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    base AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens FROM t),
+    g2 AS (
+      SELECT doc_id, gram, count(*) AS cnt
+      FROM (SELECT doc_id, unnest({_sql_word_grams(2, distinct=False)}) AS gram
+            FROM t)
+      GROUP BY doc_id, gram
+    ),
+    top2 AS (SELECT doc_id, max(cnt) AS top2_cnt FROM g2 GROUP BY doc_id),
+    g3 AS (
+      SELECT doc_id, gram, count(*) AS cnt
+      FROM (SELECT doc_id, unnest({_sql_word_grams(3, distinct=False)}) AS gram
+            FROM t)
+      GROUP BY doc_id, gram
+    ),
+    dup3 AS (SELECT doc_id, sum(cnt - 1) AS dup3_extra FROM g3 GROUP BY doc_id)
+    SELECT b.doc_id, b.n_tokens,
+           coalesce(top2_cnt, 0)::BIGINT AS top2_cnt,
+           round(2.0 * coalesce(top2_cnt, 0) / n_tokens, 6) AS top2_frac,
+           round(3.0 * coalesce(dup3_extra, 0) / n_tokens, 6) AS dup3_frac
+    FROM base b
+    LEFT JOIN top2 USING (doc_id)
+    LEFT JOIN dup3 USING (doc_id)
+    WHERE n_tokens > 0
+    """,
+)
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality filters: per-document fraction of
+    tokens covered by the most frequent 2-gram and fraction of tokens in
+    repeated 3-gram occurrences. Rounding to 6 decimals is cross-engine
+    safe here: the fractions are rationals with denominator ≤ max doc
+    tokens (< 128 = 2^7), so no exact decimal tie at the 7th digit
+    exists (see the money-rounding note at the top of this module).
+
+    ``operators/decontam.py::repetition_metrics`` — explode + two
+    keyed aggregations; per-doc state bounded by document length.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_metrics(docs, "text", "doc_id")
+
+
+@register(
+    "corpus_boilerplate",
+    f"""
+    WITH g AS (
+      SELECT doc_id, unnest({_sql_word_grams(5)}) AS gram
+      FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    )
+    SELECT gram, count(*) AS n_docs, min(doc_id) AS first_doc
+    FROM g GROUP BY gram HAVING count(*) >= 2
+    """,
+)
+def q_corpus_boilerplate(spark, sf_dir):
+    """Corpus-level boilerplate report: word 5-gram spans appearing
+    verbatim in ≥2 distinct documents (license headers, templated
+    chrome). One explode + one gram-keyed count with map-side partials —
+    hot boilerplate keys are absorbed before the shuffle.
+    ``operators/decontam.py::boilerplate_spans``."""
+    docs = _t(spark, sf_dir, "documents")
+    return boilerplate_spans(docs, "text", "doc_id", n=5, min_docs=2)
 
 
 # ---------------------------------------------------------------------------
