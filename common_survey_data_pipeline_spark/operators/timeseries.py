@@ -35,3 +35,43 @@ def locf_fill(
     )
     col = F.col(value) if isinstance(value, str) else value
     return df.withColumn(out_name, F.last(col, ignorenulls=True).over(w))
+
+
+def scd2_compress(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history: collapse each key's
+    event sequence into attribute versions with validity intervals.
+
+    Consecutive rows with the same ``attr_col`` value are compressed to
+    one version; each version carries ``valid_from`` (its first
+    timestamp), ``valid_to`` (the next version's start, NULL while
+    current), and a 1-based ``version`` number. ``tiebreak_col`` makes
+    the ordering total when timestamps collide.
+
+    Two windows over the SAME (key, ts, tiebreak) partitioning — Spark
+    plans them into a single shuffle + sort, so the whole history build
+    is one pass per key. State is bounded by a key's own history length,
+    never corpus size, so the operator survives 100 TB as long as no
+    single key holds an unbounded fraction of the data (the same
+    contract as any per-key window).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    prev = F.lag(attr_col).over(w)
+    changes = (
+        df.select(key_col, attr_col, ts_col, tiebreak_col, prev.alias("_prev"))
+        .where(F.col("_prev").isNull() | (F.col(attr_col) != F.col("_prev")))
+        .drop("_prev")
+    )
+    w2 = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    return changes.select(
+        key_col,
+        attr_col,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.row_number().over(w2).cast("long").alias("version"),
+    )

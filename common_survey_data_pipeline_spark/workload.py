@@ -39,6 +39,7 @@ from common_survey_data_pipeline_spark.operators.fuzzy_join import (
     stringdist_left_join,
 )
 from common_survey_data_pipeline_spark.operators.joins import anti_join, semi_join
+from common_survey_data_pipeline_spark.operators.layout import zorder_bucket_stats
 from common_survey_data_pipeline_spark.operators.temporal_joins import (
     asof_join,
     interval_join,
@@ -2952,6 +2953,46 @@ def q_locf(spark, sf_dir):
 
 
 @register(
+    "scd2_user_history",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           row_number() OVER (
+             PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS version
+    FROM changes
+    """,
+)
+def q_scd2(spark, sf_dir):
+    """Type-2 slowly-changing-dimension build: compress each user's
+    event-type sequence into versioned validity intervals
+    (valid_from/valid_to, NULL while current) — the warehouse primitive
+    behind point-in-time dimension snapshots and as-of feature joins.
+    One shuffle on the user key; both windows share its sort
+    (``operators/timeseries.py::scd2_compress``)."""
+    from common_survey_data_pipeline_spark.operators.timeseries import (
+        scd2_compress,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return scd2_compress(
+        ev, key_col="user_id", attr_col="event_type",
+        ts_col="ts", tiebreak_col="event_id",
+    )
+
+
+@register(
     "embedding_centroids",
     """
     SELECT label, i::INTEGER AS pos,
@@ -3438,6 +3479,75 @@ def q_token_hist(spark, sf_dir):
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+_SQL_ZTERMS = " + ".join(
+    f"(((cust_b >> {j}) & 1) * {1 << (2 * j)}) + "
+    f"(((day_b >> {j}) & 1) * {1 << (2 * j + 1)})"
+    for j in range(16)
+)
+
+
+@register(
+    "zorder_layout_stats",
+    f"""
+    WITH raw AS (
+      SELECT o_custkey AS cust,
+             date_diff('day', DATE '1992-01-01', o_orderdate::DATE) AS day
+      FROM orders
+    ),
+    bounds AS (
+      SELECT min(cust) AS cmn, max(cust) AS cmx,
+             min(day) AS dmn, max(day) AS dmx
+      FROM raw
+    ),
+    proj AS (
+      -- scale each dim to the full 16-bit range; all-integer arithmetic
+      -- (// is floor division, identical to Spark's `div` on
+      -- non-negative values) so both engines agree bit-for-bit
+      SELECT ((cust - cmn) * 65535) // greatest(cmx - cmn, 1) AS cust_b,
+             ((day - dmn) * 65535) // greatest(dmx - dmn, 1) AS day_b
+      FROM raw, bounds
+    ),
+    z AS (SELECT cust_b, day_b, ({_SQL_ZTERMS}) AS zval FROM proj)
+    SELECT (zval >> 26)::BIGINT AS z_bucket, count(*) AS n_rows,
+           min(cust_b)::BIGINT AS min_cust_b, max(cust_b)::BIGINT AS max_cust_b,
+           min(day_b)::BIGINT AS min_day_b, max(day_b)::BIGINT AS max_day_b
+    FROM z GROUP BY 1
+    """,
+)
+def q_zorder(spark, sf_dir):
+    """Z-order (Morton) layout report over orders: min/max-normalize
+    (customer, order-day) to 16 bits each, interleave into one Z-value,
+    group rows by the file-sized Z-prefix an ordered write would
+    produce, and report each bucket's per-dimension min/max spread — the
+    multi-column data-skipping quality a ``ZORDER BY`` rewrite of a
+    100 TB table would deliver. The Z-value is a flat codegen'd integer
+    expression (no shuffle, no UDF); the bounds are a 1-row broadcast
+    aggregate; the report is one aggregation into 64 groups
+    (``operators/layout.py``)."""
+    orders = _t(spark, sf_dir, "orders")
+    raw = orders.select(
+        F.col("o_custkey").alias("cust"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    )
+    bounds = raw.agg(
+        F.min("cust").alias("cmn"),
+        F.max("cust").alias("cmx"),
+        F.min("day").alias("dmn"),
+        F.max("day").alias("dmx"),
+    )
+    scaled = raw.crossJoin(F.broadcast(bounds)).select(
+        F.expr(
+            "((cust - cmn) * 65535) div greatest(cmx - cmn, 1)"
+        ).alias("cust_b"),
+        F.expr("((day - dmn) * 65535) div greatest(dmx - dmn, 1)").alias(
+            "day_b"
+        ),
+    )
+    return zorder_bucket_stats(scaled, ["cust_b", "day_b"], bits=16, bucket_bits=6)
 
 
 def _sql_word_grams(n: int, distinct: bool = True) -> str:
