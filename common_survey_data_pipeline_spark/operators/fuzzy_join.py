@@ -300,17 +300,26 @@ def strdist_neardup_pairs(
     - variants join as ``xxhash64`` longs, not strings — the candidate
       shuffle carries 8-byte keys (collisions are harmless: every
       candidate is lv-verified);
-    - for ``max_dist=1`` NO pair dedup exists in the plan at all: an
-      lv≤1 pair shares EXACTLY one deletion-1 variant (a substitution
-      at position i shares only the delete-i variant; an insert/delete
-      pair shares only the shorter string itself), so after the
-      bounded-lv verify each pair already appears exactly once.
-      Duplicate CANDIDATES (e.g. "ab"/"ba" share two variants) have
-      lv=2 and die in the verify. For ``max_dist=2`` a pair can share
-      many variants, so each side carries its hashed-variant array and
-      only the candidate whose join key equals
-      ``array_min(array_intersect(va, vb))`` survives — still an exact,
-      purely map-side dedup, no post-join shuffle.
+    - for ``max_dist=1`` candidate generation is POSITION-AWARE and
+      therefore EXACT — zero false candidates, so the bounded-lv verify
+      is only a hash-collision guard:
+
+      * equal-length pairs join on ``(delete-i variant, i)``: if
+        ``del_i(a) == del_i(b)`` at the SAME position, a and b agree
+        everywhere except position i — exactly one substitution, lv=1
+        guaranteed (joining on the variant alone also admits lv=2
+        pairs like transpositions, which share a variant at DIFFERENT
+        positions — on dense ID-like pools those false candidates
+        outnumber true pairs ~3:1);
+      * length±1 pairs join the shorter string itself against the
+        longer side's DISTINCT deletion variants: ``del_j(b) == a``
+        means b is a with one insertion, lv=1 guaranteed, and variant
+        distinctness makes each pair appear exactly once.
+
+      For ``max_dist=2`` a pair can share many variants, so each side
+      carries its hashed-variant array and only the candidate whose
+      join key equals ``array_min(array_intersect(va, vb))`` survives —
+      still an exact, purely map-side dedup, no post-join shuffle.
     """
     if not 1 <= max_dist <= 2:
         raise ValueError(
@@ -318,11 +327,46 @@ def strdist_neardup_pairs(
             "distances use stringdist_left_join(strategy='blocked')"
         )
     va, vb = "__csdp_va", "__csdp_vb"
-    texts = (
+    base = (
         df.select(F.col(_q(text_col)).alias(out_a))
         .where(F.col(out_a).isNotNull())
         .distinct()
-        .withColumn(
+    )
+    if max_dist == 1:
+        s, i = F.col(out_a), F.col("__csdp_i")
+        del_i = F.concat(
+            s.substr(F.lit(1), i - F.lit(1)),
+            s.substr(i + F.lit(1), F.length(s)),
+        )
+        positions = F.when(
+            F.length(s) > 0, F.sequence(F.lit(1), F.length(s))
+        ).otherwise(F.array().cast("array<int>"))
+        subst = base.select(
+            out_a, F.explode(positions).alias("__csdp_i")
+        ).select(out_a, F.xxhash64(del_i, i).alias(_VAR))
+        subst_pairs = (
+            subst.join(subst.select(F.col(out_a).alias(out_b), _VAR), _VAR)
+            .where(F.col(out_a) < F.col(out_b))
+            .drop(_VAR)
+        )
+        ident = base.select(out_a, F.xxhash64(s).alias(_VAR))
+        longer = base.select(
+            F.col(out_a).alias(out_b),
+            F.explode(F.array_distinct(_delete_one(F.col(out_a)))).alias(
+                "__csdp_v"
+            ),
+        ).select(out_b, F.xxhash64(F.col("__csdp_v")).alias(_VAR))
+        insdel_pairs = (
+            ident.join(longer, _VAR)
+            .drop(_VAR)
+            .select(
+                F.least(F.col(out_a), F.col(out_b)).alias(out_a),
+                F.greatest(F.col(out_a), F.col(out_b)).alias(out_b),
+            )
+        )
+        cand = subst_pairs.unionByName(insdel_pairs)
+    else:
+        texts = base.withColumn(
             va,
             F.array_distinct(
                 F.transform(
@@ -330,13 +374,7 @@ def strdist_neardup_pairs(
                 )
             ),
         )
-    )
-    a = texts.withColumn(_VAR, F.explode(F.col(va)))
-    if max_dist == 1:  # arrays not needed post-join; keep the shuffle lean
-        a = a.drop(va)
-        b = a.select(F.col(out_a).alias(out_b), _VAR)
-        cand = a.join(b, _VAR).where(F.col(out_a) < F.col(out_b))
-    else:
+        a = texts.withColumn(_VAR, F.explode(F.col(va)))
         b = a.select(F.col(out_a).alias(out_b), F.col(va).alias(vb), _VAR)
         cand = (
             a.join(b, _VAR)
