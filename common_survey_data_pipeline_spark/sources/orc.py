@@ -1,0 +1,44 @@
+"""ORC source/sink — the same partitioned/sorted/size-bounded layout
+contract as ``parquet_sink.write_partitioned_parquet``, for deployments
+whose lakehouse standard is ORC rather than parquet. ORC carries the
+same row-group min/max statistics, so the sort-within-partition layout
+buys identical data skipping.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = (),
+    sort_within_by: Sequence[str] = (),
+    max_records_per_file: int = 1_000_000,
+    compression: str = "zstd",
+) -> None:
+    """Write ``df`` as a partitioned, sorted, size-bounded ORC table
+    (see ``write_partitioned_parquet`` for the layout rationale)."""
+    out = df
+    if partition_by:
+        out = out.repartition(*partition_by)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*partition_by, *sort_within_by)
+    writer = (
+        out.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .option("compression", compression)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Read an ORC table; partition-directory columns come back as
+    regular columns and partition-value predicates prune directories
+    exactly as with parquet."""
+    return spark.read.orc(path)

@@ -48,6 +48,7 @@ from common_survey_data_pipeline_spark.operators.temporal_joins import (
 from common_survey_data_pipeline_spark.operators.ranking import (
     global_cumsum,
     global_ntile,
+    global_row_number,
 )
 from common_survey_data_pipeline_spark.operators.multimodal import (
     attach_binary_payload,
@@ -3478,6 +3479,90 @@ def q_token_hist(spark, sf_dir):
             F.max("n_tokens").alias("max_tokens"),
             F.sum("n_chars").alias("total_chars"),
         )
+    )
+
+
+@register(
+    "text_normalize",
+    """
+    SELECT doc_id, norm_text, length(norm_text)::BIGINT AS n_chars_norm
+    FROM (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g')) AS norm_text
+      FROM documents
+    )
+    """,
+)
+def q_text_normalize(spark, sf_dir):
+    """Canonical text normalization for dedup/tokenizer pre-passes:
+    lowercase, replace non-alphanumerics with spaces, collapse runs,
+    trim. Pure JVM string expressions in one codegen stage — a map-only
+    scan with no shuffle at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    )
+
+
+@register(
+    "epoch_shuffle",
+    """
+    WITH e AS (
+      SELECT doc_id, epoch
+      FROM documents, unnest([0, 1, 2]) AS t(epoch)
+    ),
+    k AS (
+      SELECT doc_id, epoch,
+             md5(epoch::VARCHAR || ':' || doc_id::VARCHAR) AS skey
+      FROM e
+    )
+    SELECT doc_id, epoch::BIGINT AS epoch,
+           row_number() OVER (ORDER BY epoch, skey, doc_id)::BIGINT
+             AS shuffle_rank
+    FROM k
+    """,
+)
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch training-order shuffle: each document's
+    position in epoch e is its rank under md5(e:doc_id) — reproducible
+    across runs and cluster sizes, different every epoch, no RNG state.
+    The global order comes from the distributed ranking kernel
+    (``operators/ranking.py::global_row_number``: range partition +
+    local ranks + offsets), NOT a partition-less Window — at 100 TB the
+    corpus never funnels through one task, which is exactly what a
+    naive row_number() OVER (ORDER BY ...) would do."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    e = docs.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(i) for i in (0, 1, 2)])).alias("epoch"),
+    )
+    keyed = e.select(
+        "doc_id",
+        F.col("epoch").cast("long").alias("epoch"),
+        F.md5(
+            F.concat(
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("skey"),
+    )
+    ranked = global_row_number(
+        keyed, ["epoch", "skey", "doc_id"], name="shuffle_rank"
+    )
+    return ranked.select(
+        "doc_id", "epoch", F.col("shuffle_rank").cast("long").alias("shuffle_rank")
     )
 
 
