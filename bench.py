@@ -57,6 +57,11 @@ BENCH_QUERIES = (
     "grouping_sets_revenue",
     "w6_trailing_7d_revenue",
     "locf_gap_fill",
+    "decontaminate_ngrams",
+    "text_repetition",
+    "scd2_user_history",
+    "zorder_layout_stats",
+    "epoch_shuffle",
 )
 
 
