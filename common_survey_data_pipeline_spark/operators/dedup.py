@@ -66,6 +66,45 @@ def minhash_signature(shingles: Column, num_hashes: int = 128) -> Column:
     )
 
 
+def _band_keys(
+    df: DataFrame,
+    id_col: str,
+    shingles_col: str,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """(__id, band_key) rows: one 64-bit LSH band key per band per id.
+
+    Explode-then-aggregate formulation: per (doc, shingle) row compute
+    all k hashes as PLAIN columns, then k min-aggregates per doc. Every
+    expression stays inside whole-stage codegen (array-lambda HOFs are
+    interpreted per element — ~10× slower measured at sf0.1), and the
+    partial aggregation makes the shuffle k longs per doc. The
+    variable-length shingle string is hashed ONCE to a long, then the k
+    hash functions re-hash that 8-byte long with the seed — ~4× less
+    hashed bytes than seeding xxhash64 over the string k times. Each
+    r-long band slice collapses to one 64-bit key so the join key is
+    fixed-width (cheap shuffle) instead of an array.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    seeds = list(range(1, num_hashes + 1))
+    exploded = df.select(
+        F.col(id_col).alias("__id"), F.explode(shingles_col).alias("__sh")
+    ).select("__id", F.xxhash64("__sh").alias("__h"))
+    mins = exploded.groupBy("__id").agg(
+        *[F.min(F.xxhash64("__h", F.lit(s))).alias(f"__m{s}") for s in seeds]
+    )
+    band_keys = F.array(
+        *[
+            F.xxhash64(F.lit(b), *[F.col(f"__m{b * r + j + 1}") for j in range(r)])
+            for b in range(bands)
+        ]
+    )
+    return mins.select("__id", F.explode(band_keys).alias("band_key"))
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -81,33 +120,7 @@ def minhash_lsh_candidates(
     default (r=4, b=32): j=0.5 → 0.87, j=0.8 → ~1-1e-13. Rows with
     empty shingle sets never collide (their minhash is NULL).
     """
-    if num_hashes % bands:
-        raise ValueError("num_hashes must be divisible by bands")
-    r = num_hashes // bands
-    # Explode-then-aggregate formulation: per (doc, shingle) row compute
-    # all k hashes as PLAIN columns, then k min-aggregates per doc. Every
-    # expression stays inside whole-stage codegen (array-lambda HOFs are
-    # interpreted per element — ~10× slower measured at sf0.1), and the
-    # partial aggregation makes the shuffle k longs per doc.
-    seeds = list(range(1, num_hashes + 1))
-    # hash the variable-length shingle string ONCE to a long, then derive
-    # the k hash functions by re-hashing that 8-byte long with the seed —
-    # ~4× less hashed bytes than seeding xxhash64 over the string k times
-    exploded = df.select(
-        F.col(id_col).alias("__id"), F.explode(shingles_col).alias("__sh")
-    ).select("__id", F.xxhash64("__sh").alias("__h"))
-    mins = exploded.groupBy("__id").agg(
-        *[F.min(F.xxhash64("__h", F.lit(s))).alias(f"__m{s}") for s in seeds]
-    )
-    # collapse each r-long band slice to one 64-bit key so the join key is
-    # fixed-width (cheap shuffle) instead of an array
-    band_keys = F.array(
-        *[
-            F.xxhash64(F.lit(b), *[F.col(f"__m{b * r + j + 1}") for j in range(r)])
-            for b in range(bands)
-        ]
-    )
-    banded = mins.select("__id", F.explode(band_keys).alias("band_key"))
+    banded = _band_keys(df, id_col, shingles_col, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -157,6 +170,59 @@ def minhash_dedup_pairs(
         .withColumn("jaccard_sim", F.round(jaccard(F.col("__sh_a"), F.col("__sh_b")), 6))
         .where(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
+def minhash_incremental_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    shingle_words: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Incremental dedup: near-duplicate pairs BETWEEN a new batch and
+    an existing corpus (the continuous-ingestion shape — each incoming
+    shard is checked against the already-accepted corpus, never against
+    itself). Output ``(batch_id, corpus_id, jaccard_sim)``.
+
+    Same banded-LSH candidate generation as :func:`minhash_dedup_pairs`
+    but as a two-sided equi-join on band keys: candidate volume is
+    O(matching bands), never |batch| × |corpus|. At 100 TB the corpus
+    band table is computed once and reused across incoming batches
+    (write it to a bucketed table on ``band_key``), so each increment
+    shuffles only the batch side.
+    """
+    def _sh(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("__id"),
+            word_shingles(F.col(text_col), shingle_words).alias("__shingles"),
+        ).where(F.size("__shingles") > 0)
+
+    sh_c, sh_b = _sh(corpus).cache(), _sh(batch).cache()
+    bands_c = _band_keys(sh_c, "__id", "__shingles", num_hashes, bands)
+    bands_b = _band_keys(sh_b, "__id", "__shingles", num_hashes, bands)
+    cand = (
+        bands_b.select(F.col("__id").alias("batch_id"), "band_key")
+        .join(
+            bands_c.select(F.col("__id").alias("corpus_id"), "band_key"),
+            "band_key",
+        )
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    a = sh_b.select(F.col("__id").alias("batch_id"), F.col("__shingles").alias("__sh_a"))
+    b = sh_c.select(F.col("__id").alias("corpus_id"), F.col("__shingles").alias("__sh_b"))
+    return (
+        cand.join(a, "batch_id")
+        .join(b, "corpus_id")
+        .withColumn(
+            "jaccard_sim", F.round(jaccard(F.col("__sh_a"), F.col("__sh_b")), 6)
+        )
+        .where(F.col("jaccard_sim") >= threshold)
+        .select("batch_id", "corpus_id", "jaccard_sim")
     )
 
 

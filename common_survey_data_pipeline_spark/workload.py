@@ -28,6 +28,7 @@ from common_survey_data_pipeline_spark.operators.decontam import (
     repetition_metrics,
 )
 from common_survey_data_pipeline_spark.operators.dedup import (
+    minhash_incremental_pairs,
     exact_dedup_groups,
     minhash_dedup_pairs,
     neardup_clusters,
@@ -3479,6 +3480,143 @@ def q_token_hist(spark, sf_dir):
             F.max("n_tokens").alias("max_tokens"),
             F.sum("n_chars").alias("total_chars"),
         )
+    )
+
+
+@register(
+    "dedup_incremental",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS shingles
+      FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    )
+    SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+           round(len(list_intersect(b.shingles, c.shingles))::DOUBLE
+                 / NULLIF(len(list_distinct(b.shingles || c.shingles)), 0),
+                 6) AS jaccard_sim
+    FROM sh b JOIN sh c
+      ON (b.doc_id % 10 = 0) AND (c.doc_id % 10 <> 0)
+    WHERE len(b.shingles) > 0 AND len(c.shingles) > 0
+      AND round(len(list_intersect(b.shingles, c.shingles))::DOUBLE
+                / NULLIF(len(list_distinct(b.shingles || c.shingles)), 0),
+                6) >= 0.5
+    """,
+)
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental dedup — each incoming batch (doc_id % 10 == 0 stands
+    in for the new shard) checked against the accepted corpus via
+    two-sided banded MinHash-LSH
+    (``operators/dedup.py::minhash_incremental_pairs``); oracled against
+    the exact batch×corpus all-pairs Jaccard. Same recall argument as
+    ``dedup_minhash`` (whose oracle equality over the SUPERSET of these
+    pairs passes): every j≥0.5 pair in this corpus is found and
+    exact-verified."""
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    return minhash_incremental_pairs(
+        corpus, batch, "text", "doc_id", threshold=0.5
+    )
+
+
+@register(
+    "doc_chunking",
+    f"""
+    SELECT doc_id,
+           ((start - 1) // 24)::BIGINT AS chunk_idx,
+           start::BIGINT AS chunk_start,
+           len(chunk)::BIGINT AS n_chunk_tokens,
+           array_to_string(chunk, ' ') AS chunk_text
+    FROM (
+      SELECT doc_id, start,
+             list_slice(toks, start, least(start + 31, len(toks))) AS chunk
+      FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+           unnest(generate_series(1, greatest(len(toks) - 8, 1), 24))
+             AS t(start)
+    )
+    """,
+)
+def q_doc_chunking(spark, sf_dir):
+    """Sequence chunking for training: split each document into
+    32-token windows with stride 24 (8-token overlap) — the standard
+    long-document → fixed-context-window preprocessing step. One
+    explode over per-doc chunk starts; map-only otherwise, no shuffle
+    at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    with_toks = docs.select("doc_id", toks.alias("__toks"))
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("__toks") - 8, F.lit(1)),
+        F.lit(24),
+    )
+    chunked = with_toks.select(
+        "doc_id",
+        F.col("__toks"),
+        F.explode(starts).alias("chunk_start"),
+    ).select(
+        "doc_id",
+        F.floor((F.col("chunk_start") - 1) / 24).cast("long").alias("chunk_idx"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.slice(F.col("__toks"), F.col("chunk_start"), F.lit(32)).alias("__chunk"),
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_start",
+        F.size("__chunk").cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", F.col("__chunk")).alias("chunk_text"),
+    )
+
+
+@register(
+    "vocab_oov_rate",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, count(*) AS tf FROM toks GROUP BY tok
+        ORDER BY tf DESC, tok LIMIT 16)
+    ),
+    per AS (
+      SELECT t.doc_id, count(*) AS n_tokens,
+             sum(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS in_vocab
+      FROM toks t LEFT JOIN vocab v USING (tok)
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+           round(1.0 - in_vocab / n_tokens::DOUBLE, 6) AS oov_rate
+    FROM per
+    """,
+)
+def q_vocab_oov(spark, sf_dir):
+    """Tokenizer-vocabulary coverage: per-document out-of-vocabulary
+    rate against the corpus's top-16 tokens (ties broken by token
+    string — deterministic across engines). The vocabulary is a
+    vocabulary-sized aggregate (≪ corpus) that AQE broadcasts; the
+    corpus shuffles once for the per-doc group-by."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("tf"))
+        .orderBy(F.col("tf").desc(), "tok")
+        .limit(16)
+        .select("tok")
+    )
+    joined = toks.join(
+        vocab.withColumn("__in", F.lit(1)), "tok", "left"
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(
+            F.lit(1.0) - F.sum(F.coalesce(F.col("__in"), F.lit(0))) / F.count("*"),
+            6,
+        ).alias("oov_rate"),
     )
 
 
