@@ -60,6 +60,98 @@ def stream_jsonl_docs(
     )
 
 
+def run_ingest_with_dedup(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    corpus: DataFrame,
+    min_quality: float = 0.3,
+    threshold: float = 0.5,
+    shingle_words: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    partition_by: str = "lang",
+):
+    """Ingestion with ONLINE near-dup rejection: each micro-batch is
+    curated, then checked against the accepted corpus with the same
+    banded MinHash-LSH as the batch path
+    (``operators/dedup.py::minhash_incremental_pairs``); near-duplicates
+    of corpus documents are dropped before the append.
+
+    The corpus shingle/band tables are computed ONCE and cached — per
+    batch only the (small) batch side is hashed and banded, so each
+    trigger costs O(batch) regardless of corpus size. At 100 TB persist
+    the corpus band table bucketed on ``band_key`` instead of caching.
+    ``foreachBatch`` (not a stream-stream join) because the corpus side
+    is static and the anti-join output is per-batch-complete.
+    """
+    from common_survey_data_pipeline_spark.functions.text import (
+        jaccard,
+        word_shingles,
+    )
+    from common_survey_data_pipeline_spark.operators.dedup import _band_keys
+
+    def _shingled(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("doc_id").alias("__id"),
+            word_shingles(F.col("text"), shingle_words).alias("__shingles"),
+        ).where(F.size("__shingles") > 0)
+
+    sh_c = _shingled(corpus).cache()
+    bands_c = (
+        _band_keys(sh_c, "__id", "__shingles", num_hashes, bands)
+        .withColumnRenamed("__id", "corpus_id")
+        .cache()
+    )
+    bands_c.count()  # materialize both caches before the stream starts
+
+    def _process(batch: DataFrame, _batch_id: int) -> None:
+        curated = curate_batch(batch, min_quality)
+        sh_b = _shingled(curated)
+        bands_b = _band_keys(sh_b, "__id", "__shingles", num_hashes, bands)
+        cand = (
+            bands_b.join(bands_c, "band_key")
+            .select(F.col("__id").alias("batch_id"), "corpus_id")
+            .distinct()
+        )
+        dup_ids = (
+            cand.join(
+                sh_b.select(
+                    F.col("__id").alias("batch_id"),
+                    F.col("__shingles").alias("__sh_a"),
+                ),
+                "batch_id",
+            )
+            .join(
+                sh_c.select(
+                    F.col("__id").alias("corpus_id"),
+                    F.col("__shingles").alias("__sh_b"),
+                ),
+                "corpus_id",
+            )
+            .where(
+                F.round(jaccard(F.col("__sh_a"), F.col("__sh_b")), 6)
+                >= threshold
+            )
+            .select(F.col("batch_id").alias("doc_id"))
+            .distinct()
+        )
+        keep = curated.join(dup_ids, "doc_id", "left_anti")
+        (
+            keep.write.mode("append")
+            .partitionBy(partition_by)
+            .parquet(out_dir)
+        )
+
+    return (
+        stream_jsonl_docs(spark, in_dir)
+        .writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def run_ingest_to_parquet(
     spark: SparkSession,
     in_dir: str,

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from common_survey_data_pipeline_spark.functions import text as T
 from common_survey_data_pipeline_spark.operators.coalesce_join import coalesce_left_join
+from common_survey_data_pipeline_spark.operators.cdc import merge_upsert, snapshot_diff
 from common_survey_data_pipeline_spark.operators.curation import curate_corpus
 from common_survey_data_pipeline_spark.operators.decontam import (
     boilerplate_spans,
@@ -3480,6 +3481,105 @@ def q_token_hist(spark, sf_dir):
             F.max("n_tokens").alias("max_tokens"),
             F.sum("n_chars").alias("total_chars"),
         )
+    )
+
+
+_SQL_ORDER_COLS = (
+    "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, "
+    "o_orderpriority"
+)
+
+# the synthetic change batch both CDC queries share: keys %97 get a 5%
+# price bump (exact decimal arithmetic — see the money note at the top),
+# keys %193 are re-inserted under key+100000000
+_SQL_CDC_UPDATES = f"""
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         (o_totalprice::DECIMAL(12,2) * (1.05)::DECIMAL(4,2))::DOUBLE
+           AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 97 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 193 = 0
+"""
+
+
+def _cdc_updates(orders):
+    bumped = orders.where(F.col("o_orderkey") % 97 == 0).withColumn(
+        "o_totalprice",
+        (
+            F.col("o_totalprice").cast("decimal(12,2)")
+            * F.lit(1.05).cast("decimal(4,2)")
+        ).cast("double"),
+    )
+    inserted = orders.where(F.col("o_orderkey") % 193 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(100000000)
+    )
+    return bumped.unionByName(inserted)
+
+
+@register(
+    "merge_upsert_orders",
+    f"""
+    WITH updates AS ({_SQL_CDC_UPDATES})
+    SELECT {_SQL_ORDER_COLS} FROM updates
+    UNION ALL
+    SELECT {_SQL_ORDER_COLS} FROM orders
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+    """,
+)
+def q_merge_upsert(spark, sf_dir):
+    """MERGE INTO (upsert) over the orders snapshot: a change batch of
+    price updates and late-arriving inserts applied in one left-anti
+    join + union (``operators/cdc.py::merge_upsert``) — no per-column
+    coalesce over the untouched majority, one key shuffle that AQE
+    turns into a broadcast when the batch is small."""
+    orders = _t(spark, sf_dir, "orders")
+    return merge_upsert(orders, _cdc_updates(orders), ["o_orderkey"])
+
+
+@register(
+    "cdc_snapshot_diff",
+    f"""
+    WITH updates AS ({_SQL_CDC_UPDATES}),
+    new_snap AS (
+      SELECT * FROM (
+        SELECT {_SQL_ORDER_COLS} FROM updates
+        UNION ALL
+        SELECT {_SQL_ORDER_COLS} FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates))
+      WHERE o_orderkey % 89 <> 0
+    )
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                WHEN n.o_orderkey IS NULL THEN 'D'
+                WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                  OR o.o_custkey IS DISTINCT FROM n.o_custkey
+                  OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                THEN 'U' END AS op
+    FROM orders o FULL OUTER JOIN new_snap n USING (o_orderkey)
+    WHERE (o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+           OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+           OR o.o_custkey IS DISTINCT FROM n.o_custkey
+           OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+    """,
+)
+def q_cdc_diff(spark, sf_dir):
+    """Snapshot diff (CDC extract): compare the orders snapshot against
+    its next version (upserts applied, %89 keys deleted) and emit one
+    (key, op ∈ I/U/D) row per changed key — one full-outer key join
+    with null-safe column comparison
+    (``operators/cdc.py::snapshot_diff``)."""
+    orders = _t(spark, sf_dir, "orders")
+    new_snap = merge_upsert(orders, _cdc_updates(orders), ["o_orderkey"]).where(
+        F.col("o_orderkey") % 89 != 0
+    )
+    return snapshot_diff(
+        orders,
+        new_snap,
+        ["o_orderkey"],
+        ["o_totalprice", "o_custkey", "o_orderstatus"],
     )
 
 

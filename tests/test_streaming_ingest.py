@@ -111,3 +111,43 @@ def test_curate_batch_stream_parity(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(out_dir).select(*cols).collect()))
     want = sorted(map(tuple, batch.select(*cols).collect()))
     assert got == want and len(got) == 6
+
+
+def test_ingest_with_dedup_drops_corpus_near_dups(spark, tmp_path):
+    from common_survey_data_pipeline_spark.streaming.ingest import (
+        run_ingest_with_dedup,
+    )
+
+    in_dir = tmp_path / "drop"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "corpus_out")
+    ckpt = str(tmp_path / "ckpt_dedup")
+    corpus_text = _GOOD + " already accepted into the corpus some time ago"
+    corpus = spark.createDataFrame(
+        [(1000, corpus_text, "en", "srcA")], DOC_SCHEMA
+    )
+    fresh = (
+        "completely different sentences about ships and harbors that "
+        "share nothing with the accepted corpus document at all and it "
+        "is a long enough fine text that you would like"
+    )
+    # batch 1: an exact copy of a corpus doc (dup) + a fresh doc
+    _drop_file(
+        in_dir / "b0.jsonl",
+        [_doc(1, corpus_text), _doc(2, fresh)],
+    )
+    # batch 2: a near-copy (one word changed → high jaccard) + junk
+    _drop_file(
+        in_dir / "b1.jsonl",
+        [_doc(3, corpus_text.replace("morning", "evening")), _doc(4, _JUNK)],
+    )
+    q = run_ingest_with_dedup(spark, str(in_dir), out_dir, ckpt, corpus)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        r.doc_id for r in spark.read.parquet(out_dir).select("doc_id").collect()
+    )
+    # 1 and 3 are near-dups of the corpus, 4 fails quality: only 2 lands
+    assert got == [2]
