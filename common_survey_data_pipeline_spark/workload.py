@@ -3584,6 +3584,44 @@ def q_cdc_diff(spark, sf_dir):
 
 
 @register(
+    "length_p99_outliers",
+    f"""
+    WITH t AS (
+      SELECT doc_id, len({_SQL_TOKS})::BIGINT AS n_tokens FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY n_tokens, doc_id)::BIGINT AS tail_rank,
+             count(*) OVER ()::BIGINT AS n_total
+      FROM t
+    )
+    SELECT doc_id, n_tokens, tail_rank
+    FROM r WHERE tail_rank > ceil(0.99 * n_total)
+    """,
+)
+def q_length_outliers(spark, sf_dir):
+    """EXACT global-quantile outlier filter: documents beyond the
+    rank-based P99 token-count cut (rank > ceil(0.99·N) under the total
+    order (n_tokens, doc_id)) — the length-cap step of corpus curation,
+    computed exactly rather than with approx_percentile. The global
+    rank comes from the distributed ranking kernel
+    (``operators/ranking.py``), not a partition-less Window, and N is a
+    1-row broadcast aggregate — so the exact quantile costs one range
+    shuffle at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", T.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    ranked = global_row_number(t, ["n_tokens", "doc_id"], name="tail_rank")
+    n = t.agg(F.count("*").alias("n_total"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .where(F.col("tail_rank") > F.ceil(F.lit(0.99) * F.col("n_total")))
+        .select("doc_id", "n_tokens", F.col("tail_rank").cast("long").alias("tail_rank"))
+    )
+
+
+@register(
     "dedup_incremental",
     f"""
     WITH sh AS (

@@ -82,3 +82,60 @@ def test_boilerplate_spans_cross_doc_counts(spark):
     assert out[shared]["first_doc"] == 1
     # spans unique to one doc are excluded
     assert all(r["n_docs"] >= 2 for r in out.values())
+
+
+# --- property tests vs a Python reference model ---------------------------
+
+from hypothesis import given, settings, strategies as st
+
+_tok = st.sampled_from(["alpha", "beta", "gamma", "delta"])
+_text = st.lists(_tok, min_size=0, max_size=12).map(" ".join)
+
+
+def _grams(text, n):
+    toks = text.split()
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+@given(trains=st.lists(_text, min_size=1, max_size=6),
+       evals=st.lists(_text, min_size=1, max_size=3))
+@settings(max_examples=10, deadline=None)
+def test_decontaminate_matches_model(spark, trains, evals):
+    train_df = spark.createDataFrame(list(enumerate(trains)), "doc_id long, text string")
+    eval_df = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(evals)], "doc_id long, text string"
+    )
+    eval_vocab = {g for t in evals for g in _grams(t, 4)}
+    want = {}
+    for i, t in enumerate(trains):
+        hits = {g for g in _grams(t, 4)} & eval_vocab
+        if hits:
+            want[i] = len(hits)
+    got = {
+        r["doc_id"]: r["n_contaminated_grams"]
+        for r in ngram_decontaminate(train_df, eval_df, n=4).collect()
+    }
+    assert got == want
+
+
+@given(texts=st.lists(_text, min_size=1, max_size=6))
+@settings(max_examples=10, deadline=None)
+def test_repetition_metrics_match_model(spark, texts):
+    from collections import Counter
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        if not toks:
+            assert i not in got
+            continue
+        c2 = Counter(_grams(t, 2))
+        c3 = Counter(_grams(t, 3))
+        top2 = max(c2.values(), default=0)
+        dup3 = sum(v - 1 for v in c3.values())
+        r = got[i]
+        assert r["n_tokens"] == len(toks)
+        assert r["top2_cnt"] == top2
+        assert abs(r["top2_frac"] - round(2.0 * top2 / len(toks), 6)) < 1e-9
+        assert abs(r["dup3_frac"] - round(3.0 * dup3 / len(toks), 6)) < 1e-9
