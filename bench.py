@@ -62,6 +62,10 @@ BENCH_QUERIES = (
     "scd2_user_history",
     "zorder_layout_stats",
     "epoch_shuffle",
+    "crossdoc_dup_rate",
+    "embedding_kmeans_sizes",
+    "j11_attribution_join",
+    "quality_weighted_sample",
 )
 
 

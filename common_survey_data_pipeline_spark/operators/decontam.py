@@ -9,6 +9,10 @@
 - :func:`boilerplate_spans` — word spans shared verbatim across many
   distinct documents (corpus-level boilerplate: headers, license
   blurbs, navigation chrome).
+- :func:`crossdoc_duplication` — per-document fraction of its distinct
+  word n-grams that also occur in at least one OTHER document (the
+  corpus-duplication rate metric of Lee et al., "Deduplicating Training
+  Data Makes Language Models Better").
 
 All three are pure DataFrame compositions (explode → equi-join /
 group-by) — no UDFs, no all-pairs stage, no driver-side loops — so each
@@ -156,4 +160,36 @@ def boilerplate_spans(
             F.min(id_col).alias("first_doc"),
         )
         .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def crossdoc_duplication(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document cross-corpus duplication rate: of each document's
+    DISTINCT word n-grams, the count (``n_shared``) and fraction
+    (``dup_share``) that appear verbatim in ≥1 other document. Returns
+    ``(id_col, n_grams, n_shared, dup_share)`` for documents with at
+    least one n-gram; high ``dup_share`` marks near-copies that survive
+    exact dedup (mirror pages, light edits of templated text).
+
+    Two shuffles, both linear in corpus tokens: gram-keyed count to get
+    each gram's distinct-document frequency (map-side partials absorb
+    hot boilerplate grams), then doc-keyed aggregation of the shared
+    flags. No pairwise stage — this is the metric-side complement of
+    MinHash pair mining (`dedup.py`), usable as a standalone filter.
+    """
+    grams = _exploded_shingles(docs, text_col, id_col, n)
+    freq = grams.groupBy("gram").agg(F.count("*").alias("n_docs"))
+    flagged = grams.join(freq, "gram").select(
+        F.col(id_col),
+        (F.col("n_docs") >= 2).cast("long").alias("shared"),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        F.sum("shared").alias("n_shared"),
+        F.round(F.sum("shared") / F.count("*"), 6).alias("dup_share"),
     )

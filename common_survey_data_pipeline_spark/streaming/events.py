@@ -165,6 +165,60 @@ def running_user_totals(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     )
 
 
+def attribution_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Marketing-attribution join: every (purchase, prior click) pair
+    where the click is by the same user within ``window`` before the
+    purchase (``p_ts - window <= c_ts < p_ts``). Returns
+    ``(purchase_id, user_id, p_ts, click_id, c_ts)``; with
+    ``how='left_outer'`` zero-click purchases survive with NULL click
+    columns (so a downstream ``count(click_id)`` gives per-purchase
+    click counts in ONE join + ONE aggregation — no join-back).
+
+    Streaming inputs become a real STREAM-STREAM inner join: both sides
+    get a watermark and the join condition carries the explicit time
+    bound, so Spark can expire click state older than
+    ``watermark + window`` — bounded state at any input rate.
+
+    Batch inputs take the identical plan minus watermarks: one shuffle
+    of both sides on ``user_id`` (the equi key), range predicate applied
+    in the same stage — per-user state is bounded by that user's
+    activity, never corpus-wide, so the join survives 100 TB of events
+    as long as single users stay human-scale (salt bots upstream via
+    ``temporal_joins.salted_join``).
+    """
+    p = purchases
+    c = clicks
+    if p.isStreaming:
+        p = p.withWatermark(ts_col, watermark)
+    if c.isStreaming:
+        c = c.withWatermark(ts_col, watermark)
+    p = p.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col(ts_col).alias("p_ts"),
+    )
+    c = c.select(
+        F.col("user_id").alias("__c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col(ts_col).alias("c_ts"),
+    )
+    cond = (
+        (p["user_id"] == c["__c_user"])
+        & (c["c_ts"] >= p["p_ts"] - F.expr(f"INTERVAL {window}"))
+        & (c["c_ts"] < p["p_ts"])
+    )
+    return p.join(c, cond, how).select(
+        "purchase_id", "user_id", "p_ts", "click_id", "c_ts"
+    )
+
+
 def stream_from_parquet(
     spark: SparkSession,
     path: str,

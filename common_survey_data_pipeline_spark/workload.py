@@ -23,8 +23,12 @@ from common_survey_data_pipeline_spark.functions import text as T
 from common_survey_data_pipeline_spark.operators.coalesce_join import coalesce_left_join
 from common_survey_data_pipeline_spark.operators.cdc import merge_upsert, snapshot_diff
 from common_survey_data_pipeline_spark.operators.curation import curate_corpus
+from common_survey_data_pipeline_spark.operators.clustering import (
+    assign_clusters,
+)
 from common_survey_data_pipeline_spark.operators.decontam import (
     boilerplate_spans,
+    crossdoc_duplication,
     ngram_decontaminate,
     repetition_metrics,
 )
@@ -67,6 +71,7 @@ from common_survey_data_pipeline_spark.operators.similarity import (
 )
 from common_survey_data_pipeline_spark.sources.tables import load_table
 from common_survey_data_pipeline_spark.streaming.events import (
+    attribution_join,
     dedup_events,
     session_stats,
     tumbling_counts,
@@ -4015,6 +4020,556 @@ def q_corpus_boilerplate(spark, sf_dir):
     ``operators/decontam.py::boilerplate_spans``."""
     docs = _t(spark, sf_dir, "documents")
     return boilerplate_spans(docs, "text", "doc_id", n=5, min_docs=2)
+
+
+@register(
+    "crossdoc_dup_rate",
+    f"""
+    WITH g AS (
+      SELECT doc_id, unnest({_sql_word_grams(8)}) AS gram
+      FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    ),
+    f AS (SELECT gram, count(*) AS n_docs FROM g GROUP BY gram)
+    SELECT doc_id, count(*) AS n_grams,
+           sum((n_docs >= 2)::BIGINT)::BIGINT AS n_shared,
+           round(sum((n_docs >= 2)::BIGINT) / count(*), 6) AS dup_share
+    FROM g JOIN f USING (gram)
+    GROUP BY doc_id
+    """,
+)
+def q_crossdoc_dup(spark, sf_dir):
+    """Per-document cross-corpus duplication rate (Lee et al.): the
+    fraction of each doc's distinct word 8-grams that appear verbatim in
+    ≥1 other document — the metric view of near-duplication, usable as a
+    standalone quality filter where MinHash pair mining (dedup_minhash)
+    is the removal view. Rounding to 6 is exact: the denominator is the
+    per-doc distinct-gram count (< 128 = 2^7), so no decimal tie at the
+    7th digit exists (see the money-rounding note at module top).
+
+    ``operators/decontam.py::crossdoc_duplication`` — two linear
+    shuffles (gram-keyed frequency with map-side partials, then
+    doc-keyed rollup); no all-pairs stage.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return crossdoc_duplication(docs, "text", "doc_id", n=8)
+
+
+_SQL_SQDIST = (
+    "list_sum(list_transform(generate_series(1, len(e.embedding)),"
+    " i -> (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE)"
+    " * (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE)))"
+)
+
+
+@register(
+    "embedding_kmeans_sizes",
+    f"""
+    WITH c AS (
+      SELECT vec_id AS cluster_id, embedding AS cvec
+      FROM embeddings WHERE vec_id < 8
+    ),
+    d AS (
+      SELECT e.vec_id, c.cluster_id, {_SQL_SQDIST} AS sq
+      FROM embeddings e CROSS JOIN c
+    ),
+    a AS (
+      SELECT vec_id, cluster_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sq, cluster_id) AS rn
+      FROM d
+    )
+    SELECT cluster_id::INT AS cluster_id, count(*) AS n_vecs,
+           min(vec_id) AS min_vec, max(vec_id) AS max_vec
+    FROM a WHERE rn = 1
+    GROUP BY 1
+    """,
+)
+def q_kmeans_sizes(spark, sf_dir):
+    """K-means assignment census: assign every embedding to its nearest
+    of k=8 deterministic centroids (the vectors with vec_id < 8) by
+    squared-L2, ties to the smallest centroid id, and report cluster
+    sizes — the corpus-diversification primitive (cluster then sample
+    per cluster to balance topics).
+
+    Scale shape (``operators/clustering.py::assign_clusters``): the
+    centroids are baked into a closed-form JVM expression — the
+    assignment is a NARROW map with zero shuffles and no crossJoin row
+    explosion; the census is one 8-group aggregation with map-side
+    partials. Element arithmetic is double with a sequential sum, so the
+    DuckDB oracle's ``list_sum(list_transform(...))`` is bit-identical
+    and argmin ties break the same way on both engines.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id") < 8).collect()
+    ]
+    return (
+        assign_clusters(emb, centroids)
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("vec_id").alias("min_vec"),
+            F.max("vec_id").alias("max_vec"),
+        )
+    )
+
+
+@register(
+    "embedding_dim_stats",
+    """
+    SELECT i::INT AS dim,
+           round(avg(e.embedding[i]::DOUBLE), 6) AS mean_v,
+           round(stddev_samp(e.embedding[i]::DOUBLE), 6) AS sd_v,
+           min(e.embedding[i]::DOUBLE) AS min_v,
+           max(e.embedding[i]::DOUBLE) AS max_v
+    FROM embeddings e,
+         unnest(generate_series(1, len(e.embedding))) AS t(i)
+    GROUP BY 1
+    """,
+)
+def q_embedding_dim_stats(spark, sf_dir):
+    """Per-dimension distribution report over the embedding column
+    (mean/sd/min/max for each of the 64 dims) — the drift/health check a
+    production embedding pipeline runs per batch (dead dims, scale
+    drift, clipped values). ``posexplode`` fans each vector into (dim,
+    value) pairs JVM-side, then one 64-group aggregation with map-side
+    partials; min/max are exact float comparisons, mean/sd rounded to 6.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.col("val").cast("double").alias("v"),
+    )
+    return exploded.groupBy("dim").agg(
+        F.round(F.avg("v"), 6).alias("mean_v"),
+        F.round(F.stddev_samp("v"), 6).alias("sd_v"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+
+
+@register(
+    "j11_attribution_join",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id,
+           count(c.event_id) AS n_prior_clicks
+    FROM events p
+    LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY 1, 2
+    """,
+)
+def q_attribution(spark, sf_dir):
+    """Marketing attribution: for every purchase, the count of clicks by
+    the same user in the preceding hour (window ``[p_ts - 1h, p_ts)``),
+    zero-click purchases included.
+
+    ``streaming/events.py::attribution_join`` — the SAME operator runs
+    as a real stream-stream join under Structured Streaming (watermarks
+    bound click state; see tests/test_streaming.py). Batch plan: ONE
+    left-outer join of both sides on user_id (the equi key, range
+    predicate applied in-stage) then one purchase-keyed count —
+    ``count(click_id)`` ignores the NULLs of zero-click purchases, so
+    no join-back stage exists.
+    """
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    clicks = ev.where(F.col("event_type") == "click")
+    pairs = attribution_join(
+        purchases, clicks, window="1 hour", how="left_outer"
+    )
+    return pairs.groupBy("purchase_id", "user_id").agg(
+        F.count("click_id").cast("long").alias("n_prior_clicks")
+    )
+
+
+@register(
+    "a7_multi_distinct",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(DISTINCT l_orderkey) AS n_orders,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_multi_distinct(spark, sf_dir):
+    """Several COUNT(DISTINCT ...) over different columns in ONE
+    aggregation — Spark rewrites this with an Expand node (one replicated
+    stream per distinct column) feeding a single shuffle, instead of N
+    self-joined single-distinct aggregates. The cardinality-profile
+    query every pipeline runs before choosing join strategies."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "skew_report",
+    """
+    WITH k AS (
+      SELECT l_partkey AS key, count(*) AS n_rows
+      FROM lineitem GROUP BY 1
+    ),
+    t AS (SELECT sum(n_rows)::DOUBLE AS total, avg(n_rows) AS avg_n FROM k)
+    SELECT row_number() OVER (ORDER BY n_rows DESC, key) AS rank,
+           key, n_rows,
+           round(n_rows / total, 6) AS share,
+           round(n_rows / avg_n, 2) AS skew_x
+    FROM k, t
+    ORDER BY n_rows DESC, key LIMIT 20
+    """,
+)
+def q_skew_report(spark, sf_dir):
+    """Join-key skew diagnostics: the 20 heaviest l_partkey values with
+    their corpus share and skew factor (count / mean count per key) —
+    the report that decides whether a join needs `j8`-style salting or
+    AQE skew handling before it runs at 100 TB.
+
+    One key-keyed count with map-side partials (hot keys absorbed
+    pre-shuffle), a 1-row global aggregate broadcast back, and a
+    TakeOrderedAndProject top-20 — no global sort.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    k = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    t = k.agg(
+        F.sum("n_rows").cast("double").alias("total"),
+        F.avg("n_rows").alias("avg_n"),
+    )
+    top = (
+        k.crossJoin(F.broadcast(t))
+        .orderBy(F.col("n_rows").desc(), F.col("key").asc())
+        .limit(20)
+    )
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("key").asc())
+    return top.select(
+        F.row_number().over(w).alias("rank"),
+        "key",
+        "n_rows",
+        F.round(F.col("n_rows") / F.col("total"), 6).alias("share"),
+        F.round(F.col("n_rows") / F.col("avg_n"), 2).alias("skew_x"),
+    )
+
+
+@register(
+    "quality_weighted_sample",
+    f"""
+    WITH q AS (SELECT doc_id, {_SQL_QUALITY_EXPR} AS quality FROM documents)
+    SELECT doc_id, quality
+    FROM q
+    WHERE ((doc_id * 2654435761) % 4294967296) / 4294967296.0
+          < quality * quality
+    """,
+)
+def q_quality_weighted_sample(spark, sf_dir):
+    """Quality-weighted corpus sampling (the CCNet/RedPajama-style
+    upsample-good-text step): keep each document with probability
+    ``quality²`` (temperature=2 sharpening), decided by a DETERMINISTIC
+    per-doc uniform — the Knuth multiplicative hash
+    ``(doc_id · 2654435761) mod 2³² / 2³²`` — so the sample is
+    reproducible across engines, partitionings and reruns (unlike
+    ``rand()``-based sampling). Narrow map, zero shuffles; the integer
+    hash and the squared weight are exact on both engines, so the
+    kept-set is bit-identical.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id", T.quality_score(F.col("text")).alias("quality")
+    )
+    u = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) / F.lit(
+        4294967296.0
+    )
+    return q.where(u < F.col("quality") * F.col("quality"))
+
+
+@register(
+    "collection_functions",
+    """
+    WITH per_order AS (
+      SELECT l_orderkey,
+             list_sort(list_distinct(list(l_partkey))) AS parts
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           len(parts)::INT AS n_parts,
+           array_to_string(parts[1:3], ',') AS first3,
+           list_min(parts) AS min_part,
+           list_max(parts) AS max_part,
+           list_sum(list_transform(parts, x -> x % 10))::BIGINT AS mod_sum
+    FROM per_order
+    """,
+)
+def q_collection_functions(spark, sf_dir):
+    """Collection-function breadth on an array column built per order:
+    collect_set → sort_array → size / slice+array_join / array_min /
+    array_max / transform+aggregate. All JVM higher-order functions —
+    the array never leaves Tungsten rows, and the only shuffle is the
+    orderkey group-by."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    return per_order.select(
+        "l_orderkey",
+        F.size("parts").alias("n_parts"),
+        F.array_join(F.slice("parts", 1, 3), ",").alias("first3"),
+        F.array_min("parts").alias("min_part"),
+        F.array_max("parts").alias("max_part"),
+        F.aggregate(
+            F.transform("parts", lambda x: x % 10),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("mod_sum"),
+    )
+
+
+@register(
+    "a8_approx_quantile_contract",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
+           (abs(approx_quantile(o_totalprice, 0.5)
+                / quantile_cont(o_totalprice, 0.5) - 1) < 0.02) AS approx_ok
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_a8(spark, sf_dir):
+    """Approximate-quantile sketch contract, the `a6` trick applied to
+    percentiles: sketch internals differ per engine (Spark
+    Greenwald-Khanna at accuracy=10000, DuckDB t-digest), so the
+    hash-compared contract is the exact median plus each engine's own
+    boolean that its sketch lands within 2% of it. At 100 TB the sketch
+    column is the one you keep — single pass, fixed memory — and this
+    contract is the regression test that keeps it honest."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("exact_p50"),
+        (
+            F.abs(
+                F.expr("approx_percentile(o_totalprice, 0.5, 10000)")
+                / F.expr("percentile(o_totalprice, 0.5)")
+                - 1
+            )
+            < 0.02
+        ).alias("approx_ok"),
+    )
+
+
+@register(
+    "profile_orders",
+    """
+    SELECT 'o_custkey' AS column_name,
+           sum((o_custkey IS NULL)::BIGINT)::BIGINT AS n_nulls,
+           count(DISTINCT o_custkey) AS n_distinct,
+           min(o_custkey)::VARCHAR AS min_s,
+           max(o_custkey)::VARCHAR AS max_s
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', sum((o_orderstatus IS NULL)::BIGINT)::BIGINT,
+           count(DISTINCT o_orderstatus),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', sum((o_totalprice IS NULL)::BIGINT)::BIGINT,
+           count(DISTINCT o_totalprice),
+           min(o_totalprice::DECIMAL(14,2))::VARCHAR,
+           max(o_totalprice::DECIMAL(14,2))::VARCHAR
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', sum((o_orderdate IS NULL)::BIGINT)::BIGINT,
+           count(DISTINCT o_orderdate),
+           min(o_orderdate::DATE)::VARCHAR, max(o_orderdate::DATE)::VARCHAR
+    FROM orders
+    """,
+)
+def q_profile_orders(spark, sf_dir):
+    """One-pass column profiler (the Deequ/Glue-profiler shape): null
+    count, distinct count, min and max for a column set, emitted as one
+    row per column. All four column profiles compute in a SINGLE scan +
+    aggregation (per-column aggregates side by side, then an in-memory
+    unpivot of the 1-row frame) — never one job per column. Min/max are
+    normalized to strings via DECIMAL/DATE casts so both engines format
+    identically."""
+    orders = _t(spark, sf_dir, "orders")
+    row = orders.agg(
+        *[
+            a
+            for c, mn, mx in (
+                (
+                    "o_custkey",
+                    F.min("o_custkey").cast("string"),
+                    F.max("o_custkey").cast("string"),
+                ),
+                (
+                    "o_orderstatus",
+                    F.min("o_orderstatus"),
+                    F.max("o_orderstatus"),
+                ),
+                (
+                    "o_totalprice",
+                    F.min(F.col("o_totalprice").cast("decimal(14,2)")).cast(
+                        "string"
+                    ),
+                    F.max(F.col("o_totalprice").cast("decimal(14,2)")).cast(
+                        "string"
+                    ),
+                ),
+                (
+                    "o_orderdate",
+                    F.min(F.col("o_orderdate").cast("date")).cast("string"),
+                    F.max(F.col("o_orderdate").cast("date")).cast("string"),
+                ),
+            )
+            for a in (
+                F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+                F.countDistinct(c).alias(f"{c}__distinct"),
+                mn.alias(f"{c}__min"),
+                mx.alias(f"{c}__max"),
+            )
+        ]
+    )
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    stacked = row.selectExpr(
+        "stack({n}, {args}) AS (column_name, n_nulls, n_distinct, min_s, max_s)".format(
+            n=len(cols),
+            args=", ".join(
+                f"'{c}', `{c}__nulls`, `{c}__distinct`, `{c}__min`, `{c}__max`"
+                for c in cols
+            ),
+        )
+    )
+    return stacked
+
+
+@register(
+    "dq_checks",
+    """
+    SELECT 'orders_pk_dup' AS check_name,
+           coalesce(sum(n - 1), 0)::BIGINT AS n_bad
+    FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'lineitem_fk_orphan', count(*)::BIGINT
+    FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'customer_null_name', sum((c_name IS NULL)::BIGINT)::BIGINT
+    FROM customer
+    UNION ALL
+    SELECT 'lineitem_nonpos_qty', sum((l_quantity <= 0)::BIGINT)::BIGINT
+    FROM lineitem
+    """,
+)
+def q_dq_checks(spark, sf_dir):
+    """Data-quality assertion suite (the Deequ-style pre-flight a
+    pipeline runs before publishing a table): primary-key uniqueness on
+    orders, referential integrity lineitem→orders (anti-join orphan
+    count), null-rate and domain checks — one row per check, n_bad == 0
+    everywhere on healthy data. The FK check is the only shuffle (a
+    LeftAnti join on the key); the rest are map-side conditional sums.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    pk_dup = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .agg(
+            F.coalesce(F.sum(F.col("n") - 1), F.lit(0))
+            .cast("long")
+            .alias("n_bad")
+        )
+        .select(F.lit("orders_pk_dup").alias("check_name"), "n_bad")
+    )
+    orphans = (
+        anti_join(li, orders, "l_orderkey", "o_orderkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bad"))
+        .select(F.lit("lineitem_fk_orphan").alias("check_name"), "n_bad")
+    )
+    null_name = cust.agg(
+        F.sum(F.col("c_name").isNull().cast("long")).cast("long").alias("n_bad")
+    ).select(F.lit("customer_null_name").alias("check_name"), "n_bad")
+    nonpos = li.agg(
+        F.sum((F.col("l_quantity") <= 0).cast("long")).cast("long").alias("n_bad")
+    ).select(F.lit("lineitem_nonpos_qty").alias("check_name"), "n_bad")
+    return pk_dup.unionByName(orphans).unionByName(null_name).unionByName(nonpos)
+
+
+@register(
+    "value_histogram",
+    """
+    SELECT floor(value / 10.0)::BIGINT AS bin, count(*) AS n,
+           round(avg(value), 4) AS avg_v
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_value_histogram(spark, sf_dir):
+    """Fixed-width histogram of the event value distribution (bin width
+    10) — the profiling primitive behind skew/outlier dashboards. A
+    single map-side-partial aggregation into a few dozen bins; at
+    100 TB the network moves one row per bin per partition."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.floor(F.col("value") / 10.0).cast("long").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_v"),
+    )
+
+
+@register(
+    "copurchase_pairs",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(*) AS n_orders
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, part_a, part_b LIMIT 20
+    """,
+)
+def q_copurchase(spark, sf_dir):
+    """Market-basket co-occurrence: the 20 part pairs most often bought
+    in the same order (ties broken by the pair keys). Bipartite
+    two-hop: dedup (order, part), self equi-join on the ORDER key —
+    fanout per order is that order's item count squared, bounded by
+    basket size (~7), never corpus size — then a pair-keyed count with
+    map-side partials and a TakeOrderedAndProject top-20. The plan
+    survives 100 TB because both shuffles key on bounded-fanout ids;
+    the classic hot-basket skew case (one order with 10⁶ items) is the
+    `j8` salting territory, not this query's."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"),
+        F.col("b.l_partkey").alias("part_b"),
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(20)
+    )
 
 
 # ---------------------------------------------------------------------------

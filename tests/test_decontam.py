@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from common_survey_data_pipeline_spark.operators.decontam import (
     boilerplate_spans,
+    crossdoc_duplication,
     ngram_decontaminate,
     repetition_metrics,
 )
@@ -14,6 +15,23 @@ from common_survey_data_pipeline_spark.operators.decontam import (
 
 def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_crossdoc_duplication_shares(spark):
+    # doc 1 and 2 share the 2-gram "a b"; doc 3 shares nothing
+    docs = _docs(
+        spark,
+        [(1, "a b c"), (2, "a b d"), (3, "x y z")],
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_shared"], r["dup_share"])
+        for r in crossdoc_duplication(docs, n=2).collect()
+    }
+    assert got == {
+        1: (2, 1, 0.5),  # grams {a b, b c}; "a b" shared
+        2: (2, 1, 0.5),
+        3: (2, 0, 0.0),
+    }
 
 
 def test_ngram_decontaminate_flags_only_overlapping(spark):

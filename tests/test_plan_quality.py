@@ -232,6 +232,11 @@ PARTITIONLESS_WINDOW_ALLOWLIST: dict[str, str] = {
         "TakeOrderedAndProject (asserted in test_topk_is_take_ordered...)"
     ),
     "topk_orders": "same bounded shape: Window above TakeOrderedAndProject",
+    "skew_report": (
+        "rank column over the ALREADY-limited top-20 heavy keys — Window "
+        "sits above TakeOrderedAndProject(limit=20), so the single task "
+        "sees 20 rows regardless of scale"
+    ),
 }
 
 

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from common_survey_data_pipeline_spark.sources.tables import load_table
 from common_survey_data_pipeline_spark.streaming.events import (
+    attribution_join,
     dedup_events,
     running_user_totals,
     run_stream_to_memory,
@@ -94,6 +95,69 @@ def test_stateful_running_totals(spark, sf_dir, event_stream_dir):
     for r in rows:  # memory sink appends in batch order
         last[r["user_id"]] = (r["n_events"], round(r["sum_value"], 4))
     assert last == want
+
+
+def test_stream_stream_attribution_join(spark, sf_dir, event_stream_dir):
+    """attribution_join runs as a REAL stream-stream inner join (both
+    sides watermarked, time-bound condition) and emits exactly the
+    batch operator's pairs once all micro-batches replay."""
+    path, schema = event_stream_dir
+    p_stream = _read_stream(spark, path, schema).where(
+        F.col("event_type") == "purchase"
+    )
+    c_stream = _read_stream(spark, path, schema).where(
+        F.col("event_type") == "click"
+    )
+    # watermark beyond the data span: no pair is dropped during replay
+    run_stream_to_memory(
+        attribution_join(p_stream, c_stream, "1 hour", watermark="3650 days"),
+        "t_attr",
+    )
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT purchase_id, click_id FROM t_attr").collect()
+    }
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in attribution_join(
+            ev.where(F.col("event_type") == "purchase"),
+            ev.where(F.col("event_type") == "click"),
+            "1 hour",
+        ).collect()
+    }
+    assert got == want
+    assert len(want) > 0
+
+
+def test_stream_static_enrichment_join(spark, sf_dir, event_stream_dir):
+    """Stream-static join: a streaming fact side joins a static
+    broadcast dim (customer) per micro-batch — the standard streaming
+    enrichment pattern; the dim is re-broadcast per batch, no state."""
+    path, schema = event_stream_dir
+    stream = _read_stream(spark, path, schema)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id", "left").groupBy(
+        "c_mktsegment"
+    ).count()
+    run_stream_to_memory(enriched, "t_enrich", output_mode="complete")
+    got = {
+        r["c_mktsegment"]: r["count"]
+        for r in spark.sql("SELECT * FROM t_enrich").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r["c_mktsegment"]: r["count"]
+        for r in ev.join(dim, "user_id", "left")
+        .groupBy("c_mktsegment")
+        .count()
+        .collect()
+    }
+    assert got == want and sum(got.values()) == ev.count()
 
 
 def test_incremental_codebook_merge(spark, tmp_path):
