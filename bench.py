@@ -66,6 +66,7 @@ BENCH_QUERIES = (
     "embedding_kmeans_sizes",
     "j11_attribution_join",
     "quality_weighted_sample",
+    "pagerank_parts_2iter",
 )
 
 

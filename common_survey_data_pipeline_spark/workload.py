@@ -4572,6 +4572,103 @@ def q_copurchase(spark, sf_dir):
     )
 
 
+@register(
+    "pagerank_parts_2iter",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT src AS node, count(*) AS d FROM pairs GROUP BY 1),
+    n AS (SELECT count(*)::DOUBLE AS n_nodes FROM deg),
+    r0 AS (SELECT node, 1.0 / n_nodes AS r FROM deg, n),
+    r1 AS (
+      SELECT p.dst AS node,
+             0.15 / any_value(n.n_nodes) + 0.85 * sum(r0.r / deg.d) AS r
+      FROM pairs p
+      JOIN r0  ON r0.node = p.src
+      JOIN deg ON deg.node = p.src
+      CROSS JOIN n
+      GROUP BY p.dst
+    ),
+    r2 AS (
+      SELECT p.dst AS node,
+             0.15 / any_value(n.n_nodes) + 0.85 * sum(r1.r / deg.d) AS r
+      FROM pairs p
+      JOIN r1  ON r1.node = p.src
+      JOIN deg ON deg.node = p.src
+      CROSS JOIN n
+      GROUP BY p.dst
+    )
+    SELECT node, round(r, 9) AS pagerank
+    FROM r2
+    ORDER BY round(r, 9) DESC, node LIMIT 20
+    """,
+)
+def q_pagerank(spark, sf_dir):
+    """Two power iterations of PageRank (damping 0.85) over the
+    co-purchase part graph — the link-analysis pattern (importance
+    propagation over an edge list) expressed as pure DataFrame joins:
+    each iteration is rank ⋈ edges ⋈ out-degree, then a target-keyed
+    sum with map-side partials. Fixed at 2 iterations so the whole
+    computation stays SQL-expressible for the oracle; the iterate-to-
+    convergence form is the same two joins in a driver loop with
+    ``localCheckpoint`` per round (see ``operators/dedup.py::
+    neardup_clusters`` for that pattern under test).
+
+    Scale: the edge list shuffles on src (join) and dst (aggregate) —
+    both linear; degrees are bounded by basket co-occurrence, so no
+    hot-node explosion. Ordering is on the ROUNDED rank (9 digits —
+    float-sum noise is ~1e-17 of values ~1e-3) so the top-20 boundary
+    and exact-tie ordering agree bit-for-bit across engines.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    deg = pairs.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    n = deg.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
+    ranks = deg.crossJoin(F.broadcast(n)).select(
+        "node", (F.lit(1.0) / F.col("n_nodes")).alias("r")
+    )
+    for _ in range(2):
+        contrib = (
+            pairs.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg.withColumnRenamed("node", "src"), "src")
+            .select("dst", (F.col("r") / F.col("d")).alias("c"))
+        )
+        ranks = (
+            contrib.groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("s"))
+            .crossJoin(F.broadcast(n))
+            .select(
+                "node",
+                (F.lit(0.15) / F.col("n_nodes") + F.lit(0.85) * F.col("s")).alias(
+                    "r"
+                ),
+            )
+        )
+    return (
+        ranks.select("node", F.round("r", 9).alias("pagerank"))
+        .orderBy(F.col("pagerank").desc(), "node")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship entry query
 # ---------------------------------------------------------------------------
