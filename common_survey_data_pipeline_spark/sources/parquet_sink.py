@@ -56,3 +56,61 @@ def write_partitioned_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def file_fragmentation_report(spark, path: str) -> dict:
+    """Fragmentation stats of a parquet table: file count and
+    rows-per-file min/avg/max, computed from ``input_file_name()`` in
+    one scan — the signal that decides whether `compact_parquet` is
+    worth running. (Byte sizes would come from the storage listing; row
+    counts are the engine-side proxy that needs no FS round-trip.)"""
+    from pyspark.sql import functions as F
+
+    per_file = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .count()
+    )
+    row = per_file.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.min("count").alias("min_rows"),
+        F.avg("count").alias("avg_rows"),
+        F.max("count").alias("max_rows"),
+    ).collect()[0]
+    return {
+        "n_files": row["n_files"],
+        "min_rows": row["min_rows"],
+        "avg_rows": float(row["avg_rows"]),
+        "max_rows": row["max_rows"],
+    }
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_rows_per_file: int = 1_000_000,
+    sort_within_by: Sequence[str] = (),
+) -> int:
+    """Small-files compaction (the nightly table-maintenance job):
+    rewrite a fragmented parquet directory into ``ceil(rows/target)``
+    right-sized files, optionally re-sorting within files to restore
+    row-group statistics. Returns the output file count.
+
+    The repartition is a single full shuffle of the table — the price
+    of compaction — so at 100 TB this runs per PARTITION of a
+    date-partitioned table (compact yesterday's directory, not the
+    whole corpus), which keeps each run's shuffle bounded by one
+    partition's size."""
+    df = spark.read.parquet(src)
+    n = df.count()
+    n_files = max(1, -(-n // target_rows_per_file))
+    out = df.repartition(n_files)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    (
+        out.write.mode("overwrite")
+        .option("maxRecordsPerFile", target_rows_per_file)
+        .parquet(dst)
+    )
+    return n_files
