@@ -4669,6 +4669,52 @@ def q_pagerank(spark, sf_dir):
     )
 
 
+@register(
+    "incremental_agg_update",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders,
+           sum(o_totalprice::DECIMAL(14,2))::DOUBLE AS total_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_incremental_agg(spark, sf_dir):
+    """Incremental materialized-view maintenance: the per-priority
+    order rollup is kept as a BASE aggregate (orders with
+    o_orderdate < 1996-01-01, standing in for 'already materialized')
+    and refreshed by aggregating ONLY the delta (newer orders) and
+    merging the two partial states — count adds, sum adds — without
+    rescanning the base fact data. The oracle is the full recompute;
+    equality IS the correctness statement of delta maintenance.
+
+    At 100 TB this is the difference between a nightly full-table
+    shuffle and an incremental one over the day's partition: the merge
+    aggregates #groups × 2 rows. Works because count/sum are
+    commutative monoids — avg/percentiles must be carried as their
+    partial states (sum+count, sketch) instead.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1996-01-01").cast("date")
+
+    def partial(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias(
+                "total_price"
+            ),
+        )
+
+    base = partial(orders.where(F.col("o_orderdate") < cutoff))
+    delta = partial(orders.where(F.col("o_orderdate") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("total_price").cast("double").alias("total_price"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship entry query
 # ---------------------------------------------------------------------------
