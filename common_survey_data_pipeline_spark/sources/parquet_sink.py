@@ -58,6 +58,38 @@ def write_partitioned_parquet(
     writer.parquet(path)
 
 
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_by: Sequence[str],
+    num_files: int | None = None,
+    max_records_per_file: int = 1_000_000,
+) -> None:
+    """Globally-sorted parquet export WITHOUT a single-task sort:
+    ``repartitionByRange`` samples the sort keys and range-partitions
+    rows across ``num_files`` tasks (each gets a contiguous key range),
+    then each task sorts only its own partition. File N's key range ends
+    before file N+1's begins, so a reader merging files in name order
+    sees global order, and every file's row-group min/max stats are
+    tight, non-overlapping ranges — maximum pushdown selectivity for
+    range predicates on the sort key.
+
+    This is the scalable form of ``ORDER BY`` + write: the classic
+    ``df.orderBy(...).write`` collapses to one partition-less sort whose
+    final merge bottlenecks on a single machine's spill throughput;
+    range partitioning keeps every stage at width ``num_files``."""
+    if num_files:
+        out = df.repartitionByRange(num_files, *sort_by)
+    else:
+        out = df.repartitionByRange(*sort_by)
+    (
+        out.sortWithinPartitions(*sort_by)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(path)
+    )
+
+
 def file_fragmentation_report(spark, path: str) -> dict:
     """Fragmentation stats of a parquet table: file count and
     rows-per-file min/avg/max, computed from ``input_file_name()`` in

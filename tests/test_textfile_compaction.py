@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from common_survey_data_pipeline_spark.sources.parquet_sink import (
     compact_parquet,
     file_fragmentation_report,
+    write_sorted_parquet,
 )
 from common_survey_data_pipeline_spark.sources.tables import load_table
 from common_survey_data_pipeline_spark.sources.textfile import (
@@ -51,6 +52,34 @@ def test_text_corpus_drops_blank_lines(spark, tmp_path):
     assert sorted(r["text"] for r in got.collect()) == ["another doc", "one doc"]
     kept = read_text_corpus(spark, str(p), drop_blank=False)
     assert kept.count() == 4
+
+
+def test_write_sorted_parquet_global_order(spark, sf_dir, tmp_path):
+    """Range-partitioned sorted export: non-overlapping per-file key
+    ranges (global order across files) without a single-task sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "sorted")
+    write_sorted_parquet(orders, path, sort_by=["o_totalprice"], num_files=4)
+
+    per_file = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    assert 1 < len(per_file) <= 4  # range sampler may merge tiny ranges
+    spans = sorted((r["lo"], r["hi"]) for r in per_file)
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next  # non-overlapping => global order
+    assert sum(r["n"] for r in per_file) == orders.count()
+    # and within every file rows are sorted
+    one = spark.read.parquet(per_file[0]["f"]).select("o_totalprice").collect()
+    vals = [r["o_totalprice"] for r in one]
+    assert vals == sorted(vals)
 
 
 def test_compact_parquet_merges_small_files(spark, sf_dir, tmp_path):
