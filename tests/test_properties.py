@@ -19,7 +19,11 @@ from common_survey_data_pipeline_spark.operators.fuzzy_join import (
     keep_best_match,
     stringdist_left_join,
 )
+from common_survey_data_pipeline_spark.operators.decontam import (
+    crossdoc_duplication,
+)
 from common_survey_data_pipeline_spark.operators.temporal_joins import asof_join
+from common_survey_data_pipeline_spark.streaming.events import attribution_join
 
 # short alphabet → plenty of near-matches within small distances
 texts = st.text(alphabet="abcx ", min_size=0, max_size=8)
@@ -152,3 +156,59 @@ def test_locf_fill_matches_sequential_model(spark, data):
         if v is not None:
             last_seen[k] = v
         assert out[i] == last_seen.get(k)
+
+
+@given(docs=st.lists(
+    st.lists(st.sampled_from("ab"), min_size=0, max_size=6).map("".join),
+    min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_crossdoc_duplication_matches_set_model(spark, docs):
+    # model: per-doc distinct char-bigrams as word 2-grams over a
+    # letter-per-word encoding of the same string
+    rows = [(i, " ".join(t)) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_shared"])
+        for r in crossdoc_duplication(df, n=2).collect()
+    }
+    grams = [
+        {t[i : i + 2] for i in range(len(t) - 1)} for t in docs
+    ]
+    for i, g in enumerate(grams):
+        if not g:
+            assert i not in got  # no n-grams -> no row
+            continue
+        shared = {
+            x for x in g if any(x in h for j, h in enumerate(grams) if j != i)
+        }
+        assert got[i] == (len(g), len(shared))
+
+
+@given(events=st.lists(
+    st.tuples(st.integers(0, 2),        # user
+              st.integers(0, 50),       # minutes offset
+              st.booleans()),           # True = purchase, False = click
+    min_size=1, max_size=12))
+@settings(**SETTINGS)
+def test_attribution_join_matches_window_model(spark, events):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, u, base + dt.timedelta(minutes=m), "purchase" if p else "click")
+        for i, (u, m, p) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    pairs = attribution_join(
+        df.where(F.col("event_type") == "purchase"),
+        df.where(F.col("event_type") == "click"),
+        window="10 minutes",
+    )
+    got = {(r["purchase_id"], r["click_id"]) for r in pairs.collect()}
+    want = {
+        (pi, ci)
+        for pi, (pu, pm, pp) in enumerate(events) if pp
+        for ci, (cu, cm, cp) in enumerate(events)
+        if not cp and pu == cu and pm - 10 <= cm < pm
+    }
+    assert got == want
