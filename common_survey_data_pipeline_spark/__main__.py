@@ -1,4 +1,9 @@
-"""Two-command CLI for the varinfo pipeline.
+"""CLI for the engine.
+
+Reference workflow (two commands around the human-in-the-loop CSV edit,
+see below) plus engine utilities: ``query`` runs any registry operator
+against a parquet table directory, ``compact`` is the small-files
+maintenance job.
 
 The reference's workflow is "run the script, stop, hand-edit a CSV,
 re-run the script" (``/root/reference/README.md:41-43``); the implicit
@@ -51,12 +56,65 @@ def main(argv: list[str] | None = None) -> int:
     fin.add_argument("--out", required=True)
     fin.add_argument("--dashboard-out", required=True)
 
+    q = sub.add_parser(
+        "query",
+        help="run a registry operator (see `query --list`) over a table dir",
+    )
+    q.add_argument("--name", default=None, help="registry query name")
+    q.add_argument("--data", default=None, help="directory of *.parquet tables")
+    q.add_argument("--out", default=None, help="write result parquet here (default: show)")
+    q.add_argument("--list", action="store_true", help="list available queries")
+
+    comp = sub.add_parser("compact", help="small-files maintenance rewrite")
+    comp.add_argument("--src", required=True)
+    comp.add_argument("--dst", required=True)
+    comp.add_argument("--target-rows-per-file", type=int, default=1_000_000)
+    comp.add_argument("--sort-by", default=None, help="comma-separated columns")
+
     for s in (prep, fin):
         s.add_argument("--survey-year", default="2025")
         s.add_argument("--join-column-text", default=None)
         s.add_argument("--max-string-distance", type=int, default=None)
 
     args = p.parse_args(argv)
+
+    if args.command == "query":
+        from common_survey_data_pipeline_spark.workload import REGISTRY
+
+        if args.list or not args.name:
+            try:
+                for name in REGISTRY:
+                    print(name)
+            except BrokenPipeError:  # `... | head` closed the pipe
+                pass
+            return 0
+        if args.name not in REGISTRY:
+            print(f"unknown query {args.name!r}; see `query --list`", file=sys.stderr)
+            return 2
+        spark = get_spark(app_name=f"csdp-query-{args.name}")
+        df = REGISTRY[args.name].fn(spark, args.data)
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        else:
+            df.show(50, truncate=False)
+        return 0
+
+    if args.command == "compact":
+        from common_survey_data_pipeline_spark.sources.parquet_sink import (
+            compact_parquet,
+            file_fragmentation_report,
+        )
+
+        spark = get_spark(app_name="csdp-compact")
+        before = file_fragmentation_report(spark, args.src)
+        n = compact_parquet(
+            spark, args.src, args.dst, args.target_rows_per_file,
+            sort_within_by=args.sort_by.split(",") if args.sort_by else (),
+        )
+        print(f"{before['n_files']} files -> {n} files at {args.dst}")
+        return 0
+
     spark = get_spark(app_name=f"csdp-{args.command}")
     config = _config(args)
 
