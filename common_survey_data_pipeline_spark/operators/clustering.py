@@ -56,6 +56,8 @@ def assign_clusters(
     ``sq_dist`` to every row. Narrow map — zero shuffles; the centroid
     list is baked into the plan as literals (the Spark equivalent of a
     broadcast variable for closed-form expressions)."""
+    if not centroids:
+        raise ValueError("assign_clusters needs at least one centroid")
     vec = F.col(vec_col)
     candidates = F.array(
         *[

@@ -247,7 +247,12 @@ def signlsh_topk(
     ``cosine_topk``; at 100 TB the bucket join is a shuffle equi-join
     on (table, bucket) instead of a full corpus scan per query.
     """
-    dim = len(corpus.select(corpus_vec).first()[0])
+    probe = corpus.select(corpus_vec).first()
+    if probe is None:  # empty corpus: steady state for fresh partitions
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, vec_id long, cosine_sim double, rank int"
+        )
+    dim = len(probe[0])
     tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
 
     def tagged_bucket(vec, t, planes):
@@ -332,6 +337,10 @@ def _exact_neardup_matmul(
     pdf_all = corpus.select(
         F.col(corpus_id).alias("id"), F.col(corpus_vec).alias("v")
     ).toPandas()
+    if len(pdf_all) == 0:  # empty corpus: no pairs, typed empty frame
+        return corpus.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine_sim double"
+        )
     ids = pdf_all["id"].to_numpy()
     x = np.stack(pdf_all["v"].to_numpy()).astype("float64")
     norms = np.linalg.norm(x, axis=1, keepdims=True)
@@ -406,6 +415,10 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if corpus.first() is None:  # nothing to index
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, vec_id long, cosine_sim double, rank int"
+        )
     c_norm = corpus.select(
         F.col(corpus_id).alias("vec_id"),
         F.col(corpus_vec).alias("__cv"),
@@ -494,7 +507,12 @@ def embedding_neardup_pairs(
     if strategy == "exact":
         return _exact_neardup_matmul(corpus, corpus_id, corpus_vec, threshold)
 
-    dim = len(corpus.select(corpus_vec).first()[0])
+    probe = corpus.select(corpus_vec).first()
+    if probe is None:
+        return corpus.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine_sim double"
+        )
+    dim = len(probe[0])
     tables = [_hyperplanes(dim, n_planes, seed + 1000 + t) for t in range(n_tables)]
 
     def tagged(vec, t, planes):

@@ -4104,6 +4104,10 @@ def q_kmeans_sizes(spark, sf_dir):
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
         for r in emb.where(F.col("vec_id") < 8).collect()
     ]
+    if not centroids:  # empty table: typed empty census
+        return spark.createDataFrame(
+            [], "cluster_id int, n_vecs long, min_vec long, max_vec long"
+        )
     return (
         assign_clusters(emb, centroids)
         .groupBy("cluster_id")
