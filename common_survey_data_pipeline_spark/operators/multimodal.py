@@ -242,6 +242,12 @@ def decode_images(
     available (it is not in this container — clearly-marked stub).
     """
     decode = _decode_image_fake if use_fake else _decode_image_real
+    # corrupt rows (null payload/id) are dropped, not crashed on — at
+    # ingest scale they are a certainty, and a decode stage must be
+    # total over its input
+    media = media.where(
+        F.col(payload_col).isNotNull() & F.col(id_col).isNotNull()
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

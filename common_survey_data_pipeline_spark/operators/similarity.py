@@ -415,6 +415,9 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    corpus = corpus.where(  # null vectors cannot be indexed or matched
+        F.col(corpus_vec).isNotNull() & F.col(corpus_id).isNotNull()
+    )
     if corpus.first() is None:  # nothing to index
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, vec_id long, cosine_sim double, rank int"
@@ -502,6 +505,10 @@ def embedding_neardup_pairs(
     ``exact_cutoff`` (one cheap count()), else LSH: the engine picks
     the plan by statistics the way a cost-based optimizer would.
     """
+    # corrupt rows (null id/vector) cannot participate in any pair
+    corpus = corpus.where(
+        F.col(corpus_vec).isNotNull() & F.col(corpus_id).isNotNull()
+    )
     if strategy == "auto":
         strategy = "exact" if corpus.count() <= exact_cutoff else "lsh"
     if strategy == "exact":

@@ -34,3 +34,25 @@ def test_query_survives_empty_tables(spark, empty_sf_dir, name):
     n = out.count()
     assert n >= 0
     assert len(out.schema.fields) > 0
+
+
+@pytest.fixture(scope="module")
+def nullrow_sf_dir(spark, sf_dir, tmp_path_factory):
+    """sf0.001 data plus ONE all-null row per table — the corrupt-row
+    shape a 100 TB ingest always eventually contains."""
+    from pyspark.sql import functions as F
+
+    path = tmp_path_factory.mktemp("sf_nullrow")
+    for t in TABLES:
+        df = load_table(spark, sf_dir, t)
+        null_row = df.limit(1).select(
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in df.schema.fields]
+        )
+        df.unionByName(null_row).write.parquet(str(path / f"{t}.parquet"))
+    return str(path)
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_survives_null_rows(spark, nullrow_sf_dir, name):
+    out = REGISTRY[name].fn(spark, nullrow_sf_dir)
+    assert out.count() >= 0
