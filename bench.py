@@ -74,7 +74,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
-    spark = get_spark(app_name="csdp-bench")
+    # local mode: the driver IS the executor — give it real memory so
+    # broadcast builds (HashedRelation amplification) never thrash
+    spark = get_spark(
+        app_name="csdp-bench",
+        extra_conf={"spark.driver.memory": "8g"},
+    )
     # warm the JVM/codegen/parquet-reader/noop-writer paths so per-query
     # numbers measure the plans, not first-use initialization
     spark.range(1000).selectExpr("sum(id)").collect()

@@ -4629,18 +4629,21 @@ def q_pagerank(spark, sf_dir):
     and exact-tie ordering agree bit-for-bit across engines.
     """
     li = _t(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
+    # edge build: ONE shuffle (order-keyed collect_set) + a narrow
+    # double-explode — cheaper than the equivalent self-join, which
+    # shuffles both sides; fanout per order is basket-size², bounded
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
+        baskets.select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
         .distinct()
+        # the edge list feeds deg + BOTH iterations; without a
+        # checkpoint this lineage re-executes for every consumer (the
+        # neardup_clusters iteration pattern)
+        .localCheckpoint()
     )
     deg = pairs.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
@@ -4650,9 +4653,15 @@ def q_pagerank(spark, sf_dir):
         "node", (F.lit(1.0) / F.col("n_nodes")).alias("r")
     )
     for _ in range(2):
+        # node tables (ranks, deg) are sf-scaled — hint them into
+        # shuffle joins: the checkpointed edge list has known (small at
+        # test SF) stats and would otherwise be CHOSEN AS THE BROADCAST
+        # SIDE, which at 100x is a guaranteed driver OOM
         contrib = (
-            pairs.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(deg.withColumnRenamed("node", "src"), "src")
+            pairs.join(
+                ranks.withColumnRenamed("node", "src").hint("merge"), "src"
+            )
+            .join(deg.withColumnRenamed("node", "src").hint("merge"), "src")
             .select("dst", (F.col("r") / F.col("d")).alias("c"))
         )
         ranks = (
