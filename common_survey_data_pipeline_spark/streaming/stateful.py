@@ -1,0 +1,169 @@
+"""Custom stateful streaming operator: per-key THRESHOLD-CROSSING
+ALERTS. Each key accumulates ``value``; every time the running total
+crosses another multiple of ``threshold`` the operator emits one alert
+row ``(user_id, alert_no, total_at_alert)`` — the sparse-output shape
+(emit-on-condition, not emit-per-row) that windowed aggregation cannot
+express. State is one double + one long per key, bounded forever;
+alerts flow incrementally as micro-batches arrive.
+
+Streaming implementations, newest API first:
+
+* ``transformWithStateInPandas`` (Spark 4.x typed-state API) —
+  :class:`ThresholdAlertProcessor`. Its Python runner requires a
+  working ``google.protobuf``; this container ships a broken protobuf,
+  so the operator auto-falls back (import-try, same policy as the PIL
+  codec in ``operators/multimodal.py``).
+* ``applyInPandasWithState`` — identical semantics, tuple-state API;
+  used by default here and equivalence-tested against the batch twin.
+
+Batch twin: cumulative-sum window + ``floor(cum/threshold)`` crossing
+detection, one explode for events that jump several thresholds at once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ALERT_SCHEMA = "user_id long, alert_no long, total_at_alert double"
+
+
+def _tws_available() -> bool:
+    try:  # the TWS driver runner imports protobuf descriptors
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class ThresholdAlertProcessor:  # pragma: no cover — needs protobuf
+    """transformWithState StatefulProcessor form (Spark 4.x typed
+    state). Logic is identical to the applyInPandasWithState fallback
+    below — two per-key scalars, emit one row per crossing."""
+
+    def __init__(self, threshold: float):
+        self.threshold = threshold
+
+    def init(self, handle):
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        self.total = handle.getValueState(
+            "total", StructType([StructField("t", DoubleType())])
+        )
+        self.alerts = handle.getValueState(
+            "alerts", StructType([StructField("n", LongType())])
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        total = self.total.get()[0] if self.total.exists() else 0.0
+        emitted = self.alerts.get()[0] if self.alerts.exists() else 0
+        out_no, out_tot = [], []
+        for pdf in rows:
+            for v in pdf["value"]:
+                total += float(v)
+                while total >= (emitted + 1) * self.threshold:
+                    emitted += 1
+                    out_no.append(emitted)
+                    out_tot.append(total)
+        self.total.update((total,))
+        self.alerts.update((emitted,))
+        if out_no:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out_no),
+                    "alert_no": out_no,
+                    "total_at_alert": out_tot,
+                }
+            )
+
+    def close(self):
+        pass
+
+
+def _alerts_stream_applyinpandas(
+    events: DataFrame, threshold: float
+) -> DataFrame:
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    state_schema = "t double, n long"
+
+    def update(key, pdf_iter, state):
+        total, emitted = state.get if state.exists else (0.0, 0)
+        out_no, out_tot = [], []
+        for pdf in pdf_iter:
+            for v in pdf["value"]:
+                total += float(v)
+                while total >= (emitted + 1) * threshold:
+                    emitted += 1
+                    out_no.append(emitted)
+                    out_tot.append(total)
+        state.update((total, emitted))
+        if out_no:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out_no),
+                    "alert_no": out_no,
+                    "total_at_alert": out_tot,
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, ALERT_SCHEMA, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def threshold_alerts(
+    events: DataFrame,
+    threshold: float = 100.0,
+    ts_col: str = "ts",
+    api: str = "auto",
+) -> DataFrame:
+    """Batch or streaming threshold alerts (see module docstring).
+
+    ``api``: 'auto' (transformWithState when its runtime deps exist,
+    else applyInPandasWithState), 'tws', or 'applyinpandas'.
+    """
+    if events.isStreaming:
+        use_tws = api == "tws" or (api == "auto" and _tws_available())
+        if use_tws:
+            return events.groupBy("user_id").transformWithStateInPandas(
+                statefulProcessor=ThresholdAlertProcessor(threshold),
+                outputStructType=ALERT_SCHEMA,
+                outputMode="append",
+                timeMode="None",
+            )
+        return _alerts_stream_applyinpandas(events, threshold)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = events.withColumn("__cum", F.sum("value").over(w))
+    prev_level = F.floor((F.col("__cum") - F.col("value")) / threshold)
+    level = F.floor(F.col("__cum") / threshold)
+    crossings = cum.where(level > prev_level).select(
+        "user_id",
+        F.col("__cum").alias("total_at_alert"),
+        prev_level.alias("__from"),
+        level.alias("__to"),
+    )
+    # one alert row PER LEVEL crossed (a single large event can cross
+    # several thresholds at once — sequence/explode mirrors the
+    # streaming operator's inner while-loop)
+    return crossings.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("__from") + 1, F.col("__to"))
+        ).alias("alert_no"),
+        "total_at_alert",
+    ).select("user_id", "alert_no", F.col("total_at_alert").cast("double"))

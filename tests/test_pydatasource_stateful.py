@@ -1,0 +1,119 @@
+"""Spark 4 extension APIs: Python Data Source connector and
+transformWithState stateful streaming operator."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from common_survey_data_pipeline_spark.sources.pydatasource import (
+    SyntheticCorpusDataSource,
+)
+from common_survey_data_pipeline_spark.sources.tables import load_table
+from common_survey_data_pipeline_spark.streaming.events import (
+    run_stream_to_memory,
+)
+from common_survey_data_pipeline_spark.streaming.stateful import (
+    threshold_alerts,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus_source(spark):
+    spark.dataSource.register(SyntheticCorpusDataSource)
+    return spark
+
+
+def _read(spark, **opts):
+    r = spark.read.format("synthetic_corpus")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_pydatasource_partitioned_read(corpus_source, spark):
+    df = _read(spark, n_docs=1000, n_partitions=16, seed=7)
+    assert df.count() == 1000
+    assert df.rdd.getNumPartitions() == 16
+    assert df.columns == ["doc_id", "text", "n_words"]
+    # ids complete, no partition overlap
+    assert df.select("doc_id").distinct().count() == 1000
+    # n_words column agrees with the text
+    bad = df.where(
+        F.size(F.split("text", " ")) != F.col("n_words")
+    ).count()
+    assert bad == 0
+
+
+def test_pydatasource_deterministic_across_partitionings(corpus_source, spark):
+    a = {r["doc_id"]: r["text"] for r in _read(spark, n_docs=200, n_partitions=4).collect()}
+    b = {r["doc_id"]: r["text"] for r in _read(spark, n_docs=200, n_partitions=13).collect()}
+    assert a == b
+    c = {r["doc_id"]: r["text"] for r in _read(spark, n_docs=200, n_partitions=4, seed=99).collect()}
+    assert a != c  # the seed is live
+
+
+def test_pydatasource_feeds_engine_operators(corpus_source, spark):
+    from common_survey_data_pipeline_spark.operators.dedup import (
+        exact_dedup_groups,
+    )
+
+    df = _read(spark, n_docs=500, n_partitions=8)
+    groups = exact_dedup_groups(df, "text", "doc_id")
+    assert 0 < groups.count() <= 500
+
+
+def test_threshold_alerts_batch_model(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    alerts = threshold_alerts(ev, threshold=100.0)
+    rows = alerts.collect()
+    assert len(rows) > 0
+    # alert_no per user is 1..k dense
+    per_user: dict[int, list[int]] = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(r["alert_no"])
+    for nos in per_user.values():
+        assert sorted(nos) == list(range(1, len(nos) + 1))
+    # total at k-th alert >= k * threshold
+    for r in rows:
+        assert r["total_at_alert"] >= 100.0 * r["alert_no"] - 1e-9
+
+
+def test_threshold_alerts_stream_equals_batch(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    path = str(tmp_path / "alert_stream")
+    # 3 micro-batches in EVENT-TIME order so the stream's per-key
+    # arrival order matches the batch twin's (ts, event_id) window order
+    (
+        ev.repartitionByRange(3, "ts", "event_id")
+        .sortWithinPartitions("ts", "event_id")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    try:
+        run_stream_to_memory(
+            threshold_alerts(stream, threshold=100.0), "t_alerts"
+        )
+        got_rows = spark.sql("SELECT * FROM t_alerts").collect()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    # the shuffle inside each micro-batch does not preserve ts order, so
+    # per-alert TOTALS are order-dependent; with non-negative values the
+    # alert COUNT per user is order-invariant (floor(final_total/thr))
+    # and must match the batch twin exactly
+    got = {(r["user_id"], r["alert_no"]) for r in got_rows}
+    want_rows = threshold_alerts(ev, threshold=100.0).collect()
+    want = {(r["user_id"], r["alert_no"]) for r in want_rows}
+    assert got == want
+    assert len(want) > 0
+    for r in got_rows:  # every emitted alert is internally consistent
+        assert r["total_at_alert"] >= 100.0 * r["alert_no"] - 1e-9
