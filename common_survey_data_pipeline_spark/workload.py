@@ -76,6 +76,9 @@ from common_survey_data_pipeline_spark.streaming.events import (
     session_stats,
     tumbling_counts,
 )
+from common_survey_data_pipeline_spark.streaming.stateful import (
+    threshold_alerts as threshold_alerts_batch,
+)
 
 
 @dataclass(frozen=True)
@@ -4724,6 +4727,107 @@ def q_incremental_agg(spark, sf_dir):
         .agg(
             F.sum("n_orders").alias("n_orders"),
             F.sum("total_price").cast("double").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "events_threshold_alerts",
+    """
+    WITH cum AS (
+      SELECT user_id, event_id, value,
+             sum(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS c
+      FROM events
+    ),
+    crossings AS (
+      SELECT user_id, c,
+             floor((c - value) / 100.0)::BIGINT AS lv_from,
+             floor(c / 100.0)::BIGINT AS lv_to
+      FROM cum
+      WHERE floor(c / 100.0) > floor((c - value) / 100.0)
+    )
+    SELECT user_id,
+           unnest(generate_series(lv_from + 1, lv_to)) AS alert_no,
+           round(c, 6) AS total_at_alert
+    FROM crossings
+    """,
+)
+def q_threshold_alerts(spark, sf_dir):
+    """Batch twin of the custom stateful streaming operator
+    (``streaming/stateful.py::threshold_alerts``): one alert per 100.0
+    of cumulative per-user value, emitted at the event that crosses each
+    multiple (an event that jumps several levels emits one row per
+    level). Cumulative-sum window + crossing filter + sequence explode —
+    the same rows the streaming form emits incrementally from two
+    per-key state scalars (tests/test_pydatasource_stateful.py proves
+    the stream/batch equivalence)."""
+    ev = _t(spark, sf_dir, "events")
+    alerts = threshold_alerts_batch(ev, threshold=100.0)
+    return alerts.select(
+        "user_id", "alert_no", F.round("total_at_alert", 6).alias("total_at_alert")
+    )
+
+
+@register(
+    "top3_parts_per_customer",
+    """
+    WITH cp AS (
+      SELECT o.o_custkey AS c, l.l_partkey AS p, count(*) AS n
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT c, p, n,
+             row_number() OVER (PARTITION BY c ORDER BY n DESC, p) AS rn
+      FROM cp
+    )
+    SELECT c AS o_custkey,
+           string_agg(p::VARCHAR, ',' ORDER BY rn) AS top_parts
+    FROM ranked WHERE rn <= 3
+    GROUP BY c
+    """,
+)
+def q_top3_parts(spark, sf_dir):
+    """Per-customer top-3 most-ordered parts, AGGREGATE-side: sort the
+    collected (count, part) structs inside each group and slice — one
+    shuffle keyed on the group, per-group state bounded by the
+    customer's distinct-part count, and NO window over the whole
+    partition. For high-cardinality grouping keys this beats the
+    row_number() formulation (which must sort every partition's full
+    rowset); the oracle uses the window form — same rows, two plans.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cp = (
+        orders.select("o_custkey", "o_orderkey")
+        .join(li.select("l_orderkey", "l_partkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey", "l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # sort key (-n, p): struct comparison gives count-desc, part-asc
+    return (
+        cp.groupBy("o_custkey")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("n")).alias("neg_n"),
+                            F.col("l_partkey").alias("p"),
+                        )
+                    )
+                ),
+                1,
+                3,
+            ).alias("top3")
+        )
+        .select(
+            "o_custkey",
+            F.array_join(
+                F.transform(F.col("top3"), lambda s: s["p"].cast("string")), ","
+            ).alias("top_parts"),
         )
     )
 

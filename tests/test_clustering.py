@@ -61,6 +61,11 @@ def test_every_row_assigned_once(emb, centroids):
     assert k_seen <= len(centroids)
 
 
+def test_empty_centroid_list_rejected(emb):
+    with pytest.raises(ValueError, match="at least one centroid"):
+        assign_clusters(emb, [])
+
+
 def _inertia(emb, centroids) -> float:
     return (
         assign_clusters(emb, centroids)
