@@ -4832,6 +4832,35 @@ def q_top3_parts(spark, sf_dir):
     )
 
 
+@register(
+    "latest_order_maxby",
+    """
+    SELECT o_custkey, latest_orderkey, latest_date FROM (
+      SELECT o_custkey, o_orderkey AS latest_orderkey,
+             max(o_orderdate::DATE) OVER (PARTITION BY o_custkey)
+               AS latest_date,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC)
+               AS rn
+      FROM orders)
+    WHERE rn = 1
+    """,
+)
+def q_latest_maxby(spark, sf_dir):
+    """Latest order per customer via the MAX_BY aggregate — the
+    aggregate-side alternative to `w1`'s row_number window: one shuffle
+    with map-side partial max, constant per-group state, no
+    partition-wide sort. Tie on the date broken by the larger orderkey
+    (the composite max_by ordering key on both engines)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.expr(
+            "max_by(o_orderkey, struct(o_orderdate, o_orderkey))"
+        ).alias("latest_orderkey"),
+        F.max(F.col("o_orderdate").cast("date")).alias("latest_date"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship entry query
 # ---------------------------------------------------------------------------
