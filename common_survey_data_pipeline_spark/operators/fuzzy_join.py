@@ -344,8 +344,19 @@ def strdist_neardup_pairs(
         subst = base.select(
             out_a, F.explode(positions).alias("__csdp_i")
         ).select(out_a, F.xxhash64(del_i, i).alias(_VAR))
+        # the variant table is DATA-PROPORTIONAL (pool × key length), so
+        # the optimizer's stats-blind default — broadcasting one side of
+        # the self-join — is the fact-side-broadcast anti-pattern and a
+        # driver OOM at scale; pin the shuffle hash join (no sort needed:
+        # variant keys are near-unique 8-byte hashes). Locally this is
+        # also ~2.5x faster than the broadcast plan at sf0.1.
         subst_pairs = (
-            subst.join(subst.select(F.col(out_a).alias(out_b), _VAR), _VAR)
+            subst.join(
+                subst.select(F.col(out_a).alias(out_b), _VAR).hint(
+                    "shuffle_hash"
+                ),
+                _VAR,
+            )
             .where(F.col(out_a) < F.col(out_b))
             .drop(_VAR)
         )
@@ -357,7 +368,7 @@ def strdist_neardup_pairs(
             ),
         ).select(out_b, F.xxhash64(F.col("__csdp_v")).alias(_VAR))
         insdel_pairs = (
-            ident.join(longer, _VAR)
+            ident.join(longer.hint("shuffle_hash"), _VAR)
             .drop(_VAR)
             .select(
                 F.least(F.col(out_a), F.col(out_b)).alias(out_a),
@@ -377,7 +388,7 @@ def strdist_neardup_pairs(
         a = texts.withColumn(_VAR, F.explode(F.col(va)))
         b = a.select(F.col(out_a).alias(out_b), F.col(va).alias(vb), _VAR)
         cand = (
-            a.join(b, _VAR)
+            a.join(b.hint("shuffle_hash"), _VAR)
             .where(F.col(out_a) < F.col(out_b))
             .where(
                 F.col(_VAR)

@@ -4618,8 +4618,9 @@ def q_pagerank(spark, sf_dir):
     """Two power iterations of PageRank (damping 0.85) over the
     co-purchase part graph — the link-analysis pattern (importance
     propagation over an edge list) expressed as pure DataFrame joins:
-    each iteration is rank ⋈ edges ⋈ out-degree, then a target-keyed
-    sum with map-side partials. Fixed at 2 iterations so the whole
+    each iteration pre-divides rank by out-degree on the node table,
+    joins that contribution-per-edge factor onto the edge list ONCE,
+    then target-key sums with map-side partials. Fixed at 2 iterations so the whole
     computation stays SQL-expressible for the oracle; the iterate-to-
     convergence form is the same two joins in a driver loop with
     ``localCheckpoint`` per round (see ``operators/dedup.py::
@@ -4648,24 +4649,35 @@ def q_pagerank(spark, sf_dir):
         # neardup_clusters iteration pattern)
         .localCheckpoint()
     )
-    deg = pairs.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("d")
+    # the degree table is reused by n, the seed ranks, and BOTH
+    # iterations — checkpoint it (lazily: it materializes inside the
+    # first job) so each consumer reads ~|V| rows instead of re-running
+    # the |E|-row aggregation
+    deg = (
+        pairs.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False)
     )
     n = deg.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
     ranks = deg.crossJoin(F.broadcast(n)).select(
         "node", (F.lit(1.0) / F.col("n_nodes")).alias("r")
     )
     for _ in range(2):
-        # node tables (ranks, deg) are sf-scaled — hint them into
-        # shuffle joins: the checkpointed edge list has known (small at
-        # test SF) stats and would otherwise be CHOSEN AS THE BROADCAST
-        # SIDE, which at 100x is a guaranteed driver OOM
-        contrib = (
-            pairs.join(
-                ranks.withColumnRenamed("node", "src").hint("merge"), "src"
-            )
-            .join(deg.withColumnRenamed("node", "src").hint("merge"), "src")
-            .select("dst", (F.col("r") / F.col("d")).alias("c"))
+        # pre-divide rank by degree on the NODE table (|V| rows) so the
+        # |E|-row edge list is joined exactly ONCE per iteration; pin a
+        # shuffle-HASH join with the node table as build side — both
+        # node tables are sf-scaled, so the optimizer's alternative
+        # (broadcasting whichever side its stats call small — at 100x
+        # the node table is a driver OOM, and the checkpointed edge
+        # list's known-small local stats invite broadcasting |E|) is
+        # wrong at scale, and hash beats merge because the edge list
+        # needs no sort
+        rd = ranks.join(deg, "node").select(
+            F.col("node").alias("src"),
+            (F.col("r") / F.col("d")).alias("c"),
+        )
+        contrib = pairs.join(rd.hint("shuffle_hash"), "src").select(
+            "dst", "c"
         )
         ranks = (
             contrib.groupBy(F.col("dst").alias("node"))
