@@ -22,7 +22,7 @@ the document id.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from common_survey_data_pipeline_spark.functions.text import (
@@ -176,17 +176,23 @@ def crossdoc_duplication(
     least one n-gram; high ``dup_share`` marks near-copies that survive
     exact dedup (mirror pages, light edits of templated text).
 
-    Two shuffles, both linear in corpus tokens: gram-keyed count to get
-    each gram's distinct-document frequency (map-side partials absorb
-    hot boilerplate grams), then doc-keyed aggregation of the shared
-    flags. No pairwise stage — this is the metric-side complement of
-    MinHash pair mining (`dedup.py`), usable as a standalone filter.
+    Two shuffles, both linear in corpus tokens: a gram-keyed window
+    count attaches each gram's document frequency in place (one
+    exchange+sort — strictly cheaper than the aggregate-then-self-join
+    form, which shuffles the same gram rows AND sorts both merge-join
+    sides), then a doc-keyed aggregation of the shared flags. Hot
+    boilerplate grams concentrate on one task either way (the join form
+    must co-locate them to probe too); the gram key space is vast, so
+    AQE's skew split handles the outliers. No pairwise stage — this is
+    the metric-side complement of MinHash pair mining (`dedup.py`),
+    usable as a standalone filter.
     """
     grams = _exploded_shingles(docs, text_col, id_col, n)
-    freq = grams.groupBy("gram").agg(F.count("*").alias("n_docs"))
-    flagged = grams.join(freq, "gram").select(
+    flagged = grams.select(
         F.col(id_col),
-        (F.col("n_docs") >= 2).cast("long").alias("shared"),
+        (F.count("*").over(Window.partitionBy("gram")) >= 2)
+        .cast("long")
+        .alias("shared"),
     )
     return flagged.groupBy(id_col).agg(
         F.count("*").alias("n_grams"),
