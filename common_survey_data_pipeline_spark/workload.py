@@ -63,6 +63,7 @@ from common_survey_data_pipeline_spark.operators.multimodal import (
     sample_frames,
 )
 from common_survey_data_pipeline_spark.operators.similarity import (
+    cosine,
     cosine_topk,
     embedding_neardup_pairs,
     ivf_topk,
@@ -4870,6 +4871,329 @@ def q_latest_maxby(spark, sf_dir):
             "max_by(o_orderkey, struct(o_orderdate, o_orderkey))"
         ).alias("latest_orderkey"),
         F.max(F.col("o_orderdate").cast("date")).alias("latest_date"),
+    )
+
+
+@register(
+    "triangle_count_strong_ties",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS (
+      SELECT x.l_partkey AS a, y.l_partkey AS b
+      FROM op x JOIN op y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+      GROUP BY 1
+    ),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    agg AS (
+      SELECT count(*) AS n_nodes,
+             sum(d * (d - 1) / 2) AS n_wedges
+      FROM deg
+    )
+    SELECT agg.n_nodes::BIGINT AS n_nodes,
+           (SELECT count(*) FROM und)::BIGINT AS n_edges,
+           agg.n_wedges::BIGINT AS n_wedges,
+           tri.n_triangles::BIGINT AS n_triangles,
+           round(CASE WHEN agg.n_wedges = 0 THEN 0.0
+                      ELSE 3.0 * tri.n_triangles / agg.n_wedges END, 6)
+             AS clustering_coeff
+    FROM agg, tri
+    """,
+)
+def q_triangles(spark, sf_dir):
+    """Global triangle census of the strong-tie co-purchase graph
+    (parts bought together in >= 2 distinct orders): node/edge/wedge
+    counts, exact triangle count, and the global clustering coefficient
+    3*triangles/wedges — the graph-cohesion summary next to
+    `pagerank_parts_2iter`'s importance ranking.
+
+    Scale shape — DEGREE-ORDERED orientation, the distributed triangle
+    algorithm: every undirected edge is directed from its lower-(degree,
+    id) endpoint to the higher, making wedge fanout per node min(deg,
+    sqrt(2m)) instead of deg, so the path-join volume is O(m^1.5) even
+    with hub nodes where the naive id-ordered join is O(sum deg^2). The
+    wedge join and the closing-edge probe are plain equi-joins on node
+    keys; the oracle counts the same triangles via the naive a<b<c
+    triple join (the total is orientation-invariant), which is fine at
+    oracle SF and wrong at 100 TB — that asymmetry is the point.
+    The edge build reuses the pagerank basket trick: one order-keyed
+    shuffle + bounded double-explode, never an op x op self-join.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    und = (
+        baskets.select(F.explode("ps").alias("a"), "ps")
+        .select("a", F.explode("ps").alias("b"))
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("a", "b")
+        # feeds deg, the orientation join, and the closing-edge probe —
+        # checkpoint so the basket explode runs once
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    e = und.join(
+        deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a"
+    ).join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = e.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    ).localCheckpoint(eager=False)
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = (
+        e1.join(e2, F.col("e1.u") == F.col("e2.u"))
+        .where(
+            (F.col("e1.dv") < F.col("e2.dv"))
+            | (
+                (F.col("e1.dv") == F.col("e2.dv"))
+                & (F.col("e1.v") < F.col("e2.v"))
+            )
+        )
+        .select(F.col("e1.v").alias("x"), F.col("e2.v").alias("y"))
+    )
+    closing = oriented.select(
+        F.col("u").alias("x"), F.col("v").alias("y")
+    )
+    n_tri = wedges.join(closing, ["x", "y"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    n_edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    node_stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias(
+            "n_wedges"
+        ),
+    )
+    return (
+        node_stats.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(n_tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.when(F.col("n_wedges") == 0, F.lit(0.0)).otherwise(
+                    F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges")
+                ),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+@register(
+    "inverted_index_postings",
+    f"""
+    WITH g AS (
+      SELECT doc_id, unnest({_sql_word_grams(3)}) AS phrase
+      FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    ),
+    w AS (
+      SELECT phrase, doc_id,
+             count(*) OVER (PARTITION BY phrase) AS df,
+             row_number() OVER (PARTITION BY phrase ORDER BY doc_id) AS rn
+      FROM g
+    )
+    SELECT phrase, max(df)::BIGINT AS df,
+           string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+    FROM w WHERE rn <= 8
+    GROUP BY phrase
+    """,
+)
+def q_inverted_index(spark, sf_dir):
+    """Inverted-index build over word 3-gram phrases: per phrase, its
+    document frequency and a CAPPED posting list (the 8 smallest doc
+    ids, comma-joined) — the exact-phrase lookup structure behind
+    decontamination spot checks and "which documents contain this
+    string" debugging at corpus scale.
+
+    Scale shape: one phrase-keyed exchange does everything — the window
+    attaches df and a doc-ordered row_number in the same sort, the cap
+    filter drops every posting beyond 8 BEFORE the final aggregate, so
+    per-phrase state is bounded (never a collect_set of a hot phrase's
+    million documents), and the aggregate itself reuses the same
+    partitioning (no second shuffle). Stop-phrase skew lands on single
+    tasks only for the window's sort, which AQE skew-split handles.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(T.word_shingles(F.col("text"), 3)).alias("phrase")
+    )
+    w = Window.partitionBy("phrase")
+    attached = grams.select(
+        "phrase",
+        "doc_id",
+        F.count("*").over(w).alias("df"),
+        F.row_number().over(w.orderBy("doc_id")).alias("rn"),
+    )
+    return (
+        attached.where(F.col("rn") <= 8)
+        .groupBy("phrase")
+        .agg(
+            F.max("df").alias("df"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+    )
+
+
+@register(
+    "rrf_hybrid_search",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+               FROM embeddings WHERE vec_id < 3),
+    sem AS (
+      SELECT q.query_id, e.vec_id AS doc_id,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY round(list_cosine_similarity(
+                 e.embedding::DOUBLE[], q.qvec::DOUBLE[]), 6) DESC,
+                 e.vec_id) AS srank
+      FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+    ),
+    toks AS (
+      SELECT DISTINCT doc_id, unnest({toks}) AS tok FROM documents
+    ),
+    lex AS (
+      SELECT qt.doc_id AS query_id, ct.doc_id,
+             row_number() OVER (
+               PARTITION BY qt.doc_id
+               ORDER BY count(*) DESC, ct.doc_id) AS lrank
+      FROM toks ct JOIN toks qt
+        ON ct.tok = qt.tok AND qt.doc_id < 3 AND ct.doc_id <> qt.doc_id
+      GROUP BY qt.doc_id, ct.doc_id
+    )
+    SELECT query_id, doc_id,
+           round(1.0 / (60 + srank)
+                 + coalesce(1.0 / (60 + lrank), 0.0), 6) AS rrf_score,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY round(1.0 / (60 + srank)
+                            + coalesce(1.0 / (60 + lrank), 0.0), 6) DESC,
+                      doc_id)::INTEGER AS rank
+    FROM sem LEFT JOIN lex USING (query_id, doc_id)
+    QUALIFY rank <= 10
+    """.format(toks=_SQL_TOKS),
+)
+def q_rrf_hybrid(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (k=60): for 3 query
+    documents, fuse a SEMANTIC ranking (exact cosine over the embedding
+    column, ties to the smaller id) with a LEXICAL ranking (distinct
+    shared-token count against the query text) and return the fused
+    top-10 — the two-leg retrieval pattern behind dedup-aware corpus
+    search, with ranks instead of scores so the legs need no
+    calibration.
+
+    Scale shape: the query set is a CONSTANT (3 docs), so both legs are
+    broadcast-driven — the semantic leg is a narrow map over embeddings
+    (query matrix in the closure, the `cosine_topk` pattern) ranked per
+    query by a 3-partition window; the lexical leg semi-joins the
+    corpus token table against the broadcast query vocabulary, so the
+    corpus never shuffles on token. The fuse join keys on (query_id,
+    doc_id) of two already-small ranked legs. Cross-engine hash safety:
+    both legs rank on ROUNDED cosine / integer overlap with id
+    tiebreaks, and the fused score is a two-term double sum rounded at
+    the end.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    sem = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias(
+                "sim"
+            ),
+        )
+        .withColumn(
+            "srank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("sim").desc(), F.col("doc_id")
+                )
+            ),
+        )
+        .select("query_id", "doc_id", "srank")
+    )
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("tok")
+    ).distinct()
+    qt = toks.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "tok"
+    )
+    lex = (
+        toks.join(F.broadcast(qt), "tok")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+        .withColumn(
+            "lrank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("overlap").desc(), F.col("doc_id")
+                )
+            ),
+        )
+        .select("query_id", "doc_id", "lrank")
+    )
+    fused = sem.join(lex, ["query_id", "doc_id"], "left").select(
+        "query_id",
+        "doc_id",
+        F.round(
+            F.lit(1.0) / (F.lit(60) + F.col("srank"))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(60) + F.col("lrank")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf_score"),
+    )
+    return (
+        fused.withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("rrf_score").desc(), F.col("doc_id")
+                )
+            )
+            .cast("int"),
+        )
+        .where(F.col("rank") <= 10)
     )
 
 
