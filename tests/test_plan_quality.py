@@ -171,6 +171,12 @@ BROADCAST_ALLOWLIST: dict[str, str] = {
     "similarity_topk": _FIVE_QUERY_VECTORS,
     "similarity_signlsh": _FIVE_QUERY_VECTORS,
     "similarity_ivf": _FIVE_QUERY_VECTORS,
+    "rrf_hybrid_search": (
+        "both broadcast sides are the CONSTANT query set (3 literal ids):"
+        " the semantic leg ships 3 embedding rows, the lexical leg ships"
+        " the 3 query documents' distinct tokens — bounded by the"
+        " predicate's key count, never a fraction of the corpus"
+    ),
 }
 
 
