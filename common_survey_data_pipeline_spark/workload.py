@@ -5197,6 +5197,116 @@ def q_rrf_hybrid(spark, sf_dir):
     )
 
 
+@register(
+    "bm25_top_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+    ),
+    q AS (
+      SELECT tok FROM (
+        SELECT tok, count(*) AS n FROM toks GROUP BY 1
+        ORDER BY n DESC, tok LIMIT 3)
+    ),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM toks JOIN q USING (tok) GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, len({_SQL_TOKS})::DOUBLE AS dl FROM documents),
+    corpus AS (
+      SELECT count(*)::DOUBLE AS n_docs,
+             (SELECT avg(dl) FROM dl) AS avgdl
+      FROM documents
+    ),
+    idf AS (
+      SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+    )
+    SELECT tf.doc_id,
+           round(sum(
+             ln((corpus.n_docs - idf.df + 0.5) / (idf.df + 0.5) + 1.0)
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / corpus.avgdl))
+           ), 6) AS bm25
+    FROM tf
+    JOIN idf USING (tok)
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN corpus
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, tf.doc_id LIMIT 20
+    """,
+)
+def q_bm25(spark, sf_dir):
+    """BM25 (k1=1.2, b=0.75) top-20 documents for the corpus's 3 most
+    frequent tokens (a deterministic, self-contained stand-in for a user
+    query) — the lexical-ranking classic that completes the scoring
+    family next to `tfidf_top_terms` (per-doc salient terms) and
+    `rrf_hybrid_search` (rank fusion).
+
+    Scale shape: the query vocabulary is a 3-row aggregate-limited
+    frame, so the corpus token explode is filtered by a BROADCAST
+    semi-join before the only (doc, term)-keyed aggregation — the
+    corpus never shuffles on raw tokens for scoring; document length is
+    a narrow map; N/avgdl and the per-term idf are 1-row/3-row
+    broadcast frames; the final top-20 is TakeOrderedAndProject on the
+    ROUNDED score (ties → doc_id), never a global sort.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("tok")
+    )
+    qterms = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(3)
+        .select("tok")
+    )
+    tf = (
+        toks.join(F.broadcast(qterms), "tok")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = docs.select(
+        "doc_id", T.token_count(F.col("text")).cast("double").alias("dl")
+    )
+    corpus = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    ).crossJoin(F.broadcast(dl.agg(F.avg("dl").alias("avgdl"))))
+    idf = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    scored = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * F.col("tf")
+                * F.lit(2.2)
+                / (
+                    F.col("tf")
+                    + F.lit(1.2)
+                    * (
+                        F.lit(1.0)
+                        - F.lit(0.75)
+                        + F.lit(0.75) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).alias("part"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("part"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship entry query
 # ---------------------------------------------------------------------------
