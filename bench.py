@@ -67,6 +67,9 @@ BENCH_QUERIES = (
     "j11_attribution_join",
     "quality_weighted_sample",
     "pagerank_parts_2iter",
+    "bm25_top_docs",
+    "inverted_index_postings",
+    "rrf_hybrid_search",
 )
 
 
