@@ -44,6 +44,7 @@ from common_survey_data_pipeline_spark.operators.fuzzy_join import (
     strdist_neardup_pairs,
     stringdist_left_join,
 )
+from common_survey_data_pipeline_spark.operators.graph import triangle_stats
 from common_survey_data_pipeline_spark.operators.joins import anti_join, semi_join
 from common_survey_data_pipeline_spark.operators.layout import zorder_bucket_stats
 from common_survey_data_pipeline_spark.operators.temporal_joins import (
@@ -4928,6 +4929,8 @@ def q_triangles(spark, sf_dir):
     oracle SF and wrong at 100 TB — that asymmetry is the point.
     The edge build reuses the pagerank basket trick: one order-keyed
     shuffle + bounded double-explode, never an op x op self-join.
+    Algorithm: ``operators/graph.py::triangle_stats`` (property-tested
+    against brute-force counts on constructed graphs).
     """
     li = _t(spark, sf_dir, "lineitem")
     baskets = li.groupBy("l_orderkey").agg(
@@ -4941,69 +4944,8 @@ def q_triangles(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= 2)
         .select("a", "b")
-        # feeds deg, the orientation join, and the closing-edge probe —
-        # checkpoint so the basket explode runs once
-        .localCheckpoint(eager=False)
     )
-    deg = (
-        und.select(F.col("a").alias("node"))
-        .unionAll(und.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint(eager=False)
-    )
-    e = und.join(
-        deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a"
-    ).join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
-    a_first = (F.col("da") < F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
-    )
-    oriented = e.select(
-        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
-        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    ).localCheckpoint(eager=False)
-    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
-    wedges = (
-        e1.join(e2, F.col("e1.u") == F.col("e2.u"))
-        .where(
-            (F.col("e1.dv") < F.col("e2.dv"))
-            | (
-                (F.col("e1.dv") == F.col("e2.dv"))
-                & (F.col("e1.v") < F.col("e2.v"))
-            )
-        )
-        .select(F.col("e1.v").alias("x"), F.col("e2.v").alias("y"))
-    )
-    closing = oriented.select(
-        F.col("u").alias("x"), F.col("v").alias("y")
-    )
-    n_tri = wedges.join(closing, ["x", "y"]).agg(
-        F.count(F.lit(1)).alias("n_triangles")
-    )
-    n_edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
-    node_stats = deg.agg(
-        F.count(F.lit(1)).alias("n_nodes"),
-        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias(
-            "n_wedges"
-        ),
-    )
-    return (
-        node_stats.crossJoin(F.broadcast(n_edges))
-        .crossJoin(F.broadcast(n_tri))
-        .select(
-            "n_nodes",
-            "n_edges",
-            "n_wedges",
-            "n_triangles",
-            F.round(
-                F.when(F.col("n_wedges") == 0, F.lit(0.0)).otherwise(
-                    F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges")
-                ),
-                6,
-            ).alias("clustering_coeff"),
-        )
-    )
+    return triangle_stats(und)
 
 
 @register(
