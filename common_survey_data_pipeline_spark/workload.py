@@ -5249,6 +5249,171 @@ def q_bm25(spark, sf_dir):
     )
 
 
+@register(
+    "association_rules",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey)::DOUBLE AS n_orders FROM op),
+    item AS (SELECT l_partkey AS part, count(*) AS n_part FROM op GROUP BY 1),
+    pair AS (
+      SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS n_both
+      FROM op x JOIN op y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    rules AS (
+      SELECT a AS antecedent, b AS consequent, n_both FROM pair
+      UNION ALL
+      SELECT b, a, n_both FROM pair
+    )
+    SELECT antecedent, consequent,
+           round(r.n_both / n.n_orders, 6) AS support,
+           round(r.n_both::DOUBLE / ia.n_part, 6) AS confidence,
+           round((r.n_both::DOUBLE / ia.n_part) / (ic.n_part / n.n_orders), 6)
+             AS lift
+    FROM rules r
+    JOIN item ia ON ia.part = r.antecedent
+    JOIN item ic ON ic.part = r.consequent
+    CROSS JOIN n
+    ORDER BY lift DESC, antecedent, consequent LIMIT 20
+    """,
+)
+def q_assoc_rules(spark, sf_dir):
+    """Association rules over strong co-purchase pairs (support >= 2
+    orders): directed ``antecedent -> consequent`` with support,
+    confidence and lift, top-20 by lift — the market-basket layer above
+    `copurchase_pairs`' raw co-occurrence counts.
+
+    Scale shape: basket explode (order-keyed shuffle, fanout bounded by
+    basket size) -> pair-keyed count -> a two-way equi-join against the
+    per-item order counts (node-table sized) and a broadcast 1-row
+    total; the top-20 is TakeOrderedAndProject on the ROUNDED lift with
+    full key tiebreaks. Nothing is quadratic in parts or orders.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n = op.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n_orders")
+    )
+    item = op.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.count(F.lit(1)).alias("n_part")
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    pair = (
+        baskets.select(F.explode("ps").alias("a"), "ps")
+        .select("a", F.explode("ps").alias("b"))
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= 2)
+    )
+    rules = pair.select(
+        F.col("a").alias("antecedent"),
+        F.col("b").alias("consequent"),
+        "n_both",
+    ).unionAll(
+        pair.select(
+            F.col("b").alias("antecedent"),
+            F.col("a").alias("consequent"),
+            "n_both",
+        )
+    )
+    out = (
+        rules.join(
+            item.select(F.col("part").alias("antecedent"), F.col("n_part").alias("n_a")),
+            "antecedent",
+        )
+        .join(
+            item.select(F.col("part").alias("consequent"), F.col("n_part").alias("n_c")),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            F.round(F.col("n_both") / F.col("n_orders"), 6).alias("support"),
+            F.round(
+                F.col("n_both").cast("double") / F.col("n_a"), 6
+            ).alias("confidence"),
+            F.round(
+                (F.col("n_both").cast("double") / F.col("n_a"))
+                / (F.col("n_c") / F.col("n_orders")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(
+        F.col("lift").desc(), "antecedent", "consequent"
+    ).limit(20)
+
+
+@register(
+    "events_hourly_anomalies",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events
+      FROM events GROUP BY 1
+    ),
+    scored AS (
+      SELECT hour, n_events,
+             avg(n_events) OVER w AS mu,
+             stddev_samp(n_events) OVER w AS sigma
+      FROM hourly
+      WINDOW w AS (ORDER BY hour ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT hour, n_events::BIGINT AS n_events,
+           round(mu, 6) AS trailing_mean,
+           round((n_events - mu) / sigma, 6) AS zscore
+    FROM scored
+    WHERE sigma IS NOT NULL AND sigma > 0
+      AND abs((n_events - mu) / sigma) >= 2.0
+    """,
+)
+def q_hourly_anomalies(spark, sf_dir):
+    """Event-rate anomaly detection: hours whose event count deviates
+    >= 2 sample standard deviations from the TRAILING 24-hour mean
+    (strictly prior hours only — no leakage of the scored hour into its
+    own baseline). The streaming-monitor pattern as a batch query.
+
+    Scale shape: the raw stream collapses to one row per hour FIRST
+    (map-side partial count), so the global-ordered window runs over
+    hours-of-history rows (~9k/year), not events — a partition-less
+    window over an already-aggregated frame, the same bounded shape as
+    the allowlisted top-k rankers. The z-score divides only where
+    sigma > 0, and both engines compute stddev_samp over the identical
+    24-row frame.
+    """
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.orderBy("hour").rowsBetween(-24, -1)
+    )
+    scored = hourly.select(
+        "hour",
+        "n_events",
+        F.avg("n_events").over(w).alias("mu"),
+        F.stddev_samp("n_events").over(w).alias("sigma"),
+    )
+    z = (F.col("n_events") - F.col("mu")) / F.col("sigma")
+    return (
+        scored.where(
+            F.col("sigma").isNotNull()
+            & (F.col("sigma") > 0)
+            & (F.abs(z) >= 2.0)
+        )
+        .select(
+            "hour",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round("mu", 6).alias("trailing_mean"),
+            F.round(z, 6).alias("zscore"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship entry query
 # ---------------------------------------------------------------------------

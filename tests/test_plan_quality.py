@@ -243,6 +243,12 @@ PARTITIONLESS_WINDOW_ALLOWLIST: dict[str, str] = {
         "sits above TakeOrderedAndProject(limit=20), so the single task "
         "sees 20 rows regardless of scale"
     ),
+    "events_hourly_anomalies": (
+        "trailing-24h stats over the HOURLY aggregate: the stream "
+        "collapses to one row per hour before the window, so the single "
+        "task sees hours-of-history (~9k rows/year), not events — "
+        "bounded by the calendar, not the data"
+    ),
 }
 
 
