@@ -5414,6 +5414,83 @@ def q_hourly_anomalies(spark, sf_dir):
     )
 
 
+@register(
+    "train_val_test_split",
+    f"""
+    WITH assigned AS (
+      SELECT doc_id, len({_SQL_TOKS})::BIGINT AS n_tokens,
+             CASE WHEN h < 8 THEN 'train'
+                  WHEN h = 8 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id, text,
+                   CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT)
+                     % 10 AS h
+            FROM documents)
+    )
+    SELECT split, count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM assigned GROUP BY split
+    """,
+)
+def q_train_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment by content-free
+    id hashing — ``md5(doc_id)`` first 8 hex digits mod 10 — with
+    per-split document and token counts. Hash-based assignment is the
+    scale-correct split: stable under reruns, resharding and corpus
+    growth (a document's split never changes when OTHER documents are
+    added/removed — a row_number-based split would reshuffle everyone),
+    and needs no global sort or state, just a narrow map. The census is
+    one 3-group aggregation with map-side partials. md5 keeps the
+    assignment engine-portable (same split in any system that can hash
+    a string), which is also what the oracle checks.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 10
+    )
+    assigned = docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.when(h < 8, "train").when(h == 8, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+@register(
+    "k_anonymity_report",
+    """
+    SELECT lang, source, count(*) AS group_size
+    FROM documents
+    GROUP BY lang, source
+    HAVING count(*) < 50
+    """,
+)
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over the quasi-identifier pair (lang, source):
+    every group with fewer than k=50 members — the release-safety check
+    that complements `text_pii_redact` (direct identifiers) by flagging
+    SMALL COHORTS whose combination of categorical attributes could
+    re-identify contributors. One aggregation with map-side partials;
+    the HAVING filter means only sub-threshold groups (a bounded set:
+    at most |lang|x|source| rows) ever reach the driver-facing result.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .where(F.col("group_size") < 50)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship entry query
 # ---------------------------------------------------------------------------
