@@ -132,6 +132,78 @@ def test_stream_stream_attribution_join(spark, sf_dir, event_stream_dir):
     assert len(want) > 0
 
 
+@pytest.fixture(scope="module")
+def ordered_stream_dir(spark, sf_dir, tmp_path_factory):
+    """events split into 3 TIME-ORDERED micro-batch files (disjoint ts
+    ranges, written oldest-first so the file source replays them in
+    event-time order) — required by watermark-driven tests: an
+    interleaved replay would late-drop most rows under a tight
+    watermark, an all-at-once replay would never advance it."""
+    import time as _time
+
+    path = str(tmp_path_factory.mktemp("evstream_ord"))
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span = (hi - lo) / 3
+    for i in range(3):
+        part = ev.where(
+            (F.col("ts") >= lo + i * span)
+            & (F.col("ts") < (lo + (i + 1) * span if i < 2 else hi))
+            | (F.lit(i == 2) & (F.col("ts") == hi))
+        )
+        part.coalesce(1).write.mode("append").parquet(path)
+        _time.sleep(1.1)  # distinct mtimes → deterministic replay order
+    yield path, ev.schema
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_stream_stream_attribution_left_outer(spark, sf_dir, ordered_stream_dir):
+    """The left_outer stream-stream variant emits zero-click purchases
+    with NULL click columns once the watermark closes their window —
+    same pair set AND same NULL-preserved rows as the batch form."""
+    path, schema = ordered_stream_dir
+    p_stream = _read_stream(spark, path, schema).where(
+        F.col("event_type") == "purchase"
+    )
+    c_stream = _read_stream(spark, path, schema).where(
+        F.col("event_type") == "click"
+    )
+    # outer results for a window flush only when the watermark PASSES
+    # the window's end: a tight watermark on replayed historical data
+    # closes every window by end-of-replay except the very tail
+    run_stream_to_memory(
+        attribution_join(
+            p_stream, c_stream, "1 hour", watermark="2 hours",
+            how="left_outer",
+        ),
+        "t_attr_lo",
+    )
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql(
+            "SELECT purchase_id, click_id FROM t_attr_lo"
+        ).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    batch = attribution_join(
+        ev.where(F.col("event_type") == "purchase"),
+        ev.where(F.col("event_type") == "click"),
+        "1 hour",
+        how="left_outer",
+    ).collect()
+    batch_pairs = {(r["purchase_id"], r["click_id"]) for r in batch}
+    matched = {(p, c) for p, c in batch_pairs if c is not None}
+    # matched pairs always emit; NULL rows emit only for windows the
+    # final watermark already closed (exact eviction timing depends on
+    # micro-batch boundaries, so the NULL set is a strict subset)
+    assert matched <= got <= batch_pairs
+    assert any(c is None for _, c in got), "no NULL-click purchases emitted"
+
+
 def test_stream_static_enrichment_join(spark, sf_dir, event_stream_dir):
     """Stream-static join: a streaming fact side joins a static
     broadcast dim (customer) per micro-batch — the standard streaming
