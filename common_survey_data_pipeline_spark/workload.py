@@ -5491,6 +5491,92 @@ def q_k_anonymity(spark, sf_dir):
     )
 
 
+@register(
+    "user_value_trend",
+    """
+    WITH e AS (
+      SELECT user_id, value,
+             epoch(ts) - epoch(TIMESTAMP '2024-01-01') AS x
+      FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           round(regr_slope(value, x), 6) AS slope_per_sec,
+           round(regr_intercept(value, x), 6) AS intercept,
+           round(regr_r2(value, x), 6) AS r2
+    FROM e
+    GROUP BY user_id
+    HAVING count(*) >= 2 AND regr_r2(value, x) IS NOT NULL
+    """,
+)
+def q_user_trend(spark, sf_dir):
+    """Per-user least-squares trend of event value over time via the
+    SQL-standard REGRESSION AGGREGATES (regr_slope / regr_intercept /
+    regr_r2) — closed-form OLS as a plain grouped aggregation, the
+    drift-per-entity monitor (is this user's spend trending up?)
+    without any per-group fitting loop or UDF.
+
+    Scale shape: ONE user-keyed shuffle; the regression state per group
+    is six constants (n, sum x, sum y, sum xy, sum x2, sum y2) merged
+    by map-side partials, so a billion users cost the same per-group
+    state as ten. x is FRACTIONAL seconds since 2024-01-01 (casting the
+    timestamp, not ``unix_timestamp``, which truncates micros) — the
+    centering matters numerically: against raw epoch (~1.7e9) the
+    intercept extrapolates ~54 years out of range and a 1e-13 relative
+    slope wobble from summation order moves it past the 6-decimal
+    round; centered x keeps both engines' closed forms bit-stable.
+    """
+    ev = _t(spark, sf_dir, "events")
+    # parquet surfaces ts as TIMESTAMP_NTZ; hop through TIMESTAMP (UTC
+    # session) to get fractional epoch seconds, matching DuckDB's epoch()
+    x = F.col("ts").cast("timestamp").cast("double") - F.lit(
+        1704067200.0  # epoch seconds of 2024-01-01 00:00:00 UTC
+    )
+    out = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.regr_slope(F.col("value"), x), 6).alias("slope_per_sec"),
+        F.round(F.regr_intercept(F.col("value"), x), 6).alias("intercept"),
+        F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
+    )
+    return out.where(
+        (F.col("n_events") >= 2) & F.col("r2").isNotNull()
+    )
+
+
+@register(
+    "lineitem_correlations",
+    """
+    SELECT round(corr(l_quantity, l_extendedprice), 6) AS q_price_corr,
+           round(corr(l_extendedprice, l_discount), 6) AS price_disc_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 6) AS q_price_cov,
+           round(stddev_samp(l_quantity), 6) AS sd_qty,
+           round(stddev_samp(l_extendedprice), 6) AS sd_price
+    FROM lineitem
+    """,
+)
+def q_lineitem_corr(spark, sf_dir):
+    """Column-pair correlation report over the fact table (Pearson corr
+    + sample covariance + standard deviations) — the feature-screening
+    aggregate family that rounds out `stats_moments`' single-column
+    skew/kurtosis: one full-table pass, constant per-pair state merged
+    with map-side partials, no shuffle beyond the final 1-row combine.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "q_price_corr"
+        ),
+        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias(
+            "price_disc_corr"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias(
+            "q_price_cov"
+        ),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.stddev_samp("l_extendedprice"), 6).alias("sd_price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship entry query
 # ---------------------------------------------------------------------------
