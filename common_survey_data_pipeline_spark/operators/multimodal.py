@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -342,4 +343,112 @@ def sample_frames(
     return media.select(
         F.col(id_col),
         F.posexplode(offsets).alias("frame_idx", "byte_offset"),
+    )
+
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("payload_bytes", LongType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("duration_s", DoubleType(), True),
+        StructField("rms", DoubleType(), True),
+        StructField("peak", LongType(), True),
+    ]
+)
+
+_AUDIO_RATE = 16_000  # fake profile: PCM16 mono @ 16 kHz
+
+
+def attach_audio_payload(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic audio-shaped payloads for testing: per id, a PCM16
+    little-endian mono square wave of ``16000 + id % 16000`` samples at
+    amplitude ``(id % 7 + 1) * 1000`` — synthesized vectorized in an
+    Arrow ``mapInPandas`` batch, exactly the real ingest shape (binary
+    column + typed metadata struct). The square wave makes downstream
+    stats closed-form checkable: rms == amplitude, peak == amplitude.
+    """
+    import numpy as np
+
+    src = df.select(F.col(id_col).cast("long").alias("doc_id")).where(
+        F.col(id_col).isNotNull()
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                n = _AUDIO_RATE + int(i) % _AUDIO_RATE
+                amp = (int(i) % 7 + 1) * 1000
+                wave = np.full(n, amp, dtype=np.int16)
+                wave[1::2] = -amp
+                payloads.append(wave.tobytes())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return src.mapInPandas(batches, "doc_id long, payload binary").select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("audio/pcm16").alias("media_type"),
+            F.lit(_AUDIO_RATE).alias("sample_rate"),
+            F.lit(1).alias("channels"),
+        ).alias("meta"),
+    )
+
+
+def decode_audio(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    sample_rate: int = _AUDIO_RATE,
+) -> DataFrame:
+    """Decode PCM16-mono payloads and compute per-clip stats (sample
+    count, duration, RMS, absolute peak) — the audio leg of the
+    multimodal surface, same plumbing contract as ``decode_images``:
+    Arrow-batched ``mapInPandas``, numpy vectorized per clip, total
+    over corrupt rows (null payloads dropped; odd trailing bytes
+    truncated as a real PCM reader does).
+    """
+    import numpy as np
+
+    media = media.where(
+        F.col(payload_col).isNotNull() & F.col(id_col).isNotNull()
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                buf = bytes(payload)
+                samples = np.frombuffer(
+                    buf[: len(buf) - (len(buf) % 2)], dtype="<i2"
+                )
+                n = int(samples.size)
+                if n:
+                    x = samples.astype(np.float64)
+                    rms = float(np.sqrt(np.mean(x * x)))
+                    peak = int(np.max(np.abs(x)))
+                else:
+                    rms, peak = 0.0, 0
+                rows.append(
+                    (int(i), len(buf), n, n / sample_rate, rms, peak)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "payload_bytes",
+                    "n_samples",
+                    "duration_s",
+                    "rms",
+                    "peak",
+                ],
+            )
+
+    return media.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, AUDIO_STATS_SCHEMA
     )

@@ -58,7 +58,9 @@ from common_survey_data_pipeline_spark.operators.ranking import (
     global_row_number,
 )
 from common_survey_data_pipeline_spark.operators.multimodal import (
+    attach_audio_payload,
     attach_binary_payload,
+    decode_audio,
     decode_images,
     resize_images,
     sample_frames,
@@ -5574,6 +5576,44 @@ def q_lineitem_corr(spark, sf_dir):
         ),
         F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
         F.round(F.stddev_samp("l_extendedprice"), 6).alias("sd_price"),
+    )
+
+
+@register(
+    "multimodal_audio_stats",
+    """
+    SELECT doc_id,
+           (2 * (16000 + doc_id % 16000))::BIGINT AS payload_bytes,
+           (16000 + doc_id % 16000)::BIGINT AS n_samples,
+           round((16000 + doc_id % 16000) / 16000.0, 7) AS duration_s,
+           ((doc_id % 7 + 1) * 1000)::DOUBLE AS rms,
+           ((doc_id % 7 + 1) * 1000)::BIGINT AS peak
+    FROM documents
+    """,
+)
+def q_mm_audio(spark, sf_dir):
+    """Audio leg of the multimodal surface: synthesize PCM16 payloads
+    (Arrow `mapInPandas`, real binary-column ingest shape) then decode
+    and compute per-clip stats (samples, duration, RMS, peak) in a
+    second Arrow stage with numpy — `operators/multimodal.py::
+    attach_audio_payload` / `decode_audio`. The fake profile is a
+    square wave, so RMS and peak are closed-form (== amplitude) and the
+    whole numeric path — byte synthesis, `frombuffer` decode,
+    float64 RMS — is checkable in SQL exactly (duration rounds at
+    7 digits, where n/16000's decimal expansion terminates — rounding
+    at 6 hits exact .xxxxxx75 ties that the two engines break
+    differently); a real codec swaps in
+    behind the same schema, batch shape and partitioning.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_audio_payload(docs)
+    return decode_audio(media).select(
+        "doc_id",
+        "payload_bytes",
+        "n_samples",
+        F.round("duration_s", 7).alias("duration_s"),
+        "rms",
+        "peak",
     )
 
 
