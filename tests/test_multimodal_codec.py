@@ -198,3 +198,53 @@ def test_decode_images_real_profile_on_png_payloads(spark):
         assert got[i]["width"] == 5
         assert got[i]["height"] == 4 + i
         assert [round(f, 6) for f in got[i]["features"]] == _expected_hist(px)
+
+
+# ---------------------------------------------------------------------------
+# Audio leg: PCM16 decode
+# ---------------------------------------------------------------------------
+
+def test_decode_audio_pcm16_stats(spark):
+    from common_survey_data_pipeline_spark.operators.multimodal import (
+        decode_audio,
+    )
+
+    wave = np.array([1000, -1000, 1000, -1000], dtype="<i2")
+    rows = [
+        (1, bytearray(wave.tobytes())),
+        # odd trailing byte truncates like a real PCM reader
+        (2, bytearray(wave.tobytes() + b"\x7f")),
+        # empty payload: zero samples, zero stats, no crash
+        (3, bytearray(b"")),
+        # null payload row dropped, not crashed on
+        (4, None),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in decode_audio(media).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["n_samples"] == 4
+    assert got[1]["rms"] == 1000.0 and got[1]["peak"] == 1000
+    assert got[1]["duration_s"] == 4 / 16000
+    assert got[2]["n_samples"] == 4 and got[2]["payload_bytes"] == 9
+    assert got[3]["n_samples"] == 0
+    assert got[3]["rms"] == 0.0 and got[3]["peak"] == 0
+
+
+def test_attach_audio_payload_deterministic(spark):
+    from common_survey_data_pipeline_spark.operators.multimodal import (
+        attach_audio_payload,
+        decode_audio,
+    )
+
+    docs = spark.createDataFrame([(0,), (8,), (16005,)], "doc_id long")
+    out = {
+        r["doc_id"]: r
+        for r in decode_audio(attach_audio_payload(docs)).collect()
+    }
+    for i in (0, 8, 16005):
+        n = 16000 + i % 16000
+        amp = (i % 7 + 1) * 1000
+        assert out[i]["n_samples"] == n
+        assert out[i]["payload_bytes"] == 2 * n
+        assert out[i]["rms"] == float(amp)
+        assert out[i]["peak"] == amp
