@@ -70,6 +70,8 @@ BENCH_QUERIES = (
     "bm25_top_docs",
     "inverted_index_postings",
     "rrf_hybrid_search",
+    "token_heavy_hitters",
+    "session_transitions",
 )
 
 

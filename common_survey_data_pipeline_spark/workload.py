@@ -65,6 +65,9 @@ from common_survey_data_pipeline_spark.operators.multimodal import (
     resize_images,
     sample_frames,
 )
+from common_survey_data_pipeline_spark.operators.sketches import (
+    heavy_hitter_tokens,
+)
 from common_survey_data_pipeline_spark.operators.similarity import (
     cosine,
     cosine_topk,
@@ -5614,6 +5617,216 @@ def q_mm_audio(spark, sf_dir):
         F.round("duration_s", 7).alias("duration_s"),
         "rms",
         "peak",
+    )
+
+
+@register(
+    "token_heavy_hitters",
+    """
+    WITH tok AS (
+      SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                t -> t <> '')) AS token
+      FROM documents
+    ), tot AS (SELECT count(*) AS total FROM tok)
+    SELECT token, count(*)::BIGINT AS cnt
+    FROM tok, tot
+    GROUP BY token, tot.total
+    HAVING count(*) * 200 > tot.total
+    """,
+)
+def q_heavy_hitters(spark, sf_dir):
+    """Frequent tokens (> N/200 of the corpus) via per-partition
+    Misra–Gries candidate summaries + an exact verification count —
+    `operators/sketches.py::heavy_hitter_tokens`.
+
+    The oracle is the naive full-vocabulary GROUP BY/HAVING; the Spark
+    plan produces the IDENTICAL exact answer but its shuffle only ever
+    carries the O(k·partitions) candidate tokens (broadcast semi-join),
+    not the whole vocabulary — the 100 TB shape for "which tokens are
+    above an x-fraction threshold". The MG union guarantee (every token
+    with global count > N/(k+1) survives some partition's k-counter
+    summary; Agarwal et al., Mergeable Summaries, PODS 2012) makes the
+    candidate set a superset of the answer, and the exact pass restores
+    precision, so the sketch changes the PLAN, not the RESULT.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(T.tokens(F.lower(F.col("text")))).alias("token")
+    )
+    # N from a cheap non-exploded pass: sum of per-doc token counts
+    total = docs.agg(
+        F.sum(T.token_count(F.col("text")).cast("long")).alias("total")
+    )
+    return heavy_hitter_tokens(toks, total, token_col="token", k=200)
+
+
+@register(
+    "session_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), tr AS (
+      SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS transitions
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, transitions,
+           round(transitions / sum(transitions) OVER (PARTITION BY prev_type),
+                 6) AS p_next
+    FROM tr
+    """,
+)
+def q_session_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of event types per user
+    stream (the behavioral-sequence summary that feeds next-action
+    models): lag() within each user's (ts, event_id)-ordered stream,
+    then count and normalize per source state.
+
+    Scale shape: ONE user-keyed shuffle for the lag window (each user's
+    stream is its own partition — no global sort), then an aggregation
+    whose output is bounded by |event_type|² rows, over which the
+    normalizing window runs on a trivially small frame. The (ts,
+    event_id) order key makes the lag total and deterministic across
+    engines even when timestamps tie.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    tr = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("transitions")
+    )
+    wnorm = Window.partitionBy("prev_type")
+    return tr.select(
+        "prev_type",
+        "next_type",
+        "transitions",
+        F.round(
+            F.col("transitions") / F.sum("transitions").over(wnorm), 6
+        ).alias("p_next"),
+    )
+
+
+@register(
+    "order_mad_outliers",
+    """
+    WITH med AS (
+      SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+      FROM orders GROUP BY o_orderpriority
+    ), mad AS (
+      SELECT o.o_orderpriority, any_value(m.med) AS med,
+             quantile_cont(abs(o.o_totalprice - m.med), 0.5) AS mad
+      FROM orders o JOIN med m USING (o_orderpriority)
+      GROUP BY o.o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           count(*)::BIGINT AS n_orders,
+           sum(CASE WHEN abs(o.o_totalprice - t.med) > 3 * 1.4826 * t.mad
+                    THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+           round(any_value(t.med), 2) AS med,
+           round(any_value(t.mad), 2) AS mad
+    FROM orders o JOIN mad t USING (o_orderpriority)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_mad_outliers(spark, sf_dir):
+    """Robust (median/MAD) outlier census of order values per priority
+    class — the heavy-tail-safe complement to `stats_moments`' mean/
+    stddev screening: an order is an outlier when its absolute
+    deviation from the group median exceeds 3 robust sigmas
+    (1.4826·MAD ≈ σ under normality).
+
+    Scale shape: two grouped EXACT percentiles + a final flag count,
+    each a fact-table pass that reduces to |priority| (5) rows; the
+    tiny per-group (median, MAD) frames broadcast back onto the fact
+    scan, so no fact-side shuffle happens at all beyond the grouped
+    aggregations themselves. Exact interpolated percentile
+    (`F.percentile` ≡ DuckDB `quantile_cont`) keeps both engines
+    bit-identical; at 100 TB swap in `approx_percentile` with the
+    same plan if exactness can be traded for one fewer pass.
+    """
+    o = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    med = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        o.join(F.broadcast(med), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.first("med").alias("med"),
+            F.percentile(
+                F.abs(F.col("o_totalprice") - F.col("med")), F.lit(0.5)
+            ).alias("mad"),
+        )
+    )
+    flagged = o.join(F.broadcast(mad), "o_orderpriority")
+    return flagged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.when(
+                F.abs(F.col("o_totalprice") - F.col("med"))
+                > F.lit(3) * F.lit(1.4826) * F.col("mad"),
+                1,
+            ).otherwise(0)
+        ).alias("n_outliers"),
+        F.round(F.first("med"), 2).alias("med"),
+        F.round(F.first("mad"), 2).alias("mad"),
+    )
+
+
+@register(
+    "user_time_weighted_value",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             value::DECIMAL(14,6) AS v,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+               - epoch_us(ts) AS dur_us
+      FROM events
+    )
+    SELECT user_id,
+           count(*)::BIGINT AS n_intervals,
+           round(sum(v * dur_us)::DOUBLE / sum(dur_us)::DOUBLE, 6) AS twav
+    FROM seq
+    WHERE dur_us IS NOT NULL AND dur_us > 0
+    GROUP BY user_id
+    """,
+)
+def q_twav(spark, sf_dir):
+    """Time-weighted average event value per user (TWAP-style): each
+    event's value is weighted by how long it remained the latest
+    observation (lead(ts) − ts), the correct average for irregularly
+    sampled streams where plain avg() over-weights chatty periods.
+
+    Scale shape: one user-keyed shuffle for the lead window, then a
+    grouped sum on the SAME key — Spark reuses the window's hash
+    partitioning, so the aggregation adds no second exchange.
+    Numerics: durations in exact integer MICROSECONDS (`unix_micros`
+    ≡ DuckDB `epoch_us`) and values in DECIMAL(14,6), so the weighted
+    sum is exact on both engines regardless of accumulation order —
+    only the final division happens in double, on identical operands.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    seq = ev.select(
+        "user_id",
+        F.col("value").cast("decimal(14,6)").alias("v"),
+        (F.lead(us).over(w) - us).alias("dur_us"),
+    ).where(F.col("dur_us").isNotNull() & (F.col("dur_us") > 0))
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.round(
+            F.sum(F.col("v") * F.col("dur_us")).cast("double")
+            / F.sum("dur_us").cast("double"),
+            6,
+        ).alias("twav"),
     )
 
 
