@@ -5830,6 +5830,149 @@ def q_twav(spark, sf_dir):
     )
 
 
+@register(
+    "semantic_dedup_clustered",
+    f"""
+    WITH c AS (
+      SELECT vec_id AS cluster_id, embedding AS cvec
+      FROM embeddings WHERE vec_id < 8
+    ),
+    d AS (
+      SELECT e.vec_id, c.cluster_id, {_SQL_SQDIST} AS sq
+      FROM embeddings e CROSS JOIN c
+    ),
+    a AS (
+      SELECT vec_id, cluster_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sq, cluster_id) AS rn
+      FROM d
+    ),
+    asg AS (SELECT vec_id, cluster_id FROM a WHERE rn = 1)
+    SELECT ax.cluster_id::INT AS cluster_id,
+           ax.vec_id AS id_a, bx.vec_id AS id_b,
+           round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                        eb.embedding::DOUBLE[]), 6)
+             AS cosine_sim
+    FROM asg ax
+    JOIN asg bx ON ax.cluster_id = bx.cluster_id AND ax.vec_id < bx.vec_id
+    JOIN embeddings ea ON ea.vec_id = ax.vec_id
+    JOIN embeddings eb ON eb.vec_id = bx.vec_id
+    WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                       eb.embedding::DOUBLE[]), 6) >= 0.45
+    """,
+)
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style cluster-pruned semantic dedup (Abbas et al. 2023):
+    assign every embedding to its nearest of k=8 fixed centroids (the
+    same deterministic assignment as `embedding_kmeans_sizes`), then
+    search near-duplicate pairs (cosine ≥ 0.45) ONLY within each
+    cluster — a cluster-keyed equi self-join instead of the global
+    all-pairs or LSH search of `embedding_neardup`.
+
+    The pruning is the documented SemDeDup trade: cross-cluster pairs
+    are out of scope BY DEFINITION (the oracle applies the identical
+    pruning, so both engines agree exactly). Scale shape: assignment is
+    a narrow zero-shuffle map (centroids baked into a JVM expression);
+    the candidate stage shuffles on cluster_id and its cost is
+    Σ n_c² — tuned by k, with hot clusters handled by raising k or
+    salting the within-cluster join, never by a global cross join.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    assigned = assign_clusters(emb, centroids).select(
+        "cluster_id", "vec_id", "embedding"
+    )
+    a = assigned.select(
+        "cluster_id",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("vec_a"),
+    )
+    b = assigned.select(
+        "cluster_id",
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vec_b"),
+    )
+    sim = F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6)
+    return (
+        a.join(b, "cluster_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.col("cluster_id").cast("int").alias("cluster_id"),
+            "id_a",
+            "id_b",
+            sim.alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= 0.45)
+    )
+
+
+@register(
+    "division_full_range_suppliers",
+    """
+    WITH brands AS (SELECT DISTINCT p_brand FROM part),
+    sp AS (
+      SELECT DISTINCT l_suppkey, p_brand
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE l_quantity >= 44
+    ),
+    full_cover AS (
+      SELECT l_suppkey, count(*)::BIGINT AS n_brands
+      FROM sp
+      GROUP BY l_suppkey
+      HAVING count(*) = (SELECT count(*) FROM brands)
+    )
+    SELECT s.s_suppkey, s.s_name, f.n_brands
+    FROM supplier s JOIN full_cover f ON s.s_suppkey = f.l_suppkey
+    """,
+)
+def q_division(spark, sf_dir):
+    """Relational DIVISION — suppliers with a bulk shipment (quantity
+    ≥ 44) of EVERY brand in the catalog: the for-all quantifier
+    expressed as distinct-count-equality, the assortment-completeness /
+    coverage primitive ("entities related to ALL members of a set").
+
+    Scale shape: no cross product anywhere — the dividend reduces to
+    DISTINCT (supplier, brand) pairs (one fact-keyed shuffle with
+    map-side partial distinct; at most |supplier|×|brand| rows
+    survive), the divisor reduces to a 1-row count that broadcasts
+    into the HAVING comparison, and the final supplier join runs on
+    the already-small full-cover set. The quantity filter pushes to
+    the parquet scan; part→lineitem attaches p_brand via a
+    broadcast-eligible dimension join at test SF and an AQE-chosen
+    shuffle join beyond.
+    """
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= 44)
+        .select("l_suppkey", "l_partkey")
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    sp = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .select("l_suppkey", "p_brand")
+        .distinct()
+    )
+    n_brands = part.select("p_brand").distinct().agg(
+        F.count(F.lit(1)).alias("n_all")
+    )
+    cover = (
+        sp.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_brands"))
+        .crossJoin(F.broadcast(n_brands))
+        .where(F.col("n_brands") == F.col("n_all"))
+        .select("l_suppkey", "n_brands")
+    )
+    return sup.join(cover, sup["s_suppkey"] == cover["l_suppkey"]).select(
+        "s_suppkey", "s_name", "n_brands"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship entry query
 # ---------------------------------------------------------------------------
