@@ -5880,10 +5880,17 @@ def q_semantic_dedup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     centroids = [
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in emb.where(F.col("vec_id") < 8)
+        for r in emb.where(
+            (F.col("vec_id") < 8) & F.col("embedding").isNotNull()
+        )
         .select("vec_id", "embedding")
         .collect()
     ]
+    if not centroids:
+        # empty/degenerate corpus: no centroids → no clusters → no pairs
+        return spark.createDataFrame(
+            [], "cluster_id int, id_a bigint, id_b bigint, cosine_sim double"
+        )
     assigned = assign_clusters(emb, centroids).select(
         "cluster_id", "vec_id", "embedding"
     )
