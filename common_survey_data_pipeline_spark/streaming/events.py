@@ -126,6 +126,44 @@ def dedup_events(
     )
 
 
+def windowed_unique_users(
+    events: DataFrame,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    group_cols: tuple[str, ...] = ("event_type",),
+    watermark: str | None = None,
+    rsd: float = 0.01,
+) -> DataFrame:
+    """Distinct users per window via the HyperLogLog++ sketch — the
+    cardinality aggregate that works IDENTICALLY in batch and
+    streaming, because HLL register-merge is order-independent: the
+    streaming job folds each micro-batch into per-window sketch state
+    and the final estimate is bit-identical to a one-shot batch run
+    over the same rows (asserted in ``tests/test_streaming.py``).
+
+    Exact ``count(DISTINCT)`` is structurally impossible in streaming
+    (it would need the full per-window user set as state) and
+    structurally wasteful at 100 TB batch (per-window-per-user state
+    explosion); the sketch is a few KB per open window regardless of
+    cardinality. Output: (window_start, window_end, *group_cols,
+    approx_users).
+    """
+    out = events
+    if events.isStreaming and watermark:
+        out = out.withWatermark(ts_col, watermark)
+    win = F.window(F.col(ts_col), window)
+    return (
+        out.groupBy(win.alias("w"), *[F.col(c) for c in group_cols])
+        .agg(F.approx_count_distinct("user_id", rsd=rsd).alias("approx_users"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *group_cols,
+            "approx_users",
+        )
+    )
+
+
 def running_user_totals(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Custom stateful streaming operator: per-user running event count
     and value sum maintained in keyed state across micro-batches

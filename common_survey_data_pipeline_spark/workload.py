@@ -82,6 +82,7 @@ from common_survey_data_pipeline_spark.streaming.events import (
     dedup_events,
     session_stats,
     tumbling_counts,
+    windowed_unique_users,
 )
 from common_survey_data_pipeline_spark.streaming.stateful import (
     threshold_alerts as threshold_alerts_batch,
@@ -5827,6 +5828,62 @@ def q_twav(spark, sf_dir):
             / F.sum("dur_us").cast("double"),
             6,
         ).alias("twav"),
+    )
+
+
+@register(
+    "events_hourly_unique_users",
+    """
+    SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start,
+           (date_trunc('hour', ts) + INTERVAL 1 HOUR)::TIMESTAMP AS window_end,
+           event_type,
+           count(DISTINCT user_id) AS exact_users,
+           (abs(approx_count_distinct(user_id)::DOUBLE
+                / count(DISTINCT user_id) - 1) < 0.05) AS approx_ok
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def q_ev_unique_users(spark, sf_dir):
+    """Hourly distinct users per event type — the batch contract twin
+    of `streaming/events.py::windowed_unique_users` (HLL++ windowed
+    cardinality, the only distinct-count that exists in streaming and
+    the only one that scales in batch: sketch state is a few KB per
+    open window vs the per-window-per-user set of exact DISTINCT).
+
+    Same engine-portable contract as `a6_approx_count_distinct`: each
+    engine exports the exact count (identical by definition) plus a
+    boolean that its OWN sketch lands within 5% of it — raw estimates
+    are sketch-implementation-specific and never compared. The
+    streaming form's micro-batch-merged estimates are bit-identical to
+    the one-shot batch run (HLL register-merge is order-independent;
+    asserted in tests/test_streaming.py).
+    """
+    ev = _t(spark, sf_dir, "events")
+    approx = windowed_unique_users(ev, "1 hour")
+    win = F.window(F.col("ts"), "1 hour")
+    exact = (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "exact_users",
+        )
+    )
+    return approx.join(
+        exact, ["window_start", "window_end", "event_type"]
+    ).select(
+        "window_start",
+        "window_end",
+        "event_type",
+        "exact_users",
+        (
+            F.abs(
+                F.col("approx_users").cast("double") / F.col("exact_users") - 1
+            )
+            < 0.05
+        ).alias("approx_ok"),
     )
 
 

@@ -17,6 +17,7 @@ from common_survey_data_pipeline_spark.streaming.events import (
     running_user_totals,
     run_stream_to_memory,
     tumbling_counts,
+    windowed_unique_users,
 )
 
 
@@ -57,6 +58,44 @@ def test_streaming_tumbling_equals_batch(spark, sf_dir, event_stream_dir):
     )
     assert got == want
     assert len(got) > 0
+
+
+def test_streaming_unique_users_equals_batch(spark, sf_dir, event_stream_dir):
+    """HLL++ register-merge is order-independent, so the micro-batch-
+    merged streaming estimates must be BIT-identical to the one-shot
+    batch run over the same rows — not merely within tolerance."""
+    path, schema = event_stream_dir
+    stream = _read_stream(spark, path, schema)
+    run_stream_to_memory(
+        windowed_unique_users(stream, "1 hour"),
+        "t_uniq",
+        output_mode="complete",
+    )
+    got = spark.sql(
+        "SELECT * FROM t_uniq ORDER BY window_start, event_type"
+    ).collect()
+    want = (
+        windowed_unique_users(load_table(spark, sf_dir, "events"), "1 hour")
+        .orderBy("window_start", "event_type")
+        .collect()
+    )
+    assert got == want
+    assert len(got) > 0
+    # and the sketch is actually close: within 5% of exact per window
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in ev.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(F.count_distinct("user_id").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        .collect()
+    }
+    for r in got:
+        e = exact[(r["window_start"], r["event_type"])]
+        assert abs(r["approx_users"] / e - 1) < 0.05
 
 
 def test_streaming_dedup_within_watermark(spark, event_stream_dir):
