@@ -68,6 +68,7 @@ from common_survey_data_pipeline_spark.operators.multimodal import (
 from common_survey_data_pipeline_spark.operators.sketches import (
     heavy_hitter_tokens,
 )
+from common_survey_data_pipeline_spark.operators.skyline import skyline_2d
 from common_survey_data_pipeline_spark.operators.similarity import (
     cosine,
     cosine_topk,
@@ -6034,6 +6035,88 @@ def q_division(spark, sf_dir):
     )
     return sup.join(cover, sup["s_suppkey"] == cover["l_suppkey"]).select(
         "s_suppkey", "s_name", "n_brands"
+    )
+
+
+@register(
+    "skyline_parts",
+    """
+    SELECT a.p_partkey, a.p_brand, a.p_retailprice, a.p_size
+    FROM part a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+    )
+    """,
+)
+def q_skyline(spark, sf_dir):
+    """Pareto frontier of the part catalog — cheapest-for-their-size
+    parts (minimize p_retailprice, maximize p_size): multi-objective
+    shortlisting without collapsing objectives into one score.
+
+    The oracle states the semantics as the quadratic NOT EXISTS
+    dominator test; the Spark plan is the two-phase distributed skyline
+    (`operators/skyline.py::skyline_2d`): per-partition Arrow frontier
+    reduction (narrow — a locally dominated point is globally
+    dominated, so nothing correct is lost), then one global sweep over
+    the tiny candidate union, then a broadcast join back to the
+    catalog so every copy of a frontier point survives. No quadratic
+    stage anywhere.
+    """
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice", "p_size"
+    )
+    return skyline_2d(part, "p_retailprice", "p_size")
+
+
+@register(
+    "categorical_mutual_info",
+    """
+    WITH joint AS (
+      SELECT lang, source, count(*)::DOUBLE AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(c) AS n FROM joint),
+    ml AS (SELECT lang, sum(c) AS cl FROM joint GROUP BY 1),
+    ms AS (SELECT source, sum(c) AS cs FROM joint GROUP BY 1)
+    SELECT count(*)::BIGINT AS n_cells,
+           round(sum((c / n) * ln((c / n) / ((cl / n) * (cs / n)))), 6)
+             AS mi_nats
+    FROM joint JOIN ml USING (lang) JOIN ms USING (source) CROSS JOIN tot
+    """,
+)
+def q_mutual_info(spark, sf_dir):
+    """Mutual information I(lang; source) in nats — the categorical
+    dependence screen that complements `lineitem_correlations`
+    (Pearson only sees numeric-linear association): does knowing a
+    document's source tell you anything about its language? MI = 0 ⇔
+    independent; here it quantifies corpus-mix structure for
+    stratification decisions.
+
+    Scale shape: ONE full-table aggregation to the joint contingency
+    table (map-side partials, output bounded by |lang|×|source|);
+    marginals and the total re-aggregate THAT tiny frame, broadcast
+    back onto it, and reduce to a single row. The fact table is
+    scanned exactly once.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    joint = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    tot = joint.agg(F.sum("c").alias("n"))
+    ml = joint.groupBy("lang").agg(F.sum("c").alias("cl"))
+    ms = joint.groupBy("source").agg(F.sum("c").alias("cs"))
+    px = F.col("c") / F.col("n")
+    term = px * F.log(px / ((F.col("cl") / F.col("n")) * (F.col("cs") / F.col("n"))))
+    return (
+        joint.join(F.broadcast(ml), "lang")
+        .join(F.broadcast(ms), "source")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(F.sum(term), 6).alias("mi_nats"),
+        )
     )
 
 
