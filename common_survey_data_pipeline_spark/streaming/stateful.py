@@ -167,3 +167,105 @@ def threshold_alerts(
         ).alias("alert_no"),
         "total_at_alert",
     ).select("user_id", "alert_no", F.col("total_at_alert").cast("double"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy-hitter candidate tracking (Misra–Gries keyed state)
+# ---------------------------------------------------------------------------
+
+HH_SCHEMA = "bucket int, update_no long, token string, weight long"
+
+
+def streaming_mg_candidates(
+    tokens: DataFrame,
+    token_col: str = "token",
+    k: int = 64,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Streaming frequent-token CANDIDATE tracker: tokens hash into
+    ``n_buckets`` groups and each group's state is a Misra–Gries
+    summary of capacity ``k`` — total state bounded at
+    ``n_buckets × k`` counters FOREVER, no matter the vocabulary.
+
+    The batch form of the same guarantee lives in
+    ``operators/sketches.py`` (per-PARTITION summaries + exact verify);
+    here the summary is per-BUCKET and maintained incrementally via
+    ``applyInPandasWithState``. MG summaries merge associatively
+    (Agarwal et al., Mergeable Summaries, PODS 2012), so folding each
+    micro-batch into the state preserves the union guarantee: after
+    any prefix of the stream, every token whose count within its
+    bucket exceeds n_bucket/(k+1) is present in that bucket's summary.
+
+    Output is a CHANGELOG: after each micro-batch that touches a
+    bucket, the bucket's full current summary is emitted tagged with a
+    per-bucket monotonically increasing ``update_no``; downstream
+    consumers (or tests) keep the max-``update_no`` generation per
+    bucket. Batch input: same bucketing and summary via
+    ``applyInPandas``, one generation (``update_no`` = 1).
+    """
+    import pandas as pd  # noqa: PLC0415 — also used worker-side
+
+    from common_survey_data_pipeline_spark.operators.sketches import (
+        _mg_reduce,
+    )
+
+    bucketed = tokens.select(
+        F.col(token_col).alias("token"),
+        F.pmod(F.xxhash64(F.col(token_col)), F.lit(n_buckets))
+        .cast("int")
+        .alias("bucket"),
+    )
+
+    def _merge_counts(summary: "pd.Series", pdf: "pd.DataFrame") -> "pd.Series":
+        batch_counts = pdf["token"].value_counts()
+        merged = (
+            batch_counts
+            if summary.empty
+            else summary.add(batch_counts, fill_value=0).astype("int64")
+        )
+        return _mg_reduce(merged, k)
+
+    if tokens.isStreaming:
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        state_schema = "toks array<string>, ws array<long>, upd long"
+
+        def update(key, pdf_iter, state):
+            toks, ws, upd = (
+                state.get if state.exists else ([], [], 0)
+            )
+            summary = pd.Series(
+                dict(zip(toks, ws)), dtype="int64"
+            ) if toks else pd.Series(dtype="int64")
+            for pdf in pdf_iter:
+                summary = _merge_counts(summary, pdf)
+            upd += 1
+            state.update(
+                (list(summary.index), [int(w) for w in summary.values], upd)
+            )
+            if len(summary):
+                yield pd.DataFrame(
+                    {
+                        "bucket": [key[0]] * len(summary),
+                        "update_no": upd,
+                        "token": summary.index.astype(str),
+                        "weight": summary.values,
+                    }
+                )
+
+        return bucketed.groupBy("bucket").applyInPandasWithState(
+            update, HH_SCHEMA, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+
+    def one_shot(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        summary = _merge_counts(pd.Series(dtype="int64"), pdf)
+        return pd.DataFrame(
+            {
+                "bucket": [int(pdf["bucket"].iloc[0])] * len(summary),
+                "update_no": 1,
+                "token": summary.index.astype(str),
+                "weight": summary.values,
+            }
+        )
+
+    return bucketed.groupBy("bucket").applyInPandas(one_shot, HH_SCHEMA)

@@ -331,3 +331,67 @@ def test_sliding_counts_stream(spark, event_stream_dir):
     got = spark.sql("SELECT sum(n_events) AS s FROM t_sliding").first()["s"]
     n_src = spark.read.schema(schema).parquet(path).count()
     assert got == 2 * n_src  # every event lands in exactly 2 sliding windows
+
+
+def test_streaming_mg_candidates_guarantee(spark, tmp_path):
+    """The per-bucket MG union guarantee must hold after the stream is
+    fully consumed: every token whose in-bucket count exceeds
+    n_bucket/(k+1) appears in that bucket's FINAL summary generation,
+    and no summary ever exceeds k entries."""
+    from common_survey_data_pipeline_spark.streaming.stateful import (
+        streaming_mg_candidates,
+    )
+
+    # skewed tokens split over 3 parquet files = 3 micro-batches
+    words = [f"t{i}" for i in range(1, 30) for _ in range(i * i)]
+    path = str(tmp_path / "tokstream")
+    tok_df = spark.createDataFrame([(w,) for w in words], "token string")
+    tok_df.repartition(3).write.mode("overwrite").parquet(path)
+
+    k, n_buckets = 12, 4
+    stream = (
+        spark.readStream.schema("token string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    run_stream_to_memory(
+        streaming_mg_candidates(stream, k=k, n_buckets=n_buckets),
+        "t_mg",
+        output_mode="append",
+    )
+    rows = spark.sql("SELECT * FROM t_mg").collect()
+    assert rows
+    # keep only each bucket's final generation
+    final = {}
+    for r in rows:
+        cur = final.setdefault(r["bucket"], (r["update_no"], set()))
+        if r["update_no"] > cur[0]:
+            final[r["bucket"]] = (r["update_no"], {r["token"]})
+        elif r["update_no"] == cur[0]:
+            cur[1].add(r["token"])
+    # bounded state: final summaries have at most k entries
+    for bucket, (_, toks) in final.items():
+        assert len(toks) <= k
+    # union guarantee vs exact per-bucket counts (same hash, batch side)
+    exact = (
+        streaming_mg_candidates(tok_df, k=10**9, n_buckets=n_buckets)
+        .collect()
+    )  # capacity >> vocab → exact per-bucket counts via the same path
+    bucket_totals = {}
+    for r in exact:
+        bucket_totals[r["bucket"]] = bucket_totals.get(r["bucket"], 0) + r["weight"]
+    for r in exact:
+        if r["weight"] > bucket_totals[r["bucket"]] / (k + 1):
+            assert r["token"] in final[r["bucket"]][1], (
+                f"guarantee violated: {r['token']} "
+                f"({r['weight']}/{bucket_totals[r['bucket']]}) missing"
+            )
+    # batch twin obeys the same contract
+    batch = streaming_mg_candidates(tok_df, k=k, n_buckets=n_buckets).collect()
+    per_bucket = {}
+    for r in batch:
+        per_bucket.setdefault(r["bucket"], set()).add(r["token"])
+        assert r["update_no"] == 1
+    for r in exact:
+        if r["weight"] > bucket_totals[r["bucket"]] / (k + 1):
+            assert r["token"] in per_bucket[r["bucket"]]
