@@ -69,6 +69,9 @@ from common_survey_data_pipeline_spark.operators.sketches import (
     heavy_hitter_tokens,
 )
 from common_survey_data_pipeline_spark.operators.skyline import skyline_2d
+from common_survey_data_pipeline_spark.operators.linalg import (
+    embedding_covariance,
+)
 from common_survey_data_pipeline_spark.operators.similarity import (
     cosine,
     cosine_topk,
@@ -6118,6 +6121,34 @@ def q_mutual_info(spark, sf_dir):
             F.round(F.sum(term), 6).alias("mi_nats"),
         )
     )
+
+
+@register(
+    "embedding_covariance",
+    """
+    SELECT i::INT AS i, j::INT AS j,
+           round(covar_samp(embedding[i]::DOUBLE, embedding[j]::DOUBLE), 6)
+             + 0.0 AS cov
+    FROM embeddings, generate_series(1, 64) s1(i), generate_series(1, 64) s2(j)
+    WHERE i <= j AND embedding IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q_embedding_cov(spark, sf_dir):
+    """Upper-triangle sample covariance matrix of the 64-dim embedding
+    corpus — the PCA / whitening / anisotropy-diagnostic input —
+    via `operators/linalg.py::embedding_covariance`.
+
+    The oracle states the semantics as per-pair `covar_samp` over a
+    d×d unnest (d² row amplification — fine for DuckDB at oracle
+    scale, catastrophic at 100 TB); the Spark plan instead reduces
+    each partition to ONE X'X partial (vectorized BLAS in Arrow
+    batches) and shuffles only O(d²·partitions) partial rows. Same
+    closed form, same 6-decimal contract as the other embedding
+    aggregates.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_covariance(emb, "embedding")
 
 
 # ---------------------------------------------------------------------------
