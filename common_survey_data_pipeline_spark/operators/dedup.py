@@ -472,3 +472,87 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """EXACT set-similarity join via PREFIX FILTERING (SSJoin /
+    All-Pairs, Chaudhuri et al. ICDE'06, Bayardo et al. WWW'07): the
+    deterministic scale path to the same answer as
+    :func:`ngram_jaccard_pairs`, complementing the probabilistic
+    :func:`minhash_dedup_pairs`.
+
+    Under a GLOBAL token order, a record's prefix is its first
+    ``n − ceil(t·n) + 1`` tokens; any pair with Jaccard ≥ t must share
+    at least one prefix token, so equi-joining on prefix tokens loses
+    NOTHING, and exact verification of the candidates restores full
+    precision. Ordering tokens rarest-first makes prefix tokens rare
+    by construction, which bounds the candidate join's per-key fanout.
+
+    Plan (all equi-joins, no quadratic stage, no randomness):
+    1. distinct shingle sets per record (narrow);
+    2. global shingle document-frequency (one |shingle|-keyed shuffle);
+    3. rare-first sort per record, slice the prefix (sort_array over
+       (df, shingle) structs — JVM-side);
+    4. candidate pairs = self-equi-join on prefix tokens, de-duped;
+    5. exact Jaccard verify on the candidate pairs only.
+
+    Output: ``(id_a, id_b, jaccard_sim)`` — bit-identical to the
+    all-pairs form.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_words)).alias(
+            "__sh"
+        ),
+    ).where(F.size("__sh") > 0)
+
+    tok = sh.select("__id", F.explode("__sh").alias("__t"))
+    freq = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    # rare-first global order: (document frequency, shingle) is total
+    # and deterministic; sort_array on (df, shingle) structs implements
+    # it JVM-side after ONE shuffle joining frequencies back
+    ordered = (
+        tok.join(freq, "__t")
+        .groupBy("__id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("__df", "__t"))
+            ).alias("__ord")
+        )
+        .select(
+            "__id",
+            F.transform("__ord", lambda s: s["__t"]).alias("__toks"),
+        )
+    )
+    n = F.size("__toks")
+    prefix_len = n - F.ceil(F.lit(threshold) * n).cast("int") + 1
+    prefixes = ordered.select(
+        "__id", F.explode(F.slice("__toks", 1, prefix_len)).alias("__p")
+    )
+    cand = (
+        prefixes.alias("a")
+        .join(prefixes.alias("b"), "__p")
+        .where(F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+        )
+        .distinct()
+    )
+    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard_sim",
+            F.round(jaccard(F.col("__sh_a"), F.col("__sh_b")), 6),
+        )
+        .where(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )

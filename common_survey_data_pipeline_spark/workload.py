@@ -38,6 +38,7 @@ from common_survey_data_pipeline_spark.operators.dedup import (
     minhash_dedup_pairs,
     neardup_clusters,
     ngram_jaccard_pairs,
+    prefix_filter_jaccard_pairs,
     simhash_dedup_pairs,
 )
 from common_survey_data_pipeline_spark.operators.fuzzy_join import (
@@ -1011,6 +1012,19 @@ def q_dedup_ngram(spark, sf_dir):
     """Exact all-pairs word-3-gram Jaccard ≥ 0.5 (oracle-grade)."""
     docs = _t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+
+
+@register("dedup_prefix_filter", _SQL_NGRAM_PAIRS)
+def q_dedup_prefix(spark, sf_dir):
+    """Prefix-filtered EXACT set-similarity join (SSJoin/All-Pairs) —
+    the deterministic scale path to the identical answer as
+    `dedup_ngram_exact`: rare-first prefix tokens bound the candidate
+    equi-join's fanout, exact verification restores precision, and no
+    quadratic or probabilistic stage exists (contrast
+    `dedup_minhash`, whose recall is probabilistic). See
+    `operators/dedup.py::prefix_filter_jaccard_pairs`."""
+    docs = _t(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
 
 
 @register("dedup_minhash", _SQL_NGRAM_PAIRS)
