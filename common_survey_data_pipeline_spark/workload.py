@@ -6165,6 +6165,109 @@ def q_embedding_cov(spark, sf_dir):
     return embedding_covariance(emb, "embedding")
 
 
+@register(
+    "user_trend_rolling",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, value,
+             epoch(ts) - epoch(TIMESTAMP '2024-01-01') AS x,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id,
+           round(regr_slope(value, x) OVER (
+             PARTITION BY user_id ORDER BY rn
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS slope_10
+    FROM e
+    QUALIFY rn >= 10
+    """,
+)
+def q_user_trend_rolling(spark, sf_dir):
+    """ROLLING least-squares trend per user — regression aggregates as
+    WINDOW functions over the last 10 events, the drift monitor that
+    localizes `user_value_trend`'s whole-history slope to a moving
+    frame (emitted only once the frame is full, so every slope covers
+    exactly 10 points).
+
+    Scale shape: ONE user-keyed shuffle; the frame is ROWS-bounded, so
+    Spark's window evaluates it with constant per-row state — no
+    per-user materialization of history. x is centered fractional
+    seconds (same epoch anchor as `user_value_trend`) to keep the
+    closed form numerically stable at 6 decimals across engines.
+    """
+    ev = _t(spark, sf_dir, "events")
+    x = F.col("ts").cast("timestamp").cast("double") - F.lit(1704067200.0)
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_frame = w_ord.rowsBetween(-9, 0)
+    out = ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w_ord).alias("rn"),
+        F.round(F.regr_slope(F.col("value"), x).over(w_frame), 6).alias(
+            "slope_10"
+        ),
+    )
+    return out.where(F.col("rn") >= 10).select(
+        "user_id", "event_id", "slope_10"
+    )
+
+
+@register(
+    "zipf_fit",
+    """
+    WITH tok AS (
+      SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+                                                      '\\s+'),
+                                t -> t <> '')) AS token
+      FROM documents
+    ),
+    freq AS (SELECT token, count(*)::DOUBLE AS cnt FROM tok GROUP BY token),
+    ranked AS (
+      SELECT cnt,
+             row_number() OVER (ORDER BY cnt DESC, token) AS rank
+      FROM freq
+    )
+    SELECT count(*)::BIGINT AS vocab_size,
+           round(regr_slope(ln(cnt), ln(rank)), 6) AS zipf_slope,
+           round(regr_r2(ln(cnt), ln(rank)), 6) AS r2
+    FROM ranked
+    """,
+)
+def q_zipf(spark, sf_dir):
+    """Zipf's-law fit of the corpus token-frequency distribution: OLS
+    slope of log(frequency) on log(rank) (Zipfian text ≈ −1) plus R² —
+    the corpus-health diagnostic that flags template/boilerplate-heavy
+    or synthetic text (|slope| far from 1, low R²).
+
+    Scale shape: token counts are one vocab-keyed shuffle; the global
+    frequency rank comes from the DISTRIBUTED ranking kernel
+    (`operators/ranking.py::global_row_number` — range partitioning +
+    local ranks + cumulative offsets), NOT a partition-less Window
+    funneling the vocabulary through one task; the regression is a
+    constant-state 1-row aggregate. (cnt DESC, token) is a total
+    order, so both engines rank ties identically.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(T.tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    ranked = global_row_number(
+        freq, [F.col("cnt").desc(), F.col("token").asc()], name="rank"
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.round(
+            F.regr_slope(F.log(F.col("cnt")), F.log(F.col("rank"))), 6
+        ).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log(F.col("cnt")), F.log(F.col("rank"))), 6).alias(
+            "r2"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship entry query
 # ---------------------------------------------------------------------------
