@@ -6268,6 +6268,78 @@ def q_zipf(spark, sf_dir):
     )
 
 
+@register(
+    "funnel_windowed_3step",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click'
+        AND e.ts > v.t_view AND e.ts <= v.t_view + INTERVAL 1 HOUR
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase'
+        AND e.ts > c.t_click AND e.ts <= c.t_click + INTERVAL 1 HOUR
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v)::BIGINT AS n_view,
+           (SELECT count(*) FROM c)::BIGINT AS n_click_1h,
+           (SELECT count(*) FROM p)::BIGINT AS n_purchase_1h
+    """,
+)
+def q_funnel_windowed(spark, sf_dir):
+    """STRICT chained-window funnel view→click→purchase: each stage
+    must occur AFTER the previous stage's event and WITHIN 1 hour of
+    it (anchored at the previous stage's first qualifying event) — the
+    time-bound conversion semantic that `funnel_signup_purchase`'s
+    unbounded first-timestamps form cannot express: a purchase a week
+    after the click does not count here.
+
+    Scale shape: three grouped min-aggregations, each keyed on
+    user_id, with each stage's tiny (user, t_stage) frame joined back
+    to the user-keyed event scan — every shuffle is on the SAME key,
+    so the exchanges reuse one hash partitioning; the final counts are
+    three 1-row aggregates broadcast-assembled into one row.
+    """
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    n_v = v.agg(F.count(F.lit(1)).alias("n_view"))
+    n_c = c.agg(F.count(F.lit(1)).alias("n_click_1h"))
+    n_p = p.agg(F.count(F.lit(1)).alias("n_purchase_1h"))
+    return n_v.crossJoin(F.broadcast(n_c)).crossJoin(F.broadcast(n_p))
+
+
 # ---------------------------------------------------------------------------
 # Flagship entry query
 # ---------------------------------------------------------------------------
