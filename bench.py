@@ -72,6 +72,11 @@ BENCH_QUERIES = (
     "rrf_hybrid_search",
     "token_heavy_hitters",
     "session_transitions",
+    "dedup_prefix_filter",
+    "embedding_covariance",
+    "skyline_parts",
+    "zipf_fit",
+    "funnel_windowed_3step",
 )
 
 

@@ -532,13 +532,34 @@ def prefix_filter_jaccard_pairs(
     )
     n = F.size("__toks")
     prefix_len = n - F.ceil(F.lit(threshold) * n).cast("int") + 1
+    # carry set size and 1-based prefix position for the two classic
+    # prunes applied INSIDE the candidate join (before any dedup or
+    # verification): length filter (J >= t forces t*|A| <= |B| <= |A|/t)
+    # and PPJoin's positional filter (the overlap upper bound from the
+    # match positions must reach the equivalent-overlap threshold
+    # alpha = ceil(t/(1+t) * (|A|+|B|)))
     prefixes = ordered.select(
-        "__id", F.explode(F.slice("__toks", 1, prefix_len)).alias("__p")
+        F.col("__id"),
+        n.alias("__n"),
+        F.posexplode(F.slice("__toks", 1, prefix_len)).alias("__pos0", "__p"),
     )
+    na, nb = F.col("a.__n"), F.col("b.__n")
+    # the 1e-9 slack keeps a one-ulp-high t/(1+t) product from pushing
+    # ceil past the true integer alpha (over-pruning would LOSE pairs;
+    # an epsilon of under-pruning only admits a few extra candidates)
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (na + nb) - F.lit(1e-9)
+    )
+    ubound = 1 + F.least(na - 1 - F.col("a.__pos0"), nb - 1 - F.col("b.__pos0"))
     cand = (
         prefixes.alias("a")
         .join(prefixes.alias("b"), "__p")
-        .where(F.col("a.__id") < F.col("b.__id"))
+        .where(
+            (F.col("a.__id") < F.col("b.__id"))
+            & (nb * threshold <= na)
+            & (na * threshold <= nb)
+            & (ubound >= alpha)
+        )
         .select(
             F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
         )
