@@ -57,3 +57,70 @@ def semi_join(
     """Rows of ``left`` with at least one key match in ``right``."""
     return _keyed(left, right, left_on, right_on, "left_semi", broadcast_right,
                   null_matches_null)
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    dim_keys: DataFrame,
+    key: str,
+    m_bits: int = 16384,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Semi join with an EXPLICIT Bloom runtime filter: build an m-bit
+    Bloom filter over the (already filtered, still possibly large) dim
+    key set, apply it to the fact scan as a pure JVM expression, then
+    run the real ``left_semi`` join to drop the Bloom's false
+    positives. The result is IDENTICAL to the plain semi join — the
+    Bloom only changes how many fact rows reach the shuffle, which is
+    exactly what Spark's injected runtime bloom filters do; this
+    operator makes the pattern explicit, tunable, and assertable.
+
+    Scale shape: the build side reduces to at most ``m_bits/64`` rows
+    (explode k hash positions → distinct (word, bit) → ``bit_or`` per
+    word) — the driver collect is bounded by the CONFIGURED filter
+    size, never by data (same contract as the baked k-means
+    centroids). The probe is a narrow map over the fact scan with the
+    word array baked as a literal; false-positive rate follows the
+    standard (1 − e^{−kn/m})^k, so size m to the dim cardinality.
+    """
+    m_words = (m_bits + 63) // 64
+    keys = dim_keys.select(F.col(key).alias("__k")).where(
+        F.col("__k").isNotNull()
+    ).distinct()
+
+    def positions(col):
+        return [
+            F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(m_bits))
+            for seed in range(n_hashes)
+        ]
+
+    set_bits = (
+        keys.select(
+            F.explode(F.array(*positions(F.col("__k")))).alias("__pos")
+        )
+        .distinct()
+        .collect()
+    )
+    if not set_bits:  # empty dim side: semi join is empty
+        return fact.limit(0)
+    # assemble the word array driver-side: the collect above is bounded
+    # by m_bits rows (the CONFIGURED filter size), never by data
+    words = [0] * m_words
+    for r in set_bits:
+        words[r["__pos"] // 64] |= 1 << (r["__pos"] % 64)
+    # longs are signed: bit 63 wraps to the sign bit
+    word_arr = F.array(
+        *[
+            F.lit(w - (1 << 64) if w >= (1 << 63) else w).cast("long")
+            for w in words
+        ]
+    )
+    probe = None
+    for pos in positions(F.col(f"`{key}`")):
+        word = F.element_at(word_arr, (pos / 64).cast("int") + 1)
+        hit = F.getbit(word, F.pmod(pos, 64)) == 1
+        probe = hit if probe is None else (probe & hit)
+    prefiltered = fact.where(F.col(f"`{key}`").isNotNull() & probe)
+    return prefiltered.join(
+        keys.withColumnRenamed("__k", key), key, "left_semi"
+    )

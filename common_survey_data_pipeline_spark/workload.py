@@ -46,7 +46,11 @@ from common_survey_data_pipeline_spark.operators.fuzzy_join import (
     stringdist_left_join,
 )
 from common_survey_data_pipeline_spark.operators.graph import triangle_stats
-from common_survey_data_pipeline_spark.operators.joins import anti_join, semi_join
+from common_survey_data_pipeline_spark.operators.joins import (
+    anti_join,
+    bloom_semi_join,
+    semi_join,
+)
 from common_survey_data_pipeline_spark.operators.layout import zorder_bucket_stats
 from common_survey_data_pipeline_spark.operators.temporal_joins import (
     asof_join,
@@ -6338,6 +6342,53 @@ def q_funnel_windowed(spark, sf_dir):
     n_c = c.agg(F.count(F.lit(1)).alias("n_click_1h"))
     n_p = p.agg(F.count(F.lit(1)).alias("n_purchase_1h"))
     return n_v.crossJoin(F.broadcast(n_c)).crossJoin(F.broadcast(n_p))
+
+
+@register(
+    "bloom_filtered_revenue",
+    f"""
+    SELECT date_trunc('month', l_shipdate)::TIMESTAMP AS ship_month,
+           count(*) AS n_items,
+           round(sum({_DISC_PRICE_DEC}), 2)::DOUBLE AS revenue
+    FROM lineitem
+    WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey = 3)
+    GROUP BY 1
+    """,
+)
+def q_bloom_revenue(spark, sf_dir):
+    """Monthly revenue from one nation's suppliers, with the fact scan
+    pre-filtered by an EXPLICIT Bloom runtime filter before the semi
+    join (`operators/joins.py::bloom_semi_join`): the nation's supplier
+    keys reduce to a fixed 16384-bit filter baked into the fact scan's
+    predicate, so ~96% of lineitem rows (24/25 nations) die in the
+    scan stage without shuffling; the real left_semi join then removes
+    the Bloom's false positives, making the result IDENTICAL to the
+    plain semi join the oracle states.
+
+    This is the manual, assertable form of the runtime bloom filters
+    AQE injects (`tests/test_plan_quality.py` pins the injected
+    variant): at 100 TB the build side stays bounded — the collect is
+    m_bits/64 words regardless of dim cardinality — and the probe is a
+    narrow JVM expression with zero extra exchanges.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") == 3)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    filtered = bloom_semi_join(li, sup, "l_suppkey")
+    return (
+        filtered.groupBy(
+            F.date_trunc("month", F.col("l_shipdate")).alias("ship_month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(_disc_price_dec()), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
