@@ -329,3 +329,23 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_bloom_prefilter_runs_in_scan_stage(run):
+    plan = plan_of(run("bloom_filtered_revenue"))
+    # the baked Bloom probe (getbit over the literal word array) must
+    # sit in a Filter DIRECTLY above the fact FileScan — rows die in
+    # the scan stage, before any exchange
+    lines = plan.splitlines()
+    probe = [i for i, l in enumerate(lines) if "getbit" in l and "Filter" in l]
+    assert probe, "no getbit Filter in plan"
+    assert "FileScan parquet" in lines[probe[0] + 1]
+    assert "l_suppkey" in lines[probe[0] + 1]
+    # and the exact semi join still runs (false positives removed)
+    assert "LeftSemi" in plan
+
+
+def test_prefix_filter_join_has_no_quadratic_stage(run):
+    plan = plan_of(run("dedup_prefix_filter"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
