@@ -6391,6 +6391,133 @@ def q_bloom_revenue(spark, sf_dir):
     )
 
 
+@register(
+    "winsorized_order_stats",
+    """
+    WITH b AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.05) AS p05,
+             quantile_cont(o_totalprice, 0.95) AS p95
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           count(*)::BIGINT AS n_orders,
+           round(avg(o.o_totalprice), 4) AS raw_mean,
+           round(avg(least(greatest(o.o_totalprice, b.p05), b.p95)), 4)
+             AS winsorized_mean,
+           sum(CASE WHEN o.o_totalprice < b.p05 OR o.o_totalprice > b.p95
+                    THEN 1 ELSE 0 END)::BIGINT AS n_clipped
+    FROM orders o JOIN b USING (o_orderpriority)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_winsorized(spark, sf_dir):
+    """Winsorized mean per priority class (values clipped to the exact
+    [p05, p95] band before averaging) — the tail-robust estimator that
+    completes the robust-stats family with `order_mad_outliers`
+    (flagging) and `length_p99_outliers` (filtering): here extreme
+    values are RETAINED but bounded, the right call when tails are
+    legitimate-but-noisy rather than junk.
+
+    Scale shape: one grouped exact-percentile pass reduces to
+    |priority| rows that broadcast back onto the fact scan; the
+    clipped aggregation is a second single pass with map-side
+    partials. Exact interpolated percentiles keep both engines
+    bit-identical; at 100 TB substitute `approx_percentile` with the
+    same two-pass plan.
+    """
+    o = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    bounds = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.05)).alias("p05"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("p95"),
+    )
+    x = F.col("o_totalprice")
+    clipped = F.least(F.greatest(x, F.col("p05")), F.col("p95"))
+    return (
+        o.join(F.broadcast(bounds), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg(x), 4).alias("raw_mean"),
+            F.round(F.avg(clipped), 4).alias("winsorized_mean"),
+            F.sum(
+                F.when((x < F.col("p05")) | (x > F.col("p95")), 1).otherwise(0)
+            ).alias("n_clipped"),
+        )
+    )
+
+
+@register(
+    "corpus_top_p_by_lang",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars, {_SQL_QUALITY_EXPR} AS quality
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang, n_chars, quality,
+             sum(n_chars) OVER (PARTITION BY lang
+                                ORDER BY quality DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_chars,
+             sum(n_chars) OVER (PARTITION BY lang) AS tot_chars
+      FROM scored
+    )
+    SELECT lang, count(*)::BIGINT AS n_docs_kept,
+           sum(n_chars)::BIGINT AS chars_kept,
+           round(min(quality), 6) AS min_quality_kept
+    FROM ranked
+    WHERE cum_chars * 2 <= tot_chars
+    GROUP BY lang
+    """,
+)
+def q_corpus_top_p(spark, sf_dir):
+    """Quality-ordered TOP-P corpus selection per language: walk each
+    language's docs from highest quality down and keep them until half
+    the language's characters are covered — the "keep the best p of
+    the tokens, not the best p of the documents" curation rule
+    (documents are unequal sizes, so a doc-count quota misallocates
+    the char budget).
+
+    Scale shape: ONE lang-keyed shuffle feeds both the running
+    cumulative sum (ROWS frame — constant state) and the per-lang
+    total (unbounded frame over the same partitioning — no second
+    exchange); the integer comparison `cum*2 <= tot` avoids any
+    float threshold at the cut boundary, so the kept set is exact on
+    both engines. (quality DESC, doc_id) is a total order, making the
+    walk deterministic under ties.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("lang")
+    ranked = scored.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "quality",
+        F.sum("n_chars").over(w_cum).alias("cum_chars"),
+        F.sum("n_chars").over(w_tot).alias("tot_chars"),
+    )
+    return (
+        ranked.where(F.col("cum_chars") * 2 <= F.col("tot_chars"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+            F.round(F.min("quality"), 6).alias("min_quality_kept"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship entry query
 # ---------------------------------------------------------------------------
