@@ -349,3 +349,27 @@ def test_prefix_filter_join_has_no_quadratic_stage(run):
     plan = plan_of(run("dedup_prefix_filter"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_is_cluster_keyed_equi(run):
+    plan = plan_of(run("semantic_dedup_clustered"))
+    # the pair search must be the cluster-keyed equi self-join, never a
+    # cartesian/nested-loop over the corpus
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_heavy_hitters_shuffles_candidates_not_vocab(run):
+    plan = plan_of(run("token_heavy_hitters"))
+    # MG summary stage is Arrow-batched and NARROW: MapInPandas sits
+    # directly on the exploded scan with no exchange below it
+    lines = plan.splitlines()
+    mp = [i for i, l in enumerate(lines) if "MapInPandas" in l]
+    assert mp, "no MapInPandas summary stage"
+    below = "\n".join(lines[mp[0] + 1 :])
+    first_scan = below.find("Scan parquet")
+    first_exchange = below.find("Exchange")
+    assert first_scan != -1
+    assert first_exchange == -1 or first_exchange > first_scan
+    # candidates broadcast into the probe-side semi join
+    assert "BroadcastHashJoin" in plan
