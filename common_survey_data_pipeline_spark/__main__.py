@@ -64,6 +64,11 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--data", default=None, help="directory of *.parquet tables")
     q.add_argument("--out", default=None, help="write result parquet here (default: show)")
     q.add_argument("--list", action="store_true", help="list available queries")
+    q.add_argument(
+        "--explain",
+        action="store_true",
+        help="print the formatted physical plan instead of executing",
+    )
 
     comp = sub.add_parser("compact", help="small-files maintenance rewrite")
     comp.add_argument("--src", required=True)
@@ -93,6 +98,11 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         spark = get_spark(app_name=f"csdp-query-{args.name}")
         df = REGISTRY[args.name].fn(spark, args.data)
+        if args.explain:
+            from common_survey_data_pipeline_spark.plans import plan_of
+
+            print(plan_of(df))
+            return 0
         if args.out:
             df.write.mode("overwrite").parquet(args.out)
             print(f"wrote {args.out}")
