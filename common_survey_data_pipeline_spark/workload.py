@@ -6518,6 +6518,68 @@ def q_corpus_top_p(spark, sf_dir):
     )
 
 
+@register(
+    "customer_abc_classes",
+    """
+    WITH rev AS (
+      SELECT o_custkey, sum(o_totalprice::DECIMAL(12,2)) AS r
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, r,
+             sum(r) OVER (ORDER BY r DESC, o_custkey
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(r) OVER () AS tot
+      FROM rev
+    )
+    SELECT CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+                WHEN cum * 100 <= tot * 95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           count(*)::BIGINT AS n_customers,
+           round(sum(r), 2)::DOUBLE AS revenue
+    FROM ranked
+    GROUP BY 1
+    """,
+)
+def q_abc(spark, sf_dir):
+    """ABC / Pareto classification of customers: walk customers from
+    highest revenue down and label the ones covering the first 80% of
+    total revenue 'A', the next 15% 'B', the tail 'C' — the inventory-
+    analysis classic that tells you which accounts deserve the
+    attention.
+
+    Scale shape: revenue reduces per customer first (one fact-keyed
+    shuffle); the GLOBAL running share then comes from the distributed
+    prefix-sum kernel (`operators/ranking.py::global_cumsum` — range
+    partition + per-partition offsets), never a partition-less Window
+    over all customers. Money stays DECIMAL end-to-end, so the
+    80/95 boundary comparisons (`cum*100 <= tot*80`, integer-scaled,
+    no division) classify identically on both engines.
+    """
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("r")
+    )
+    ranked = global_cumsum(
+        rev, [F.col("r").desc(), F.col("o_custkey").asc()], "r", name="cum"
+    )
+    tot = rev.agg(F.sum("r").alias("tot"))
+    cls = (
+        F.when(F.col("cum") * 100 <= F.col("tot") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("tot") * 95, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(cls.alias("abc_class"), "r")
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("r"), 2).cast("double").alias("revenue"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship entry query
 # ---------------------------------------------------------------------------
