@@ -6581,6 +6581,380 @@ def q_abc(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-3 additions: drift monitoring, null-safe joins, ER blocking,
+# multi-touch attribution, JL random projection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "drift_psi_report",
+    """
+    WITH b AS (
+      SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+    ),
+    t AS (
+      SELECT least(floor((o_totalprice - mn) * 10.0 / (mx - mn)), 9.0)::INT
+               AS bucket,
+             CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                  THEN 1 ELSE 0 END AS cur
+      FROM orders, b
+    ),
+    g AS (
+      SELECT bucket,
+             sum(1 - cur)::BIGINT AS n_ref,
+             sum(cur)::BIGINT AS n_cur
+      FROM t GROUP BY bucket
+    ),
+    tot AS (SELECT sum(n_ref)::BIGINT AS tr, sum(n_cur)::BIGINT AS tc FROM g)
+    SELECT bucket, n_ref, n_cur,
+           round((greatest(n_cur / tc, 0.000001)
+                  - greatest(n_ref / tr, 0.000001))
+                 * ln(greatest(n_cur / tc, 0.000001)
+                      / greatest(n_ref / tr, 0.000001)), 6) AS psi_term
+    FROM g, tot
+    """,
+)
+def q_drift_psi(spark, sf_dir):
+    """Population Stability Index between a reference period (orders
+    before 1998) and the current period, over 10 equal-width price
+    buckets — the standard drift monitor for "did this feature's
+    distribution move between snapshots". Per-bucket PSI terms are
+    emitted (their sum is the index; ≥0.2 conventionally = major
+    shift).
+
+    Scale shape: a 1-row global min/max aggregate broadcasts back onto
+    a SINGLE fact scan that produces both periods' histograms at once
+    (`sum(cur)` / `sum(1-cur)` — no second pass, no per-period scan);
+    the PSI arithmetic then runs on ≤10 rows. Equal-width (not
+    quantile) buckets keep the bucket function a pure expression of
+    the broadcast bounds. The epsilon floor (1e-6) keeps empty buckets
+    finite, mirrored identically in both engines.
+    """
+    o = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderdate")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    bucket = F.least(
+        F.floor(
+            (F.col("o_totalprice") - F.col("mn"))
+            * 10.0
+            / (F.col("mx") - F.col("mn"))
+        ),
+        F.lit(9.0).cast("bigint"),
+    ).cast("int")
+    cur = F.when(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"), 1
+    ).otherwise(0)
+    g = (
+        o.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), cur.alias("cur"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(1 - F.col("cur")).alias("n_ref"),
+            F.sum("cur").alias("n_cur"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
+    )
+    p_cur = F.greatest(F.col("n_cur") / F.col("tc"), F.lit(0.000001))
+    p_ref = F.greatest(F.col("n_ref") / F.col("tr"), F.lit(0.000001))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
+    )
+
+
+@register(
+    "j12_nullsafe_full_join",
+    """
+    WITH ref AS (
+      SELECT nullif(o_orderpriority, '3-MEDIUM') AS prio_grp,
+             count(*)::BIGINT AS n_ref
+      FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1
+    ),
+    cur AS (
+      SELECT nullif(o_orderpriority, '3-MEDIUM') AS prio_grp,
+             count(*)::BIGINT AS n_cur
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY 1
+    )
+    SELECT coalesce(ref.prio_grp, cur.prio_grp, '3-MEDIUM') AS prio,
+           coalesce(n_ref, 0)::BIGINT AS n_ref,
+           coalesce(n_cur, 0)::BIGINT AS n_cur
+    FROM ref FULL JOIN cur ON ref.prio_grp IS NOT DISTINCT FROM cur.prio_grp
+    """,
+)
+def q_j12_nullsafe(spark, sf_dir):
+    """Null-safe (`<=>` / IS NOT DISTINCT FROM) FULL OUTER join of two
+    period summaries on a NULLABLE group key — the semantics class a
+    plain equi-join silently breaks: with `=`, the NULL group from
+    each side never matches and the comparison row for it is lost.
+    Generalizes the reference's R `%in%`-with-NA handling
+    (`varinfo-update.R:86-90`, where NA must compare positively) to
+    joins.
+
+    Scale shape: both sides pre-aggregate to |priority| rows before
+    the join, so the null-safe comparison runs on tiny inputs; Spark
+    plans `<=>` as a normal hash join key (null-safe equality is
+    hashable — no nested-loop fallback).
+    """
+    o = _t(spark, sf_dir, "orders")
+    grp = F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM"))
+    cut = F.lit("1998-01-01").cast("timestamp")
+    ref = (
+        o.where(F.col("o_orderdate") < cut)
+        .groupBy(grp.alias("prio_grp"))
+        .agg(F.count(F.lit(1)).alias("n_ref"))
+    )
+    cur = (
+        o.where(F.col("o_orderdate") >= cut)
+        .groupBy(grp.alias("prio_grp"))
+        .agg(F.count(F.lit(1)).alias("n_cur"))
+    )
+    joined = ref.join(
+        cur.withColumnRenamed("prio_grp", "prio_grp_c"),
+        ref["prio_grp"].eqNullSafe(F.col("prio_grp_c")),
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce(F.col("prio_grp"), F.col("prio_grp_c"), F.lit("3-MEDIUM"))
+        .alias("prio"),
+        F.coalesce(F.col("n_ref"), F.lit(0)).alias("n_ref"),
+        F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
+    )
+
+
+_ER_WINDOW = 5  # sorted-neighborhood slide width (Hernández/Stolfo 1995)
+
+
+@register(
+    "er_sorted_neighborhood",
+    f"""
+    WITH ranked AS (
+      SELECT p_partkey, p_name,
+             row_number() OVER (ORDER BY lower(p_name), p_partkey) AS rn
+      FROM part
+    )
+    SELECT a.p_partkey AS a_partkey, b.p_partkey AS b_partkey,
+           levenshtein(a.p_name, b.p_name)::INT AS name_dist
+    FROM ranked a JOIN ranked b
+      ON b.rn BETWEEN a.rn + 1 AND a.rn + {_ER_WINDOW}
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def q_er_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood entity-resolution blocking: sort all records
+    by a blocking key (normalized name), slide a w-row window down the
+    sorted order, and emit candidate pairs within the window that pass
+    the expensive similarity predicate (Levenshtein ≤ 2) — the classic
+    alternative to the all-pairs fuzzy join when records cluster under
+    a sortable key. Complements `j1` (blocked fuzzy join) and
+    `dedup_prefix_filter` (set-similarity) with the third canonical ER
+    blocking scheme.
+
+    Scale shape: the global sort order comes from the distributed
+    rank kernel (`operators/ranking.py::global_row_number` — range
+    partition + offset collect, no single-task Window); the windowed
+    self-pairing is then an EQUI-join: each left row explodes to its w
+    successor positions (`rn + 1 … rn + w`) and matches `b.rn` on a
+    plain hash join — O(N·w) candidates total, never an all-pairs or
+    range-condition nested loop. Levenshtein runs only on the N·w
+    survivors, JVM-side.
+    """
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    ranked = global_row_number(
+        p, [F.lower(F.col("p_name")), F.col("p_partkey")], "rn"
+    )
+    left = ranked.select(
+        F.col("p_partkey").alias("a_partkey"),
+        F.col("p_name").alias("a_name"),
+        F.explode(
+            F.array(*[F.col("rn") + k for k in range(1, _ER_WINDOW + 1)])
+        ).alias("rn"),
+    )
+    right = ranked.select(
+        F.col("p_partkey").alias("b_partkey"),
+        F.col("p_name").alias("b_name"),
+        "rn",
+    )
+    dist = F.levenshtein(F.col("a_name"), F.col("b_name"))
+    return (
+        left.join(right, "rn")
+        .where(dist <= 2)
+        .select(
+            "a_partkey",
+            "b_partkey",
+            dist.cast("int").alias("name_dist"),
+        )
+    )
+
+
+@register(
+    "multitouch_attribution",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'view'
+    ),
+    touch AS (
+      SELECT p.event_id, p.value, v.ts AS view_ts,
+             count(*) OVER (PARTITION BY p.event_id) AS n_touches
+      FROM p JOIN v
+        ON p.user_id = v.user_id
+       AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+    )
+    SELECT extract(hour FROM view_ts)::INT AS view_hour,
+           count(*)::BIGINT AS n_touches,
+           round(sum(value / n_touches), 4) AS credited_value
+    FROM touch
+    GROUP BY 1
+    """,
+)
+def q_multitouch(spark, sf_dir):
+    """Linear multi-touch attribution: every `view` in the hour before
+    a `purchase` by the same user shares the purchase value equally
+    (credit = value / n_touches); credited value rolls up by the hour-
+    of-day of the TOUCH, answering "which hours' impressions actually
+    drive revenue". The multi-touch generalization of the single-touch
+    `j11_attribution_join`.
+
+    Scale shape: the touch join is user-keyed EQUI with a residual
+    time-range predicate — one shuffle on user_id, per-user workloads
+    bounded by activity (skewed users are the `j8` salting case). The
+    per-purchase touch count is a purchase-keyed Window over the join
+    output (bounded state: touches of one purchase), and the final
+    rollup is a 24-group aggregate with map-side partials.
+    """
+    e = _t(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    v = e.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+    )
+    touch = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("view_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("view_ts") < F.col("ts")),
+    ).withColumn(
+        "n_touches", F.count(F.lit(1)).over(Window.partitionBy("event_id"))
+    )
+    return (
+        touch.groupBy(F.hour("view_ts").cast("int").alias("view_hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.round(F.sum(F.col("value") / F.col("n_touches")), 4).alias(
+                "credited_value"
+            ),
+        )
+    )
+
+
+def _jl_signs(dim: int = 64, k: int = 16) -> list[list[float]]:
+    """Deterministic ±1 sign matrix for the Johnson-Lindenstrauss
+    projection, derived from md5 so BOTH engines embed the SAME
+    literals (no engine-hash parity needed)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"jl-{d}-{j}".encode()).hexdigest(), 16) % 2
+            else -1.0
+            for d in range(dim)
+        ]
+        for j in range(k)
+    ]
+
+
+_JL_K = 16
+_JL_SIGNS = _jl_signs(64, _JL_K)
+
+
+def _jl_sql_proj_sq(j: int) -> str:
+    lits = ", ".join(str(s) for s in _JL_SIGNS[j])
+    p = (
+        f"list_aggregate(list_transform(embedding, "
+        f"(x, i) -> x * ([{lits}]::DOUBLE[])[i]), 'sum')"
+    )
+    return f"({p} * {p})"
+
+
+@register(
+    "embedding_random_projection",
+    f"""
+    WITH r AS (
+      SELECT label,
+             sqrt(({" + ".join(_jl_sql_proj_sq(j) for j in range(_JL_K))})
+                  / {_JL_K}.0)
+             / sqrt(list_aggregate(list_transform(embedding, x -> x * x),
+                                   'sum')) AS ratio
+      FROM embeddings
+    )
+    SELECT label, count(*)::BIGINT AS n_vecs,
+           round(avg(ratio), 4) AS mean_distortion,
+           round(min(ratio), 4) AS min_distortion,
+           round(max(ratio), 4) AS max_distortion
+    FROM r GROUP BY label
+    """,
+)
+def q_jl_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection 64→16 dims with a
+    deterministic ±1 sign matrix (Achlioptas 2001), reporting the
+    norm-distortion ratio ‖Pv‖/√k ÷ ‖v‖ per label — the correctness
+    certificate of any dimensionality-reduction stage feeding ANN /
+    clustering (ratios concentrate near 1.0).
+
+    Scale shape: the sign matrix is 64×16 LITERALS baked into the
+    plan (md5-derived in Python, identically embedded in the oracle
+    SQL — zero per-row hashing), so the projection is a map-side
+    `zip_with`+fold per output dim: no shuffle, no UDF, whole-stage
+    codegen. The only exchange is the |labels|-group rollup. At 100 TB
+    this is the cheap preprocessing pass before `similarity_*`; left-
+    to-right fold order matches the oracle's `list_aggregate` so the
+    doubles agree bit-for-bit before the round(…, 4).
+    """
+    from functools import reduce
+    from operator import add
+
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def proj_sq(j: int):
+        signs = F.array(*[F.lit(s) for s in _JL_SIGNS[j]])
+        p = F.aggregate(
+            F.zip_with(F.col("embedding"), signs, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return p * p
+
+    norm_sq = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ratio = F.sqrt(
+        reduce(add, [proj_sq(j) for j in range(_JL_K)]) / float(_JL_K)
+    ) / F.sqrt(norm_sq)
+    return (
+        emb.select("label", ratio.alias("ratio"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("ratio"), 4).alias("mean_distortion"),
+            F.round(F.min("ratio"), 4).alias("min_distortion"),
+            F.round(F.max("ratio"), 4).alias("max_distortion"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Flagship entry query
 # ---------------------------------------------------------------------------
 
