@@ -21,7 +21,7 @@ Everything is built from JVM higher-order functions (``transform`` /
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from common_survey_data_pipeline_spark.functions.text import jaccard, word_shingles
@@ -495,8 +495,12 @@ def prefix_filter_jaccard_pairs(
     by construction, which bounds the candidate join's per-key fanout.
 
     Plan (all equi-joins, no quadratic stage, no randomness):
-    1. distinct shingle sets per record (narrow);
-    2. global shingle document-frequency (one |shingle|-keyed shuffle);
+    1. distinct shingle sets per record (narrow, checkpointed — the
+       token path and both verification sides reuse ONE materialized
+       shingling instead of recomputing the scan three times);
+    2. global shingle document-frequency attached as a count Window
+       over the shingle key — one shuffle total, vs. the
+       aggregate-then-join form's two passes over the token stream;
     3. rare-first sort per record, slice the prefix (sort_array over
        (df, shingle) structs — JVM-side);
     4. candidate pairs = self-equi-join on prefix tokens, de-duped;
@@ -505,21 +509,25 @@ def prefix_filter_jaccard_pairs(
     Output: ``(id_a, id_b, jaccard_sim)`` — bit-identical to the
     all-pairs form.
     """
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.array_distinct(word_shingles(F.col(text_col), shingle_words)).alias(
-            "__sh"
-        ),
-    ).where(F.size("__sh") > 0)
+    sh = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.array_distinct(
+                word_shingles(F.col(text_col), shingle_words)
+            ).alias("__sh"),
+        )
+        .where(F.size("__sh") > 0)
+        .localCheckpoint(eager=False)
+    )
 
-    tok = sh.select("__id", F.explode("__sh").alias("__t"))
-    freq = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    tok = sh.select("__id", F.explode("__sh").alias("__t")).withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("__t"))
+    )
     # rare-first global order: (document frequency, shingle) is total
     # and deterministic; sort_array on (df, shingle) structs implements
-    # it JVM-side after ONE shuffle joining frequencies back
+    # it JVM-side after the single token-keyed exchange above
     ordered = (
-        tok.join(freq, "__t")
-        .groupBy("__id")
+        tok.groupBy("__id")
         .agg(
             F.sort_array(
                 F.collect_list(F.struct("__df", "__t"))
