@@ -87,7 +87,24 @@ COMMENT = {
         "SSJoin prefix filtering: rare-first prefix tokens bound the\n"
         "candidate equi-join fanout; length + positional filters prune\n"
         "inside the join; exact Jaccard verification restores precision.\n"
-        "Equi-joins only -- no cartesian/nested-loop node anywhere."
+        "Equi-joins only -- no cartesian/nested-loop node anywhere. The\n"
+        "shingle DF attaches via a count Window on the ONE token-keyed\n"
+        "exchange, and the checkpointed shingling feeds the token path\n"
+        "and both verification sides without rescanning."
+    ),
+    "er_sorted_neighborhood": (
+        "Sorted-neighborhood blocking: the global sort order comes from\n"
+        "the range-partitioned rank kernel (no single-task Window); the\n"
+        "w-row slide is an EQUI-join -- each row explodes to its w\n"
+        "successor positions and hash-joins on rn, so candidates are\n"
+        "O(N x w) with no range-condition nested loop; Levenshtein runs\n"
+        "only on survivors."
+    ),
+    "embedding_random_projection": (
+        "JL projection as a zero-shuffle narrow map: the 64x16 sign\n"
+        "matrix is plan literals, each output dim a zip_with+fold inside\n"
+        "whole-stage codegen; the only exchange is the |label|-group\n"
+        "rollup of the distortion ratios."
     ),
 }
 
@@ -100,7 +117,7 @@ def main() -> None:
         "# PLANS — headline physical plans (sf0.01, local, AQE on)",
         "",
         "Auto-generated by `python tools_gen_plans.py` — `.explain`-style",
-        "formatted plans for thirteen representative queries, with the scale",
+        "formatted plans for fifteen representative queries, with the scale",
         "commentary the plan shape is meant to prove. Regenerate after any",
         "plan-affecting change.",
         "",
