@@ -42,6 +42,7 @@ from common_survey_data_pipeline_spark.operators.dedup import (
     simhash_dedup_pairs,
 )
 from common_survey_data_pipeline_spark.operators.fuzzy_join import (
+    jaro_winkler,
     strdist_neardup_pairs,
     stringdist_left_join,
 )
@@ -6950,6 +6951,56 @@ def q_jl_projection(spark, sf_dir):
             F.round(F.avg("ratio"), 4).alias("mean_distortion"),
             F.round(F.min("ratio"), 4).alias("min_distortion"),
             F.round(F.max("ratio"), 4).alias("max_distortion"),
+        )
+    )
+
+
+@register(
+    "j13_jw_blocked_pairs",
+    """
+    WITH n AS (
+      SELECT DISTINCT p_name, split_part(p_name, ' ', 1) AS blk FROM part
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw_sim
+    FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
+    """,
+)
+def q_j13_jw(spark, sf_dir):
+    """Jaro-Winkler similarity over first-word-blocked name pairs — the
+    record-linkage metric (prefix-weighted, Winkler 1990) joining the
+    Levenshtein family (`j1`/`j10`) as the second string measure. The
+    blocking key is part of the QUERY CONTRACT (pairs sharing the first
+    token), so both engines enumerate the identical candidate set and
+    every JW value is hash-pinned against DuckDB's built-in
+    `jaro_winkler_similarity` — the Python kernel
+    (`operators/fuzzy_join.py::jaro_winkler`) is parity-locked to it.
+
+    Scale shape: candidates come from a DISTINCT-key blocking
+    equi-join (cost tracks name cardinality × block density, never
+    rows²); JW — inexpressible in built-in functions — then runs as an
+    Arrow-batched pandas UDF on the surviving pairs only, the
+    sanctioned slow path. With a skew-prone blocking key, swap the
+    first-word block for the `j10` deletion-neighborhood scheme; the
+    verify stage is unchanged.
+    """
+    names = (
+        _t(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .withColumn("blk", F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)))
+    )
+    a = names.select(F.col("p_name").alias("name_a"), "blk")
+    b = names.select(F.col("p_name").alias("name_b"), "blk")
+    return (
+        a.join(b, "blk")
+        .where(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            F.round(jaro_winkler(F.col("name_a"), F.col("name_b")), 6).alias(
+                "jw_sim"
+            ),
         )
     )
 

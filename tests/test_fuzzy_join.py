@@ -176,3 +176,33 @@ def test_with_row_id_is_one_based_dense(spark):
     # explicit order contract
     by_v = {r["v"]: r["row_id"] for r in with_row_id(df, order_by=["v"]).collect()}
     assert by_v == {"a": 1, "b": 2, "c": 3, "d": 4, "e": 5}
+
+
+def test_jaro_winkler_matches_duckdb(spark):
+    """The pandas-UDF JW kernel is parity-locked to DuckDB's
+    jaro_winkler_similarity on random pools (incl. empty strings,
+    which DuckDB scores 0.0 even against themselves)."""
+    import duckdb
+
+    from common_survey_data_pipeline_spark.operators.fuzzy_join import (
+        jaro_winkler,
+    )
+
+    rng = random.Random(7)
+    pool = _random_pool(rng, 60, max_len=10) + ["", "martha", "marhta"]
+    pairs = [(rng.choice(pool), rng.choice(pool)) for _ in range(300)]
+    df = spark.createDataFrame(pairs, ["a", "b"])
+    got = {
+        (r["a"], r["b"], round(r["jw"], 10))
+        for r in df.select(
+            "a", "b", jaro_winkler(F.col("a"), F.col("b")).alias("jw")
+        ).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        (a, b, round(con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0], 10))
+        for a, b in set(pairs)
+    }
+    assert {(a, b, j) for a, b, j in got} == want
