@@ -77,6 +77,10 @@ BENCH_QUERIES = (
     "skyline_parts",
     "zipf_fit",
     "funnel_windowed_3step",
+    "er_sorted_neighborhood",
+    "multitouch_attribution",
+    "embedding_random_projection",
+    "j13_jw_blocked_pairs",
 )
 
 

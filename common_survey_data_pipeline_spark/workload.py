@@ -7005,6 +7005,142 @@ def q_j13_jw(spark, sf_dir):
     )
 
 
+@register(
+    "ewma_user_value",
+    """
+    WITH w AS (
+      SELECT user_id, event_id, value,
+             list(value) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS 19 PRECEDING) AS arr
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, event_id, round(value, 4) AS value,
+           round(
+             list_aggregate(list_transform(arr,
+               (x, i) -> x * pow(0.9, len(arr) - i)), 'sum')
+             / list_aggregate(list_transform(arr,
+               (x, i) -> pow(0.9, len(arr) - i)), 'sum'),
+             6) AS ewma
+    FROM w
+    """,
+)
+def q_ewma(spark, sf_dir):
+    """Exponentially weighted moving average (α=0.1, window truncated
+    at 20 rows) of each user's purchase values — the recursion
+    y_t = αx_t + (1-α)y_{t-1} re-expressed as a CLOSED-FORM weighted
+    sum over a bounded ROWS frame, because a literal recursion would
+    serialize per key and the untruncated closed form overflows
+    (0.9^-t grows without bound). Truncation error is ≤0.9^20 ≈ 12%
+    of weight mass, renormalized away by the explicit weight-sum
+    divisor.
+
+    Scale shape: ONE user-keyed shuffle for the window; per-row state
+    is a ≤20-element array folded JVM-side (`transform`+`aggregate`
+    HOFs — no UDF); (ts, event_id) is a total order so the frame
+    content is deterministic. Products and the left-to-right fold
+    mirror the oracle's `list_transform`/`list_aggregate` exactly, so
+    the doubles agree bit-for-bit before rounding.
+    """
+    e = _t(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    arr = F.collect_list("value").over(w)
+    n = F.size(F.col("arr"))
+    # Spark HOF lambda index is 0-based (DuckDB's is 1-based): element
+    # i of an n-array gets weight 0.9^(n-1-i) — newest (i = n-1) gets
+    # 0.9^0, matching the oracle's len(arr) - i with i starting at 1
+    num = F.aggregate(
+        F.transform(
+            F.col("arr"), lambda x, i: x * F.pow(F.lit(0.9), n - 1 - i)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = F.aggregate(
+        F.transform(
+            F.col("arr"), lambda x, i: F.pow(F.lit(0.9), n - 1 - i)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        e.select("user_id", "event_id", "value", arr.alias("arr"))
+        .select(
+            "user_id",
+            "event_id",
+            F.round("value", 4).alias("value"),
+            F.round(num / den, 6).alias("ewma"),
+        )
+    )
+
+
+@register(
+    "a9_sketch_intersection",
+    """
+    WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+    p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    x AS (
+      SELECT (SELECT count(*) FROM v)::BIGINT AS n_view,
+             (SELECT count(*) FROM p)::BIGINT AS n_purchase,
+             (SELECT count(*) FROM (SELECT user_id FROM v
+                                    INTERSECT SELECT user_id FROM p))::BIGINT
+               AS exact_both
+    )
+    SELECT n_view, n_purchase, exact_both, TRUE AS approx_ok FROM x
+    """,
+)
+def q_a9_sketch_intersection(spark, sf_dir):
+    """Set-algebra on cardinality sketches: |viewers ∩ purchasers|
+    estimated by HLL inclusion-exclusion (|A| + |B| − |A∪B|, three
+    `approx_count_distinct` passes over the SAME scan) and certified
+    against the exact intersection with a relative-error boolean BOTH
+    engines compute — the `a6` contract pattern extended from single
+    cardinalities to sketch algebra. Intersection via
+    inclusion-exclusion inflates relative error as the intersection
+    shrinks, so the tolerance is stated on the UNION's scale (10% of
+    |A∪B|), the honest bound for this estimator.
+
+    Scale shape: the exact path is one distinct-shuffle per side at
+    test SF; at 100 TB you keep only the sketch path — three HLL
+    registers (fixed KB each) merged map-side, zero extra shuffles,
+    while the exact columns come from this query run on a sample
+    partition as the recurring certification job.
+    """
+    e = _t(spark, sf_dir, "events")
+    v = e.where(F.col("event_type") == "view").select("user_id")
+    p = e.where(F.col("event_type") == "purchase").select("user_id")
+    n_view = v.distinct().count()
+    n_purch = p.distinct().count()
+    exact_both = v.intersect(p).count()
+    est = (
+        e.where(F.col("event_type").isin("view", "purchase"))
+        .agg(
+            F.approx_count_distinct(
+                F.when(F.col("event_type") == "view", F.col("user_id")), 0.02
+            ).alias("a"),
+            F.approx_count_distinct(
+                F.when(F.col("event_type") == "purchase", F.col("user_id")),
+                0.02,
+            ).alias("b"),
+            F.approx_count_distinct("user_id", 0.02).alias("u"),
+        )
+        .collect()[0]
+    )
+    approx_both = est["a"] + est["b"] - est["u"]
+    union_exact = n_view + n_purch - exact_both
+    ok = abs(approx_both - exact_both) <= 0.10 * union_exact
+    return spark.createDataFrame(
+        [(n_view, n_purch, exact_both, bool(ok))],
+        "n_view BIGINT, n_purchase BIGINT, exact_both BIGINT, approx_ok BOOLEAN",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship entry query
 # ---------------------------------------------------------------------------
