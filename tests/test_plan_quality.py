@@ -373,3 +373,49 @@ def test_heavy_hitters_shuffles_candidates_not_vocab(run):
     assert first_exchange == -1 or first_exchange > first_scan
     # candidates broadcast into the probe-side semi join
     assert "BroadcastHashJoin" in plan
+
+
+def test_er_sorted_neighborhood_equi_join_no_global_window(run):
+    plan = plan_of(run("er_sorted_neighborhood"))
+    # the w-row slide is a hash-joinable equi join on rn, never a
+    # range-condition nested loop or a partition-less rank Window
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert partitionless_windows(plan) == []
+
+
+def test_multitouch_join_is_user_keyed_equi(run):
+    plan = plan_of(run("multitouch_attribution"))
+    # user equality must be the join key (time range stays a residual
+    # predicate inside the hash/merge join, not a nested-loop theta)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jw_kernel_runs_arrow_batched_on_candidates(run):
+    plan = plan_of(run("j13_jw_blocked_pairs"))
+    # the pandas UDF must appear as an Arrow-batched eval node above
+    # the blocking equi-join — never a row-at-a-time BatchEvalPython,
+    # never a cartesian candidate stage
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ewma_frame_is_bounded(run):
+    plan = plan_of(run("ewma_user_value"))
+    # the EWMA window must carry the 19-row bounded frame (constant
+    # per-row state), keyed by user — no unbounded or global frame
+    assert "specifiedwindowframe(RowFrame, -19, currentrow" in plan
+    assert "unboundedpreceding" not in plan
+    assert partitionless_windows(plan) == []
+
+
+def test_jl_projection_is_narrow_map(run):
+    plan = plan_of(run("embedding_random_projection"))
+    # sign matrix is plan literals: no join anywhere; the only
+    # exchanges are the label-rollup aggregation's (partial->final)
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 2
