@@ -269,3 +269,74 @@ def streaming_mg_candidates(
         )
 
     return bucketed.groupBy("bucket").applyInPandas(one_shot, HH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA (bounded ring-buffer keyed state)
+# ---------------------------------------------------------------------------
+
+EWMA_SCHEMA = "user_id long, event_id long, ewma double"
+
+
+def ewma_stream(
+    events: DataFrame,
+    alpha: float = 0.1,
+    window: int = 20,
+) -> DataFrame:
+    """Streaming twin of the batch ``ewma_user_value`` query
+    (``workload.py``): per-user truncated exponentially weighted moving
+    average, emitted once per input row as micro-batches arrive.
+
+    State per key is a ring buffer of the last ``window − 1`` values —
+    bounded FOREVER, the streaming analogue of the batch form's
+    ``ROWS window−1 PRECEDING`` frame. Each row's EWMA is the same
+    renormalized closed-form weighted sum the batch query computes, so
+    on a time-ordered replay the two agree to float precision
+    (identity-tested in ``tests/test_streaming.py``; micro-batch
+    contents are sorted by (ts, event_id) inside the operator, and
+    time-disjoint micro-batches guarantee cross-batch order).
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    decay = 1.0 - alpha
+    keep = window - 1
+    state_schema = "vals array<double>"
+
+    def update(key, pdf_iter, state):
+        vals = list(state.get[0]) if state.exists else []
+        out_ev, out_ew = [], []
+        pdfs = [p for p in pdf_iter]
+        batch = (
+            pd.concat(pdfs).sort_values(["ts", "event_id"])
+            if pdfs
+            else pd.DataFrame(columns=["ts", "event_id", "value"])
+        )
+        for ev, x in zip(batch["event_id"], batch["value"]):
+            arr = vals[-keep:] + [float(x)]
+            n = len(arr)
+            num = 0.0
+            den = 0.0
+            for i, v in enumerate(arr):
+                w = decay ** (n - 1 - i)
+                num += v * w
+                den += w
+            out_ev.append(int(ev))
+            out_ew.append(num / den)
+            vals = arr[-keep:]
+        state.update((vals,))
+        if out_ev:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out_ev),
+                    "event_id": out_ev,
+                    "ewma": out_ew,
+                }
+            )
+
+    return events.select("user_id", "event_id", "ts", "value").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        update, EWMA_SCHEMA, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -395,3 +395,25 @@ def test_streaming_mg_candidates_guarantee(spark, tmp_path):
     for r in exact:
         if r["weight"] > bucket_totals[r["bucket"]] / (k + 1):
             assert r["token"] in per_bucket[r["bucket"]]
+
+
+def test_streaming_ewma_equals_batch(spark, sf_dir, ordered_stream_dir):
+    """The ring-buffer streaming EWMA agrees with the batch window form
+    on a time-ordered replay (same closed-form arithmetic; Python vs
+    JVM pow may differ by an ulp, hence the 1e-9 tolerance)."""
+    from common_survey_data_pipeline_spark.streaming.stateful import (
+        ewma_stream,
+    )
+    from common_survey_data_pipeline_spark.workload import REGISTRY
+
+    path, schema = ordered_stream_dir
+    stream = _read_stream(spark, path, schema).where(
+        F.col("event_type") == "purchase"
+    )
+    run_stream_to_memory(ewma_stream(stream), "ewma_sink")
+    got = spark.table("ewma_sink")
+    want = REGISTRY["ewma_user_value"].fn(spark, sf_dir)
+    g = {r["event_id"]: r["ewma"] for r in got.collect()}
+    w = {r["event_id"]: r["ewma"] for r in want.collect()}
+    assert set(g) == set(w)
+    assert all(abs(g[k] - w[k]) < 1e-9 + 1e-6 for k in w)  # batch rounds to 6
