@@ -7141,6 +7141,60 @@ def q_a9_sketch_intersection(spark, sf_dir):
     )
 
 
+@register(
+    "rolling_median_user_value",
+    """
+    WITH w AS (
+      SELECT user_id, event_id, value,
+             list_sort(list(value) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS 19 PRECEDING)) AS arr
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, event_id, round(value, 4) AS value,
+           round((arr[(len(arr) + 1) // 2] + arr[len(arr) // 2 + 1]) / 2.0,
+                 6) AS rolling_median
+    FROM w
+    """,
+)
+def q_rolling_median(spark, sf_dir):
+    """Rolling MEDIAN of each user's last ≤20 purchase values — the
+    order-statistic sibling of `w3_rolling_avg` and the robust local
+    baseline for spike detection (a median survives the outliers that
+    drag a rolling mean). SQL window functions have no
+    `median() OVER (ROWS ...)`; the bounded frame makes it exact and
+    cheap anyway: collect the ≤20-element frame, `sort_array`, index
+    the middle pair — all JVM HOFs, no UDF. Even-length frames
+    interpolate the two middle elements, the standard definition,
+    written identically in both engines.
+
+    Scale shape: identical to `ewma_user_value` — ONE user-keyed
+    shuffle, constant per-row state (a ≤20 array), whole-stage
+    codegen throughout. The unbounded-median analogue is
+    `median_order_value` (two-pass distributed selection); this is
+    the windowed form that never needs it.
+    """
+    e = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    arr = F.sort_array(F.collect_list("value").over(w))
+    n = F.size(F.col("arr"))
+    lo = F.element_at(F.col("arr"), ((n + 1) / 2).cast("int"))
+    hi = F.element_at(F.col("arr"), (n / 2).cast("int") + 1)
+    return (
+        e.select("user_id", "event_id", "value", arr.alias("arr"))
+        .select(
+            "user_id",
+            "event_id",
+            F.round("value", 4).alias("value"),
+            F.round((lo + hi) / 2.0, 6).alias("rolling_median"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship entry query
 # ---------------------------------------------------------------------------
