@@ -212,3 +212,124 @@ def test_attribution_join_matches_window_model(spark, events):
         if not cp and pu == cu and pm - 10 <= cm < pm
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Bounded-frame statistics (ewma_user_value / rolling_median_user_value)
+# and multi-touch attribution vs sequential Python models
+# ---------------------------------------------------------------------------
+
+purchase_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),      # user_id
+        st.integers(min_value=0, max_value=50),     # ts offset (seconds)
+        st.floats(min_value=0.0, max_value=100.0,
+                  allow_nan=False, allow_infinity=False),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _write_events(spark, tmpdir, rows, event_type="purchase"):
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (i, base + dt.timedelta(seconds=off), int(u), event_type, float(v), "{}")
+        for i, (u, off, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(f"{tmpdir}/events.parquet")
+    return data
+
+
+@given(rows=purchase_rows)
+@settings(max_examples=6, deadline=None)
+def test_bounded_frame_stats_match_sequential_model(spark, tmp_path_factory, rows):
+    from common_survey_data_pipeline_spark.workload import REGISTRY
+
+    tmpdir = str(tmp_path_factory.mktemp("ev_prop"))
+    data = _write_events(spark, tmpdir, rows)
+
+    # sequential per-user models over (ts, event_id) order
+    want_ewma, want_med = {}, {}
+    by_user = {}
+    for eid, ts, u, _t, v, _p in sorted(data, key=lambda r: (r[2], r[1], r[0])):
+        hist = by_user.setdefault(u, [])
+        arr = hist[-19:] + [v]
+        n = len(arr)
+        num = sum(x * 0.9 ** (n - 1 - i) for i, x in enumerate(arr))
+        den = sum(0.9 ** (n - 1 - i) for i in range(n))
+        want_ewma[eid] = num / den
+        s = sorted(arr)
+        want_med[eid] = (s[(n + 1) // 2 - 1] + s[n // 2]) / 2.0
+        by_user[u] = arr
+
+    got_e = {
+        r["event_id"]: r["ewma"]
+        for r in REGISTRY["ewma_user_value"].fn(spark, tmpdir).collect()
+    }
+    got_m = {
+        r["event_id"]: r["rolling_median"]
+        for r in REGISTRY["rolling_median_user_value"].fn(spark, tmpdir).collect()
+    }
+    assert set(got_e) == set(want_ewma)
+    for k in want_ewma:
+        assert abs(got_e[k] - want_ewma[k]) < 1e-5
+        assert abs(got_m[k] - want_med[k]) < 1e-5
+
+
+mixed_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),      # user_id
+        st.integers(min_value=0, max_value=7200),   # ts offset (seconds)
+        st.sampled_from(["view", "purchase"]),
+        st.floats(min_value=1.0, max_value=50.0,
+                  allow_nan=False, allow_infinity=False),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=mixed_rows)
+@settings(max_examples=6, deadline=None)
+def test_multitouch_credit_matches_brute_force(spark, tmp_path_factory, rows):
+    from common_survey_data_pipeline_spark.workload import REGISTRY
+
+    tmpdir = str(tmp_path_factory.mktemp("ev_mt"))
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (i, base + dt.timedelta(seconds=off), int(u), t, float(v), "{}")
+        for i, (u, off, t, v) in enumerate(rows)
+    ]
+    spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{tmpdir}/events.parquet")
+
+    # brute force: per purchase, views of the same user in [ts-1h, ts)
+    views = [(u, ts) for _e, ts, u, t, _v, _p in data if t == "view"]
+    credit, n_touch = {}, {}
+    for _e, pts, pu, t, pv, _p in data:
+        if t != "purchase":
+            continue
+        touches = [
+            vts for vu, vts in views
+            if vu == pu and pts - dt.timedelta(hours=1) <= vts < pts
+        ]
+        for vts in touches:
+            h = vts.hour
+            credit[h] = credit.get(h, 0.0) + pv / len(touches)
+            n_touch[h] = n_touch.get(h, 0) + 1
+
+    got = {
+        r["view_hour"]: (r["n_touches"], r["credited_value"])
+        for r in REGISTRY["multitouch_attribution"].fn(spark, tmpdir).collect()
+    }
+    assert set(got) == set(credit)
+    for h in credit:
+        assert got[h][0] == n_touch[h]
+        assert abs(got[h][1] - credit[h]) < 1e-3  # query rounds to 4dp
