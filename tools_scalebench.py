@@ -28,7 +28,14 @@ from common_survey_data_pipeline_spark.operators.dedup import (
     prefix_filter_jaccard_pairs,
     simhash_dedup_pairs,
 )
+from common_survey_data_pipeline_spark.operators.fuzzy_join import (
+    strdist_neardup_pairs,
+)
+from common_survey_data_pipeline_spark.operators.sketches import (
+    heavy_hitter_tokens,
+)
 from common_survey_data_pipeline_spark.operators.similarity import cosine_topk
+from common_survey_data_pipeline_spark.operators.temporal_joins import asof_join
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -76,6 +83,41 @@ def amplified_embeddings(spark, k: int):
     return out
 
 
+def amplified_keys(spark, k: int):
+    """k copies of the order-key string pool, each with a copy-unique
+    2-char suffix: cross-copy Levenshtein distance is >= 2, so at
+    max_dist=1 the true-match structure is exactly k disjoint copies
+    of the 1x pool's (linear growth)."""
+    base = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        F.col("o_orderkey").cast("string").alias("key")
+    )
+    out = None
+    for i in range(k):
+        tag = chr(97 + i) * 2
+        c = base.select(F.concat(F.col("key"), F.lit("_" + tag)).alias("key"))
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+def amplified_events(spark, k: int):
+    base = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    n = 1 << 32
+    out = base
+    for i in range(1, k):
+        out = out.unionByName(
+            base.select(
+                (F.col("event_id") + i * n).alias("event_id"),
+                "ts",
+                (F.col("user_id") + i * n).alias("user_id"),
+                "event_type",
+                "value",
+            )
+        )
+    return out
+
+
 def timed(fn) -> float:
     t0 = time.time()
     fn()
@@ -116,17 +158,44 @@ def main() -> None:
             k=10,
         ).count(),
     }
-    results: dict[str, dict[int, float]] = {o: {} for o in ops}
+    key_ops = {
+        "fuzzy_deletion_bigjoin": lambda kk: strdist_neardup_pairs(
+            kk, "key", max_dist=1
+        ).count(),
+    }
+    event_ops = {
+        "asof_join": lambda ev: asof_join(
+            ev.where(F.col("event_type") == "purchase"),
+            ev.where(F.col("event_type") == "view"),
+            on="user_id",
+            left_ts="ts",
+            right_ts="ts",
+        ).count(),
+        "token_heavy_hitters": lambda d: heavy_hitter_tokens(
+            d.select(
+                F.explode(F.split(F.col("text"), " ")).alias("token")
+            ),
+            d.select(
+                F.sum(F.size(F.split(F.col("text"), " "))).alias("total")
+            ),
+        ).count(),
+    }
+    all_names = list(ops) + list(key_ops) + list(event_ops)
+    results: dict[str, dict[int, float]] = {o: {} for o in all_names}
     rows: dict[int, int] = {}
     for k in ks:
         docs = amplified_docs(spark, k).localCheckpoint()
         embs = amplified_embeddings(spark, k).localCheckpoint()
+        keys = amplified_keys(spark, k).localCheckpoint()
+        events = amplified_events(spark, k).localCheckpoint()
         rows[k] = docs.count()
-        for name, fn in ops.items():
-            fn(docs, embs)  # warm the plan/codegen
-            results[name][k] = round(
-                min(timed(lambda: fn(docs, embs)) for _ in range(2)), 2
-            )
+        thunks = {name: (lambda fn=fn: fn(docs, embs)) for name, fn in ops.items()}
+        thunks.update({name: (lambda fn=fn: fn(keys)) for name, fn in key_ops.items()})
+        thunks["asof_join"] = lambda: event_ops["asof_join"](events)
+        thunks["token_heavy_hitters"] = lambda: event_ops["token_heavy_hitters"](docs)
+        for name, thunk in thunks.items():
+            thunk()  # warm the plan/codegen
+            results[name][k] = round(min(timed(thunk) for _ in range(2)), 2)
     lines = [
         "# SCALING — measured scaling exponents of the heavy operators",
         "",
