@@ -495,9 +495,11 @@ def prefix_filter_jaccard_pairs(
     by construction, which bounds the candidate join's per-key fanout.
 
     Plan (all equi-joins, no quadratic stage, no randomness):
-    1. distinct shingle sets per record (narrow, checkpointed — the
-       token path and both verification sides reuse ONE materialized
-       shingling instead of recomputing the scan three times);
+    1. distinct shingle sets per record (narrow, cached — the token
+       path and both verification sides reuse ONE materialized
+       shingling instead of recomputing the scan three times; cache,
+       not localCheckpoint, so lineage survives executor loss and the
+       blocks are LRU-evictable);
     2. global shingle document-frequency attached as a count Window
        over the shingle key — one shuffle total, vs. the
        aggregate-then-join form's two passes over the token stream;
@@ -517,7 +519,7 @@ def prefix_filter_jaccard_pairs(
             ).alias("__sh"),
         )
         .where(F.size("__sh") > 0)
-        .localCheckpoint(eager=False)
+        .cache()
     )
 
     tok = sh.select("__id", F.explode("__sh").alias("__t")).withColumn(

@@ -60,6 +60,7 @@ from typing import Sequence
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
 
 _LEN = "__csdp_len"
 _BUCKET = "__csdp_bucket"
@@ -464,6 +465,64 @@ def keep_best_match(
     )
 
 
+def _jw_jaro(s1: str, s2: str) -> float:
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    if s1 == s2:
+        return 1.0
+    md = max(l1, l2) // 2 - 1
+    m1 = [False] * l1
+    m2 = [False] * l2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo, hi = max(0, i - md), min(l2, i + md + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (matches / l1 + matches / l2 + (matches - t) / matches) / 3.0
+
+
+def _jw(s1: str, s2: str) -> float:
+    j = _jw_jaro(s1, s2)
+    if j > 0.7:
+        prefix = 0
+        for x, y in zip(s1[:4], s2[:4]):
+            if x != y:
+                break
+            prefix += 1
+        j += prefix * 0.1 * (1.0 - j)
+    return j
+
+
+# DataType instance, not a DDL string: the string form is parsed via the
+# active SparkSession, which would make this module unimportable before a
+# session exists
+@F.pandas_udf(DoubleType())
+def _jw_kernel(sa: pd.Series, sb: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None if x is None or y is None else _jw(x, y)
+            for x, y in zip(sa, sb)
+        ],
+        dtype="float64",
+    )
+
+
 def jaro_winkler(a: Column, b: Column) -> Column:
     """Jaro-Winkler similarity as an Arrow-batched pandas UDF — the
     second string metric of the fuzzy-join family (Levenshtein covers
@@ -472,7 +531,8 @@ def jaro_winkler(a: Column, b: Column) -> Column:
 
     Spark has no built-in JW, and the matching-window scan is not
     expressible in `pyspark.sql.functions` — this is the sanctioned
-    slow path (vectorized Arrow transfer, per-batch Python kernel),
+    slow path (vectorized Arrow transfer, per-batch Python kernel,
+    defined ONCE at module scope so repeated calls reuse one UDF),
     NEVER a row-at-a-time Python UDF. Keep it on candidate pairs that
     survived a blocking equi-join, not on a raw fact table.
 
@@ -481,56 +541,4 @@ def jaro_winkler(a: Column, b: Column) -> Column:
     empty-vs-anything = 0.0, including empty-vs-empty) and parity-
     tested against it in ``tests/test_fuzzy_join.py``.
     """
-    def _jaro(s1: str, s2: str) -> float:
-        l1, l2 = len(s1), len(s2)
-        if l1 == 0 or l2 == 0:
-            return 0.0
-        if s1 == s2:
-            return 1.0
-        md = max(l1, l2) // 2 - 1
-        m1 = [False] * l1
-        m2 = [False] * l2
-        matches = 0
-        for i, c in enumerate(s1):
-            lo, hi = max(0, i - md), min(l2, i + md + 1)
-            for j in range(lo, hi):
-                if not m2[j] and s2[j] == c:
-                    m1[i] = m2[j] = True
-                    matches += 1
-                    break
-        if matches == 0:
-            return 0.0
-        t = 0
-        k = 0
-        for i in range(l1):
-            if m1[i]:
-                while not m2[k]:
-                    k += 1
-                if s1[i] != s2[k]:
-                    t += 1
-                k += 1
-        t //= 2
-        return (matches / l1 + matches / l2 + (matches - t) / matches) / 3.0
-
-    def _jw(s1: str, s2: str) -> float:
-        j = _jaro(s1, s2)
-        if j > 0.7:
-            prefix = 0
-            for x, y in zip(s1[:4], s2[:4]):
-                if x != y:
-                    break
-                prefix += 1
-            j += prefix * 0.1 * (1.0 - j)
-        return j
-
-    @F.pandas_udf("double")
-    def _kernel(sa: pd.Series, sb: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                None if x is None or y is None else _jw(x, y)
-                for x, y in zip(sa, sb)
-            ],
-            dtype="float64",
-        )
-
-    return _kernel(a, b)
+    return _jw_kernel(a, b)

@@ -314,7 +314,8 @@ def ewma_stream(
             else pd.DataFrame(columns=["ts", "event_id", "value"])
         )
         for ev, x in zip(batch["event_id"], batch["value"]):
-            arr = vals[-keep:] + [float(x)]
+            # keep == 0 (window=1) must slice to [], not the whole list
+            arr = (vals[-keep:] if keep else []) + [float(x)]
             n = len(arr)
             num = 0.0
             den = 0.0
@@ -324,7 +325,7 @@ def ewma_stream(
                 den += w
             out_ev.append(int(ev))
             out_ew.append(num / den)
-            vals = arr[-keep:]
+            vals = arr[-keep:] if keep else []
         state.update((vals,))
         if out_ev:
             yield pd.DataFrame(

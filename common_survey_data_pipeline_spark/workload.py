@@ -6977,12 +6977,14 @@ def q_j13_jw(spark, sf_dir):
     (`operators/fuzzy_join.py::jaro_winkler`) is parity-locked to it.
 
     Scale shape: candidates come from a DISTINCT-key blocking
-    equi-join (cost tracks name cardinality × block density, never
-    rows²); JW — inexpressible in built-in functions — then runs as an
-    Arrow-batched pandas UDF on the surviving pairs only, the
-    sanctioned slow path. With a skew-prone blocking key, swap the
-    first-word block for the `j10` deletion-neighborhood scheme; the
-    verify stage is unchanged.
+    equi-join — cost is Σ_blocks n_b², which is only safe while block
+    density is bounded (here the name pool is a fixed adjective×noun
+    vocabulary, so blocks are constant-size; a first-word block over
+    an UNBOUNDED pool degenerates toward rows²/|blocks| and must be
+    swapped for the `j10` deletion-neighborhood scheme, leaving the
+    verify stage unchanged). JW — inexpressible in built-in
+    functions — runs as an Arrow-batched pandas UDF on the surviving
+    pairs only, the sanctioned slow path.
     """
     names = (
         _t(spark, sf_dir, "part")
@@ -7085,6 +7087,14 @@ def q_ewma(spark, sf_dir):
     """
     WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
     p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    est AS (
+      SELECT approx_count_distinct(CASE WHEN event_type = 'view'
+                                        THEN user_id END) AS a,
+             approx_count_distinct(CASE WHEN event_type = 'purchase'
+                                        THEN user_id END) AS b,
+             approx_count_distinct(user_id) AS u
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
     x AS (
       SELECT (SELECT count(*) FROM v)::BIGINT AS n_view,
              (SELECT count(*) FROM p)::BIGINT AS n_purchase,
@@ -7092,7 +7102,10 @@ def q_ewma(spark, sf_dir):
                                     INTERSECT SELECT user_id FROM p))::BIGINT
                AS exact_both
     )
-    SELECT n_view, n_purchase, exact_both, TRUE AS approx_ok FROM x
+    SELECT n_view, n_purchase, exact_both,
+           abs((est.a + est.b - est.u) - exact_both)
+             <= 0.10 * (n_view + n_purchase - exact_both) AS approx_ok
+    FROM x, est
     """,
 )
 def q_a9_sketch_intersection(spark, sf_dir):
@@ -7100,11 +7113,13 @@ def q_a9_sketch_intersection(spark, sf_dir):
     estimated by HLL inclusion-exclusion (|A| + |B| − |A∪B|, three
     `approx_count_distinct` passes over the SAME scan) and certified
     against the exact intersection with a relative-error boolean BOTH
-    engines compute — the `a6` contract pattern extended from single
-    cardinalities to sketch algebra. Intersection via
-    inclusion-exclusion inflates relative error as the intersection
-    shrinks, so the tolerance is stated on the UNION's scale (10% of
-    |A∪B|), the honest bound for this estimator.
+    engines compute — each engine runs its OWN HLL estimator against
+    the shared exact counts, so the hash-compared boolean asserts that
+    both implementations land inside the tolerance (the `a6` contract
+    pattern extended from single cardinalities to sketch algebra).
+    Intersection via inclusion-exclusion inflates relative error as
+    the intersection shrinks, so the tolerance is stated on the
+    UNION's scale (10% of |A∪B|), the honest bound for this estimator.
 
     Scale shape: the exact path is one distinct-shuffle per side at
     test SF; at 100 TB you keep only the sketch path — three HLL

@@ -417,3 +417,26 @@ def test_streaming_ewma_equals_batch(spark, sf_dir, ordered_stream_dir):
     w = {r["event_id"]: r["ewma"] for r in want.collect()}
     assert set(g) == set(w)
     assert all(abs(g[k] - w[k]) < 1e-9 + 1e-6 for k in w)  # batch rounds to 6
+
+
+def test_streaming_ewma_window_one_is_identity(spark, ordered_stream_dir):
+    """window=1 = 'frame is the current row only': every emitted EWMA
+    equals the row's own value and state stays empty (the keep=0 ring
+    slice must be [], not the whole history)."""
+    from common_survey_data_pipeline_spark.streaming.stateful import (
+        ewma_stream,
+    )
+
+    path, schema = ordered_stream_dir
+    stream = _read_stream(spark, path, schema).where(
+        F.col("event_type") == "purchase"
+    )
+    run_stream_to_memory(ewma_stream(stream, window=1), "ewma1_sink")
+    got = {r["event_id"]: r["ewma"] for r in spark.table("ewma1_sink").collect()}
+    want = {
+        r["event_id"]: r["value"]
+        for r in spark.read.parquet(path)
+        .where(F.col("event_type") == "purchase")
+        .collect()
+    }
+    assert got == pytest.approx(want)

@@ -1,4 +1,4 @@
-"""Regenerate PLANS.md — formatted physical plans of six representative
+"""Regenerate PLANS.md — formatted physical plans of fifteen representative
 queries with the scale commentary each plan shape is meant to prove.
 
 Usage: python tools_gen_plans.py   (writes PLANS.md in the repo root)

@@ -216,7 +216,10 @@ def main() -> None:
         "|---|---|---|---|---|",
     ]
     for name, ts in results.items():
-        exp = math.log(ts[16] / ts[1]) / math.log(16) if ts[1] > 0 else 0.0
+        # clamp to the 10ms timing floor so sub-resolution runs read as
+        # "too fast to measure", never as a log(0) crash or fake exponent
+        t1, t16 = max(ts[1], 0.01), max(ts[16], 0.01)
+        exp = math.log(t16 / t1) / math.log(16)
         lines.append(
             f"| {name} | {ts[1]} | {ts[4]} | {ts[16]} | {exp:.2f} |"
         )
