@@ -495,32 +495,28 @@ def prefix_filter_jaccard_pairs(
     by construction, which bounds the candidate join's per-key fanout.
 
     Plan (all equi-joins, no quadratic stage, no randomness):
-    1. distinct shingle sets per record (narrow, cached — the token
-       path and both verification sides reuse ONE materialized
-       shingling instead of recomputing the scan three times; cache,
-       not localCheckpoint, so lineage survives executor loss and the
-       blocks are LRU-evictable);
+    1. distinct shingle sets per record (narrow);
     2. global shingle document-frequency attached as a count Window
        over the shingle key — one shuffle total, vs. the
        aggregate-then-join form's two passes over the token stream;
     3. rare-first sort per record, slice the prefix (sort_array over
-       (df, shingle) structs — JVM-side);
+       (df, shingle) structs — JVM-side); the ordered-token table is
+       CACHED (not localCheckpoint-ed: lineage survives executor loss
+       and the blocks are LRU-evictable) because the prefix side and
+       both verification sides all read it — one materialization
+       instead of re-running the two token shuffles three times;
     4. candidate pairs = self-equi-join on prefix tokens, de-duped;
     5. exact Jaccard verify on the candidate pairs only.
 
     Output: ``(id_a, id_b, jaccard_sim)`` — bit-identical to the
     all-pairs form.
     """
-    sh = (
-        df.select(
-            F.col(id_col).alias("__id"),
-            F.array_distinct(
-                word_shingles(F.col(text_col), shingle_words)
-            ).alias("__sh"),
-        )
-        .where(F.size("__sh") > 0)
-        .cache()
-    )
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(
+            word_shingles(F.col(text_col), shingle_words)
+        ).alias("__sh"),
+    ).where(F.size("__sh") > 0)
 
     tok = sh.select("__id", F.explode("__sh").alias("__t")).withColumn(
         "__df", F.count(F.lit(1)).over(Window.partitionBy("__t"))
@@ -539,6 +535,7 @@ def prefix_filter_jaccard_pairs(
             "__id",
             F.transform("__ord", lambda s: s["__t"]).alias("__toks"),
         )
+        .cache()
     )
     n = F.size("__toks")
     prefix_len = n - F.ceil(F.lit(threshold) * n).cast("int") + 1
@@ -575,8 +572,16 @@ def prefix_filter_jaccard_pairs(
         )
         .distinct()
     )
-    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
-    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
+    # verify on the rare-first-ORDERED token arrays (a permutation of
+    # the shingle sets — Jaccard is order-blind), so the cached ordered
+    # table serves the verification sides too and the shingling scan
+    # runs exactly once
+    a = ordered.select(
+        F.col("__id").alias("id_a"), F.col("__toks").alias("__sh_a")
+    )
+    b = ordered.select(
+        F.col("__id").alias("id_b"), F.col("__toks").alias("__sh_b")
+    )
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
