@@ -92,7 +92,7 @@ def main() -> None:
     # broadcast builds (HashedRelation amplification) never thrash
     spark = get_spark(
         app_name="csdp-bench",
-        extra_conf={"spark.driver.memory": "8g"},
+        extra_conf={"spark.driver.memory": "16g"},
     )
     # warm the JVM/codegen/parquet-reader/noop-writer paths so per-query
     # numbers measure the plans, not first-use initialization
@@ -117,6 +117,10 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
+        # operators that cache shared subtrees (prefix join, minhash)
+        # must not let those blocks age into later queries' heap — each
+        # query is measured self-contained
+        spark.catalog.clearCache()
 
     out = {
         "metric": "headline_queries_total_runtime",
