@@ -93,3 +93,72 @@ def triangle_stats(
             ).alias("clustering_coeff"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Iterate-to-convergence PageRank over a directed edge list — the
+    driver-loop form of the fixed-2-iteration oracle query
+    (``workload.py::pagerank_parts_2iter``), stopping when the L1 rank
+    delta falls under ``tol`` (or at ``max_iter``, with a warning —
+    same honesty contract as ``dedup.py::neardup_clusters``).
+
+    Output: (node, pagerank DOUBLE). Nodes with no out-edges are not
+    rank sources here (the co-purchase graphs this engine builds are
+    symmetric, so every node has out-degree ≥ 1); a general dangling-
+    mass redistribution would add one 1-row aggregate per round.
+
+    Scale shape per iteration — identical to the oracle query's:
+    pre-divide rank by out-degree on the |V|-row node table, ONE
+    src-keyed shuffle-hash join onto the |E|-row edge list (hash
+    pinned: both sides are data-proportional, so neither an optimizer
+    broadcast nor a merge sort of the edges survives 100×), one
+    dst-keyed sum with map-side partials. Lineage is cut per round
+    with ``localCheckpoint`` — O(rounds) plans would otherwise nest
+    exponentially — and the L1 delta is one extra |V|-row aggregate.
+    """
+    import warnings
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = e.localCheckpoint(eager=False)
+    deg = (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    n = deg.count()
+    ranks = deg.select("node", F.lit(1.0 / n).alias("r"))
+    base = (1.0 - damping) / n
+    for i in range(max_iter):
+        rd = ranks.join(deg, "node").select(
+            F.col("node").alias("src"), (F.col("r") / F.col("d")).alias("c")
+        )
+        contrib = e.join(rd.hint("shuffle_hash"), "src").select("dst", "c")
+        new_ranks = (
+            contrib.groupBy(F.col("dst").alias("node"))
+            .agg((F.lit(base) + F.lit(damping) * F.sum("c")).alias("r"))
+            .localCheckpoint()
+        )
+        delta = (
+            ranks.select("node", F.col("r").alias("r0"))
+            .join(new_ranks, "node")
+            .agg(F.sum(F.abs(F.col("r") - F.col("r0"))).alias("d1"))
+            .collect()[0]["d1"]
+        )
+        ranks = new_ranks
+        if delta is not None and delta < tol:
+            break
+    else:
+        warnings.warn(
+            f"pagerank: L1 delta still {delta:.2e} after {max_iter} "
+            f"iterations (tol={tol:.0e}) — ranks may not have converged",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return ranks.select("node", F.col("r").alias("pagerank"))

@@ -92,3 +92,47 @@ def test_clustering_coefficient_wedge_free(spark):
     ).collect()[0]
     assert row["n_wedges"] == 0
     assert row["clustering_coeff"] == 0.0
+
+
+def test_pagerank_converges_to_power_iteration_model(spark):
+    """Iterative PageRank matches a dense NumPy power iteration on a
+    small directed graph (every node has out-degree >= 1)."""
+    import numpy as np
+
+    from common_survey_data_pipeline_spark.operators.graph import pagerank
+
+    edges = [
+        (0, 1), (1, 2), (2, 0), (2, 3), (3, 0),
+        (1, 3), (3, 1), (0, 2),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["pagerank"]
+        for r in pagerank(df, tol=1e-10, max_iter=100).collect()
+    }
+
+    n = 4
+    A = np.zeros((n, n))
+    for s, d in edges:
+        A[d, s] += 1.0
+    out_deg = np.array([sum(1 for s, _ in edges if s == i) for i in range(n)])
+    A = A / out_deg  # column-stochastic
+    r = np.full(n, 1.0 / n)
+    for _ in range(200):
+        r = (1 - 0.85) / n + 0.85 * (A @ r)
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-8
+
+
+def test_pagerank_warns_on_max_iter_exhaustion(spark):
+    import warnings as w
+
+    from common_survey_data_pipeline_spark.operators.graph import pagerank
+
+    # asymmetric graph: the uniform start vector is NOT the fixed point,
+    # so one iteration cannot reach tol=1e-30
+    df = spark.createDataFrame([(0, 1), (1, 0), (1, 2), (2, 1), (0, 2)], ["src", "dst"])
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        pagerank(df, tol=1e-30, max_iter=1).collect()
+    assert any("pagerank" in str(c.message) for c in caught)
