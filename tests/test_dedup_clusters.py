@@ -65,3 +65,56 @@ def test_clusters_handle_reversed_edges(spark):
     df = spark.createDataFrame(pairs, "id_a long, id_b long")
     got = {r["doc_id"]: r["cluster_id"] for r in neardup_clusters(df).collect()}
     assert got == {1: 1, 2: 1, 5: 1, 9: 1}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_star_cc_equals_label_propagation(spark, seed):
+    """large-star/small-star CC gives the identical (node -> min
+    reachable id) labeling as the propagation kernel on random graphs."""
+    import random
+
+    from common_survey_data_pipeline_spark.operators.dedup import (
+        connected_components_star,
+        neardup_clusters,
+    )
+
+    rng = random.Random(seed)
+    n = 30
+    edges = list(
+        {
+            tuple(sorted((rng.randrange(n), rng.randrange(n))))
+            for _ in range(25)
+        }
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    want = {
+        (r["doc_id"], r["cluster_id"])
+        for r in neardup_clusters(df, max_iter=50).collect()
+    }
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components_star(df).collect()
+    }
+    assert got == want
+
+
+def test_star_cc_collapses_deep_path_in_log_rounds(spark):
+    """A 120-node chain has diameter 119 — label propagation needs ~119
+    rounds; the star kernel must finish inside its default 25-round
+    budget (actually ~log2(120)) with the whole chain in one cluster."""
+    from common_survey_data_pipeline_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(119)], ["id_a", "id_b"]
+    )
+    import warnings as w
+
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        rows = connected_components_star(df).collect()
+    assert not any("still changing" in str(c.message) for c in caught)
+    assert {r["cluster_id"] for r in rows} == {0}
+    assert len(rows) == 120
