@@ -1069,6 +1069,40 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 @register(
+    "dedup_clusters_star",
+    f"""
+    WITH RECURSIVE pairs AS ({_SQL_NGRAM_PAIRS}),
+    e AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    r AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT r.a, e.b FROM r JOIN e ON r.b = e.a
+    )
+    SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM r GROUP BY a
+    """,
+)
+def q_dedup_clusters_star(spark, sf_dir):
+    """Same clusters as `dedup_clusters` (shared oracle: recursive-CTE
+    transitive closure), computed by the alternating large-star /
+    small-star kernel (`operators/dedup.py::connected_components_star`,
+    Kiveris et al. SoCC 2014) instead of min-label propagation — the
+    O(log n)-round path for graphs whose DIAMETER makes per-hop
+    propagation unaffordable (a 10k-node chain is 10k propagation
+    shuffles but ~14 star rounds). Both kernels assign every node its
+    minimum reachable id, so the driver hash-checks them against the
+    identical SQL.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5)
+    from common_survey_data_pipeline_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    return connected_components_star(pairs)
+
+
+@register(
     "curate_corpus",
     f"""
     WITH RECURSIVE scored AS (
