@@ -715,3 +715,27 @@ def connected_components_star(
             F.coalesce("label", "id").alias("cluster_id"),
         )
     )
+
+
+def minhash_band_keys(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Public band-key table for a corpus: ``(doc_id, band_key)`` rows,
+    one 64-bit LSH band key per band per document — the thing you
+    PERSIST at 100 TB. Written bucketed on ``band_key``
+    (``sources/bucketing.py::write_bucketed``), every future increment
+    joins its own band keys against the corpus table with NO exchange
+    on the corpus side (locked by ``tests/test_bucketing.py``); the
+    corpus pays its shuffle once, at write time.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), 3).alias("__shingles"),
+    ).where(F.size("__shingles") > 0)
+    return _band_keys(sh, "doc_id", "__shingles", num_hashes, bands).select(
+        F.col("__id").alias("doc_id"), "band_key"
+    )

@@ -61,3 +61,58 @@ def test_bucketed_join_matches_plain_join(spark, sf_dir, bucketed_tables):
         .count()
     )
     assert got == want
+
+
+def test_bucketed_band_table_incremental_dedup_no_corpus_exchange(
+    spark, sf_dir
+):
+    """The 100 TB incremental-dedup layout: the corpus LSH band table is
+    written ONCE, bucketed on band_key; each incoming batch joins its
+    own band keys against it with no Exchange above the corpus scan —
+    only the (small) batch side shuffles."""
+    from common_survey_data_pipeline_spark.operators.dedup import (
+        minhash_band_keys,
+    )
+    from common_survey_data_pipeline_spark.plans import plan_of, subtree_of
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    write_bucketed(
+        minhash_band_keys(corpus, "text", "doc_id"), "b_corpus_bands", 4,
+        "band_key",
+    )
+    try:
+        corpus_bands = read_bucketed(spark, "b_corpus_bands").withColumnRenamed(
+            "doc_id", "corpus_id"
+        )
+        batch_bands = minhash_band_keys(batch, "text", "doc_id").withColumnRenamed(
+            "doc_id", "batch_id"
+        )
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = batch_bands.join(corpus_bands, "band_key").select(
+                "batch_id", "corpus_id"
+            )
+            cand = joined.distinct()
+            # assert on the pre-distinct join: the only Exchanges are
+            # the batch side's (the distinct's shuffle legitimately
+            # sits above the whole join)
+            plan = plan_of(joined)
+            assert "Bucketed: true" in plan, plan
+            # the corpus scan must sit under NO Exchange: every shuffle
+            # in the plan belongs to the batch side (or the final dedup)
+            for i, line in enumerate(plan.splitlines()):
+                if "Exchange" in line:
+                    sub = "\n".join(
+                        subtree_of("\n".join(plan.splitlines()[i:]), "Exchange")
+                    )
+                    assert "b_corpus_bands" not in sub, plan
+            assert "Exchange" in plan  # the batch side does shuffle
+            n = cand.count()
+            assert n > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_corpus_bands")
