@@ -2,6 +2,7 @@
 Catalyst produces (broadcast build sides, top-k strategy, pushdown)."""
 
 from .asserts import (
+    OPAQUE_SCAN,
     broadcast_scan_tables,
     broadcast_scanned_tables,
     broadcast_subtrees,
@@ -14,6 +15,7 @@ from .asserts import (
 )
 
 __all__ = [
+    "OPAQUE_SCAN",
     "broadcast_scan_tables",
     "broadcast_scanned_tables",
     "broadcast_subtrees",

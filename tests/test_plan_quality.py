@@ -12,6 +12,7 @@ import pytest
 import re
 
 from common_survey_data_pipeline_spark.plans import (
+    OPAQUE_SCAN,
     broadcast_scan_tables,
     no_auto_broadcast,
     operator_order,
@@ -203,10 +204,61 @@ def test_no_fact_side_broadcast_hints(spark, run):
             assert lineage_cut or scanned_tables(plan.splitlines()), (
                 f"{name}: no scans parsed"
             )
-            shipped = broadcast_scan_tables(plan) & SF_SCALED_TABLES
+            # OPAQUE_SCAN = a checkpointed (lineage-cut) frame under a
+            # BroadcastExchange with no size barrier: the plan can't
+            # name its source table, so it can't be proven bounded —
+            # treat it exactly like a named sf-scaled scan (the r2
+            # customer-hint incident would have hidden behind a
+            # localCheckpoint; VERDICT r3 item 3 closes that hole).
+            shipped = broadcast_scan_tables(plan) & (
+                SF_SCALED_TABLES | {OPAQUE_SCAN}
+            )
             if shipped:
                 violations[name] = shipped
         assert not violations, f"sf-scaled scans broadcast: {violations}"
+
+
+def test_guard_names_cached_broadcast_scan(spark, sf_dir):
+    # Negative control for the registry guard: a deliberately hinted
+    # broadcast of a CACHED filtered sf-scaled frame must still be
+    # named — InMemoryTableScan prints its InMemoryRelation child plan
+    # inline, and broadcast_scan_tables must descend into it.
+    import pyspark.sql.functions as F
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cached = cust.filter(F.col("c_acctbal") > 0).cache()
+    try:
+        cached.count()  # materialize so the plan shows InMemoryTableScan
+        with no_auto_broadcast(spark):
+            bad = orders.join(
+                F.broadcast(cached), orders.o_custkey == cached.c_custkey
+            )
+            assert "customer" in broadcast_scan_tables(plan_of(bad))
+    finally:
+        cached.unpersist()
+
+
+def test_guard_flags_checkpointed_broadcast_as_opaque(spark, sf_dir):
+    # Negative control: a deliberately hinted broadcast of a
+    # CHECKPOINTED filtered sf-scaled frame renders as Scan ExistingRDD
+    # — no table name survives, so the guard must surface the
+    # OPAQUE_SCAN sentinel rather than silently passing.
+    import pyspark.sql.functions as F
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ckpt = cust.filter(F.col("c_acctbal") > 0).localCheckpoint()
+    with no_auto_broadcast(spark):
+        bad = orders.join(F.broadcast(ckpt), orders.o_custkey == ckpt.c_custkey)
+        assert OPAQUE_SCAN in broadcast_scan_tables(plan_of(bad))
+        # ...but a checkpointed frame under a size barrier stays legal:
+        # the broadcast payload is the bounded aggregate, not the frame
+        agg = ckpt.groupBy("c_nationkey").agg(F.count("*").alias("n"))
+        ok = orders.join(
+            F.broadcast(agg), orders.o_custkey == agg.c_nationkey
+        )
+        assert OPAQUE_SCAN not in broadcast_scan_tables(plan_of(ok))
 
 
 def test_topk_is_take_ordered_not_global_window(spark, run):
