@@ -124,8 +124,13 @@ def main() -> None:
             best = dt if best is None or dt < best else best
             # operators that cache shared subtrees (prefix join,
             # minhash) must not let those blocks age into later
-            # measurements' heap — each run is self-contained
+            # measurements' heap — each run is self-contained. The GC
+            # nudge drains the freed blocks NOW so a heavy query's
+            # garbage is not collected inside the next query's timing
+            # (r3 recorded dedup_prefix_filter at 5.5s under that heap
+            # debt vs ~2.8s isolated).
             spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
         times[name] = round(best, 3)
 
     out = {

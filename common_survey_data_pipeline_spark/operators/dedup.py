@@ -150,6 +150,12 @@ def minhash_dedup_pairs(
     Default 16 bands × 4 rows: candidate recall 1-(1-j⁴)¹⁶ ≈ 1-3.5e-8
     at j=0.9 (the near-dup regime); raise num_hashes/bands for corpora
     whose near-dup threshold sits lower.
+
+    Caching contract: the shingle table is ``.cache()``d (shared by
+    candidate generation and both verify sides) and not unpersisted —
+    the result is lazy. Long-lived sessions should
+    ``spark.catalog.clearCache()`` after consuming the result; see
+    :func:`prefix_filter_jaccard_pairs` for the full rationale.
     """
     sh = (
         df.select(
@@ -194,6 +200,11 @@ def minhash_incremental_pairs(
     band table is computed once and reused across incoming batches
     (write it to a bucketed table on ``band_key``), so each increment
     shuffles only the batch side.
+
+    Caching contract: both shingle tables are ``.cache()``d and not
+    unpersisted (the lazy result reads each side twice); call
+    ``spark.catalog.clearCache()`` after consuming the result in
+    long-lived sessions — see :func:`prefix_filter_jaccard_pairs`.
     """
     def _sh(df: DataFrame) -> DataFrame:
         return df.select(
@@ -483,6 +494,7 @@ def prefix_filter_jaccard_pairs(
     id_col: str,
     threshold: float = 0.5,
     shingle_words: int = 3,
+    cache_tokens: bool = True,
 ) -> DataFrame:
     """EXACT set-similarity join via PREFIX FILTERING (SSJoin /
     All-Pairs, Chaudhuri et al. ICDE'06, Bayardo et al. WWW'07): the
@@ -513,6 +525,16 @@ def prefix_filter_jaccard_pairs(
 
     Output: ``(id_a, id_b, jaccard_sim)`` — bit-identical to the
     all-pairs form.
+
+    Caching contract (ADVICE r3): with ``cache_tokens=True`` (default)
+    the ordered-token table is ``.cache()``d and NOT unpersisted — the
+    returned DataFrame is lazy, so the blocks must outlive this call
+    for the prefix side and both verification sides to share one
+    materialization. Blocks are LRU-evictable, but long-lived sessions
+    issuing many of these joins should ``spark.catalog.clearCache()``
+    after consuming each result (bench.py does), or pass
+    ``cache_tokens=False`` to trade the re-computed token shuffles for
+    zero storage footprint.
     """
     sh = df.select(
         F.col(id_col).alias("__id"),
@@ -538,8 +560,9 @@ def prefix_filter_jaccard_pairs(
             "__id",
             F.transform("__ord", lambda s: s["__t"]).alias("__toks"),
         )
-        .cache()
     )
+    if cache_tokens:
+        ordered = ordered.cache()
     n = F.size("__toks")
     prefix_len = n - F.ceil(F.lit(threshold) * n).cast("int") + 1
     # carry set size and 1-based prefix position for the two classic

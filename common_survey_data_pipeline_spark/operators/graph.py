@@ -133,6 +133,11 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     n = deg.count()
+    if n == 0:
+        raise ValueError(
+            "pagerank: empty edge list — no nodes to rank (the uniform "
+            "1/n seed is undefined)"
+        )
     ranks = deg.select("node", F.lit(1.0 / n).alias("r"))
     base = (1.0 - damping) / n
     for i in range(max_iter):
@@ -155,8 +160,14 @@ def pagerank(
         if delta is not None and delta < tol:
             break
     else:
+        # delta is None when the ranks↔new_ranks join matched no nodes
+        # (e.g. a bipartite source→sink graph, outside the symmetric-
+        # graph contract) — sum() over zero rows is NULL. Format it
+        # lazily so the honesty warning never raises on the exact
+        # inputs it exists to flag.
+        shown = f"{delta:.2e}" if delta is not None else "undefined (no node kept rank mass in consecutive rounds — input likely violates the symmetric-graph contract)"
         warnings.warn(
-            f"pagerank: L1 delta still {delta:.2e} after {max_iter} "
+            f"pagerank: L1 delta still {shown} after {max_iter} "
             f"iterations (tol={tol:.0e}) — ranks may not have converged",
             RuntimeWarning,
             stacklevel=2,

@@ -293,19 +293,38 @@ def ewma_stream(
     renormalized closed-form weighted sum the batch query computes, so
     on a time-ordered replay the two agree to float precision
     (identity-tested in ``tests/test_streaming.py``; micro-batch
-    contents are sorted by (ts, event_id) inside the operator, and
-    time-disjoint micro-batches guarantee cross-batch order).
+    contents are sorted by (ts, event_id) inside the operator).
+
+    ORDERING CONTRACT (public API, not just the test fixture): the
+    batch-identity guarantee requires micro-batches to be time-disjoint
+    per key — each batch's (ts, event_id) keys strictly after the
+    previous batch's. The operator enforces it (ADVICE r3): state
+    tracks the last folded (ts, event_id) per key, and a row at or
+    behind that point is a contract breach — it is NOT folded into
+    state (which already absorbed newer values, so folding would
+    corrupt every subsequent EWMA) and is emitted with ``ewma`` =
+    NaN/NULL so disorder is visible in the output instead of silently
+    wrong.
+    Sources that can replay late (non-file sources without a
+    watermark) should pre-deduplicate or watermark upstream.
     """
+    import math  # noqa: PLC0415 — worker-side import
+
     import pandas as pd  # noqa: PLC0415 — worker-side import
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     decay = 1.0 - alpha
     keep = window - 1
-    state_schema = "vals array<double>"
+    _NEG = -(2**63)  # "nothing folded yet" sentinel for (ts, event_id)
+    state_schema = "vals array<double>, last_ts long, last_ev long"
 
     def update(key, pdf_iter, state):
-        vals = list(state.get[0]) if state.exists else []
+        if state.exists:
+            st = state.get
+            vals, last = list(st[0]), (st[1], st[2])
+        else:
+            vals, last = [], (_NEG, _NEG)
         out_ev, out_ew = [], []
         pdfs = [p for p in pdf_iter]
         batch = (
@@ -313,7 +332,13 @@ def ewma_stream(
             if pdfs
             else pd.DataFrame(columns=["ts", "event_id", "value"])
         )
-        for ev, x in zip(batch["event_id"], batch["value"]):
+        for ts, ev, x in zip(batch["ts"], batch["event_id"], batch["value"]):
+            tkey = (int(pd.Timestamp(ts).value), int(ev))
+            if tkey <= last:
+                # late replay: state already folded newer rows
+                out_ev.append(int(ev))
+                out_ew.append(math.nan)
+                continue
             # keep == 0 (window=1) must slice to [], not the whole list
             arr = (vals[-keep:] if keep else []) + [float(x)]
             n = len(arr)
@@ -326,7 +351,8 @@ def ewma_stream(
             out_ev.append(int(ev))
             out_ew.append(num / den)
             vals = arr[-keep:] if keep else []
-        state.update((vals,))
+            last = tkey
+        state.update((vals, last[0], last[1]))
         if out_ev:
             yield pd.DataFrame(
                 {

@@ -136,3 +136,32 @@ def test_pagerank_warns_on_max_iter_exhaustion(spark):
         w.simplefilter("always")
         pagerank(df, tol=1e-30, max_iter=1).collect()
     assert any("pagerank" in str(c.message) for c in caught)
+
+
+def test_pagerank_empty_edges_raises(spark):
+    # ADVICE r3: empty input used to hit ZeroDivisionError at the 1/n
+    # seed — it must be a clear contract error instead
+    import pytest as pt
+
+    from common_survey_data_pipeline_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "src bigint, dst bigint")
+    with pt.raises(ValueError, match="empty edge list"):
+        pagerank(empty)
+
+
+def test_pagerank_warning_survives_null_delta(spark):
+    import warnings as w
+
+    from common_survey_data_pipeline_spark.operators.graph import pagerank
+
+    # pure source→sink bipartite graph: round 1 moves ALL rank mass to
+    # sinks 2/3 (which have no out-degree), so the ranks↔new_ranks join
+    # is empty and delta is NULL — the exhaustion warning used to
+    # TypeError on `{None:.2e}` for exactly this out-of-contract shape
+    df = spark.createDataFrame([(0, 2), (1, 3)], ["src", "dst"])
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        pagerank(df, tol=1e-30, max_iter=2).collect()
+    msgs = [str(c.message) for c in caught if "pagerank" in str(c.message)]
+    assert msgs and "undefined" in msgs[0]

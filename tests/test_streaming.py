@@ -440,3 +440,58 @@ def test_streaming_ewma_window_one_is_identity(spark, ordered_stream_dir):
         .collect()
     }
     assert got == pytest.approx(want)
+
+
+def test_streaming_ewma_flags_late_rows_and_keeps_state_clean(
+    spark, tmp_path
+):
+    """ADVICE r3: a micro-batch that replays at-or-behind the key's
+    last folded (ts, event_id) breaks the batch-identity contract.
+    The late row must surface as ewma = NaN (visible breach, not a
+    silently wrong fold) and must NOT perturb the state used by
+    subsequent in-order rows."""
+    import math
+    import time as _time
+
+    from common_survey_data_pipeline_spark.streaming.stateful import (
+        ewma_stream,
+    )
+
+    from datetime import datetime as _dt
+
+    path = str(tmp_path / "late_ev")
+    schema = "user_id long, event_id long, ts timestamp, value double"
+    b1 = spark.createDataFrame(
+        [
+            (1, 101, _dt(2024, 1, 1, 10, 0), 10.0),
+            (1, 102, _dt(2024, 1, 1, 11, 0), 20.0),
+        ],
+        schema,
+    )
+    # 103 replays BEHIND 102 (10:30 < 11:00) → late; 104 is in-order
+    b2 = spark.createDataFrame(
+        [
+            (1, 103, _dt(2024, 1, 1, 10, 30), 999.0),
+            (1, 104, _dt(2024, 1, 1, 12, 0), 30.0),
+        ],
+        schema,
+    )
+    b1.coalesce(1).write.mode("append").parquet(path)
+    _time.sleep(1.1)  # distinct mtimes → deterministic replay order
+    b2.coalesce(1).write.mode("append").parquet(path)
+
+    stream = _read_stream(spark, path, b1.schema)
+    run_stream_to_memory(ewma_stream(stream, alpha=0.5), "t_ewma_late")
+    got = {
+        r["event_id"]: r["ewma"] for r in spark.table("t_ewma_late").collect()
+    }
+    assert set(got) == {101, 102, 103, 104}
+    # the worker emits NaN; Arrow maps it to NULL in the double column —
+    # either way the breach is visible, never a silently wrong number
+    assert got[103] is None or math.isnan(got[103])
+    # 104's EWMA is computed over [10, 20, 30] — exactly as if the late
+    # 999 never arrived: (10*.25 + 20*.5 + 30*1) / (0.25+0.5+1)
+    want_104 = (10 * 0.25 + 20 * 0.5 + 30 * 1.0) / 1.75
+    assert abs(got[104] - want_104) < 1e-12
+    assert abs(got[101] - 10.0) < 1e-12
+    assert abs(got[102] - (10 * 0.5 + 20) / 1.5) < 1e-12
