@@ -83,6 +83,21 @@ BENCH_QUERIES = (
     "j13_jw_blocked_pairs",
 )
 
+# the 10 heaviest headline queries by the r3/r4 sf0.1 records — the
+# sf1 spot-check set (see the sf1_top10 section below)
+SF1_TOP10 = (
+    "dedup_prefix_filter",
+    "text_fingerprints",
+    "pagerank_parts_2iter",
+    "inverted_index_postings",
+    "dedup_minhash",
+    "j10_fuzzy_bigjoin",
+    "text_repetition",
+    "q3_top_revenue_orders",
+    "q5_region_nation_revenue",
+    "embedding_random_projection",
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -140,6 +155,36 @@ def main() -> None:
         "queries": times,
         "sf": sf,
     }
+
+    # sf1 (10×) spot-check of the heaviest queries: one measured point
+    # beyond sf0.1 to back the 100×-design claims. The sf1 parquet is
+    # built once (duplicate-structure-preserving 10× amplification of
+    # sf0.1 — see tools_gen_sf1.py) under /tmp; single timed run per
+    # query (plans are already codegen-warm from the sf0.1 loop above).
+    # A query whose sf1/sf0.1 ratio materially exceeds the 10× data
+    # ratio has a super-linear stage. Disable with SPARK_GRAFT_SF1=0.
+    if sf == 0.1 and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        from tools_gen_sf1 import ensure_sf1
+
+        sf1_dir = ensure_sf1(spark, src_dir=sf_dir)
+        sf1_times: dict[str, float] = {}
+        for name in SF1_TOP10:
+            t0 = time.time()
+            REGISTRY[name].fn(spark, sf1_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            sf1_times[name] = round(time.time() - t0, 3)
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+        out["sf1_top10"] = {
+            "sf": 1.0,
+            "total": round(sum(sf1_times.values()), 3),
+            "queries": sf1_times,
+            "ratio_vs_sf0.1": {
+                name: round(sf1_times[name] / max(times[name], 0.001), 1)
+                for name in SF1_TOP10
+            },
+        }
     print(json.dumps(out))
 
 

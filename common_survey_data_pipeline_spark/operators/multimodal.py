@@ -187,20 +187,24 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, list[float]]:
 
 
 def _decode_image_real(payload: bytes) -> tuple[int, int, list[float]]:
-    """Real decode path: built-in pure-numpy codecs for PNG and BMP (no
-    third-party dependency), PIL for anything else when installed. The
-    deterministic fake remains the ORACLE profile — this path is for
-    pipelines carrying actual image bytes."""
+    """Real decode path: built-in pure-numpy codecs for PNG, BMP and
+    baseline JPEG (no third-party dependency), PIL for anything else
+    when installed. The deterministic fake remains the ORACLE profile —
+    this path is for pipelines carrying actual image bytes."""
     if payload[: len(_PNG_MAGIC)] == _PNG_MAGIC:
         return _decode_png(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     try:
         from PIL import Image
     except ImportError as exc:  # pragma: no cover - environment-dependent
         raise NotImplementedError(
-            "payload is neither PNG nor BMP; other formats need pillow "
-            "(absent here) or the deterministic fake "
+            "payload is neither PNG, BMP nor JPEG; other formats need "
+            "pillow (absent here) or the deterministic fake "
             "(decode_images(..., use_fake=True))"
         ) from exc
     import io

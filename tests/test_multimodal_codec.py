@@ -161,21 +161,264 @@ def test_unknown_format_without_pil_is_loud():
         pytest.skip("pillow installed; fallback covers unknown formats")
     except ImportError:
         pass
-    with pytest.raises(NotImplementedError, match="PNG nor BMP"):
-        _decode_image_real(b"\xff\xd8\xff\xe0 not really a jpeg")
+    with pytest.raises(NotImplementedError, match="PNG, BMP nor JPEG"):
+        _decode_image_real(b"GIF89a not a supported format")
 
 
-def test_pil_fallback_decodes_jpeg():
-    PIL = pytest.importorskip("PIL")  # noqa: N806 - absent in this container
-    import io
+# ---------------------------------------------------------------------------
+# JPEG: independent baseline encoder (forward DCT + canonical Huffman) —
+# the decoder under test implements the inverse from the T.81 spec.
+# The encoder uses its OWN flat Huffman tables (all-8-bit DC codes,
+# all-9-bit AC codes, written into DHT), so a decoder that hardcodes
+# the Annex K tables instead of reading DHT fails here.
+# ---------------------------------------------------------------------------
 
-    from PIL import Image
+def _zigzag_order() -> list[int]:
+    """Raster index of each zigzag position, generated from the
+    diagonal-walk definition (independent check of any hardcoded
+    table): odd diagonals walk row-ascending, even ones descending."""
+    order = []
+    for s in range(15):
+        rows = list(range(max(0, s - 7), min(s, 7) + 1))
+        for r in rows if s % 2 else reversed(rows):
+            order.append(r * 8 + (s - r))
+    return order
 
-    buf = io.BytesIO()
-    Image.new("RGB", (9, 5), (255, 0, 0)).save(buf, format="JPEG")
-    w, h, feats = _decode_image_real(buf.getvalue())
-    assert (w, h) == (9, 5)
-    assert len(feats) == 8 and abs(sum(feats) - 1.0) < 1e-3
+
+_ZZ = _zigzag_order()
+_FDCT_M = np.array(
+    [
+        [
+            (np.sqrt(0.125) if u == 0 else 0.5)
+            * np.cos((2 * x + 1) * u * np.pi / 16)
+            for u in range(8)
+        ]
+        for x in range(8)
+    ]
+)
+# flat canonical tables: DC = 12 symbols, all length 8 (code i = i);
+# AC = 255 symbols, all length 9 (code i = i) — symbol 0xFF (run 15 /
+# size 15) can never be emitted: with all-ones quant tables the AC
+# magnitude category tops out at 11
+_DC_BITS = [0] * 16
+_DC_BITS[7] = 12
+_AC_BITS = [0] * 16
+_AC_BITS[8] = 255
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, val: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def align(self) -> None:  # pad final byte with 1-bits
+        while self.n:
+            self.write(1, 1)
+
+
+def _cat(v: int) -> tuple[int, int]:
+    """JPEG magnitude category + appended bits for a coefficient."""
+    a = abs(v)
+    cat = a.bit_length()
+    bits = v if v >= 0 else v + (1 << cat) - 1
+    return cat, bits
+
+
+def _encode_block(bw: _BitWriter, block: np.ndarray, pred: int) -> int:
+    coef = _FDCT_M.T @ (block.astype(np.float64) - 128.0) @ _FDCT_M
+    zz = np.round(coef.reshape(-1)[_ZZ]).astype(int)  # quant table = 1s
+    cat, bits = _cat(int(zz[0]) - pred)
+    bw.write(cat, 8)  # flat DC table: code == symbol, length 8
+    bw.write(bits, cat)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.write(0xF0, 9)  # ZRL
+            run -= 16
+        cat, bits = _cat(v)
+        bw.write((run << 4) | cat, 9)  # flat AC table: code == symbol
+        bw.write(bits, cat)
+        run = 0
+    if run:
+        bw.write(0x00, 9)  # EOB
+    return int(zz[0])
+
+
+def _seg(marker: int, data: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+
+def encode_jpeg(
+    pixels: np.ndarray, subsample_420: bool = False, restart: int = 0
+) -> bytes:
+    """Minimal baseline JPEG writer. ``pixels`` is (h, w) uint8 grey or
+    (h, w, 3) uint8 RGB; quant tables are all-ones (near-lossless);
+    optional 4:2:0 chroma subsampling and restart interval."""
+    grey = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    if grey:
+        planes = [pixels.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        px = pixels.astype(np.float64)
+        r, g, b = px[..., 0], px[..., 1], px[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample_420:
+            pad_h, pad_w = -h % 2, -w % 2
+            cbp = np.pad(cb, ((0, pad_h), (0, pad_w)), mode="edge")
+            crp = np.pad(cr, ((0, pad_h), (0, pad_w)), mode="edge")
+            cb = cbp.reshape(cbp.shape[0] // 2, 2, -1, 2).mean(axis=(1, 3))
+            cr = crp.reshape(crp.shape[0] // 2, 2, -1, 2).mean(axis=(1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    padded = []
+    for (sh, sv), pl in zip(samp, planes):
+        th, tw = mcuy * 8 * sv, mcux * 8 * sh
+        padded.append(
+            np.pad(
+                pl,
+                ((0, th - pl.shape[0]), (0, tw - pl.shape[1])),
+                mode="edge",
+            )
+        )
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    out_entropy = bytearray()
+    rst = 0
+    for m in range(mcux * mcuy):
+        if restart and m and m % restart == 0:
+            bw.align()
+            out_entropy.extend(bw.buf)
+            out_entropy.extend(bytes([0xFF, 0xD0 + rst % 8]))
+            rst += 1
+            bw = _BitWriter()
+            preds = [0] * len(planes)
+        my, mx = divmod(m, mcux)
+        for ci, ((sh, sv), pl) in enumerate(zip(samp, padded)):
+            for by in range(sv):
+                for bx in range(sh):
+                    y0 = (my * sv + by) * 8
+                    x0 = (mx * sh + bx) * 8
+                    preds[ci] = _encode_block(
+                        bw, pl[y0 : y0 + 8, x0 : x0 + 8], preds[ci]
+                    )
+    bw.align()
+    out_entropy.extend(bw.buf)
+
+    qt = _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    ncomp = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp) + b"".join(
+        struct.pack(">BBB", i + 1, (samp[i][0] << 4) | samp[i][1], 0)
+        for i in range(ncomp)
+    )
+    dht = _seg(
+        0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(range(12))
+    ) + _seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(range(255)))
+    sos = struct.pack(">B", ncomp) + b"".join(
+        struct.pack(">BB", i + 1, 0x00) for i in range(ncomp)
+    ) + bytes([0, 63, 0])
+    dri = _seg(0xDD, struct.pack(">H", restart)) if restart else b""
+    return (
+        b"\xff\xd8"
+        + qt
+        + dri
+        + _seg(0xC0, sof)
+        + dht
+        + _seg(0xDA, sos)
+        + bytes(out_entropy)
+        + b"\xff\xd9"
+    )
+
+
+def _bin_center_pixels(h: int, w: int, ch: int, seed: int) -> np.ndarray:
+    """Pixels restricted to 32-level bin CENTERS (16, 48, ..., 240):
+    the all-ones quant table reconstructs within a couple of levels, so
+    the decoded 8-bin histogram is exactly the input's."""
+    rs = np.random.RandomState(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    return (rs.randint(0, 8, shape) * 32 + 16).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_grayscale():
+    from common_survey_data_pipeline_spark.operators.jpeg import decode_jpeg
+
+    px = _bin_center_pixels(13, 11, 1, seed=1)  # non-multiple-of-8 dims
+    w, h, feats = decode_jpeg(encode_jpeg(px))
+    assert (w, h) == (11, 13)
+    assert feats == _expected_hist(px)
+
+
+def test_jpeg_roundtrip_rgb_444():
+    from common_survey_data_pipeline_spark.operators.jpeg import decode_jpeg
+
+    px = _bin_center_pixels(16, 9, 3, seed=2)
+    w, h, feats = decode_jpeg(encode_jpeg(px))
+    assert (w, h) == (9, 16)
+    # RGB→YCbCr→RGB adds rounding on top of DCT rounding; bin centers
+    # keep everything inside its 32-level bin
+    assert feats == _expected_hist(px)
+
+
+def test_jpeg_roundtrip_420_subsampled():
+    from common_survey_data_pipeline_spark.operators.jpeg import decode_jpeg
+
+    # constant chroma (single RGB tint per image) makes 2x2 chroma
+    # averaging lossless, isolating the sampling-factor block layout
+    lum = _bin_center_pixels(19, 21, 1, seed=3).astype(np.float64)
+    px = np.stack([lum, lum, lum], axis=-1).astype(np.uint8)  # grey RGB
+    w, h, feats = decode_jpeg(encode_jpeg(px, subsample_420=True))
+    assert (w, h) == (21, 19)
+    assert feats == _expected_hist(px)
+
+
+def test_jpeg_restart_markers():
+    from common_survey_data_pipeline_spark.operators.jpeg import decode_jpeg
+
+    px = _bin_center_pixels(24, 40, 1, seed=4)  # 15 MCUs → several RSTs
+    plain = decode_jpeg(encode_jpeg(px))
+    with_rst = decode_jpeg(encode_jpeg(px, restart=2))
+    assert plain == with_rst == (40, 24, _expected_hist(px))
+
+
+def test_jpeg_progressive_is_loud():
+    from common_survey_data_pipeline_spark.operators.jpeg import decode_jpeg
+
+    good = encode_jpeg(_bin_center_pixels(8, 8, 1, seed=5))
+    # rewrite the SOF0 marker (FFC0) to SOF2 (FFC2): progressive
+    bad = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bad)
+
+
+def test_real_decoder_dispatches_jpeg_magic():
+    px = _bin_center_pixels(6, 6, 3, seed=6)
+    w, h, feats = _decode_image_real(encode_jpeg(px))
+    assert (w, h) == (6, 6)
+    assert feats == _expected_hist(px)
 
 
 # ---------------------------------------------------------------------------
