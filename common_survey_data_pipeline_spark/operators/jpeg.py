@@ -191,6 +191,9 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, list[float]]:
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("malformed JPEG: marker expected")
+        # tolerate 0xFF fill bytes before a marker (T.81 B.1.1.2)
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break

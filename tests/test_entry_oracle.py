@@ -43,3 +43,28 @@ def test_rows_only_queries_execute(spark, name):
     df = REGISTRY[name].fn(spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+def test_driver_order_surfaces_unrecorded_queries_first():
+    """The driver's correctness harness records queries in dict order
+    under a per-round cap, so ``_driver_order()`` must yield every
+    query WITHOUT a green committed CORRECTNESS row before any query
+    that already has one — with the two historically stale-red ANN
+    queries pinned to the very front (VERDICT r3 item 1)."""
+    import __spark_entry__ as e
+
+    order = e._driver_order()
+    assert sorted(order) == sorted(REGISTRY)  # a permutation, no loss
+    assert order[:2] == ["similarity_signlsh", "similarity_ivf"]
+    green = e._green_driver_rows()
+    rest = order[2:]
+    seen_green = False
+    for name in rest:
+        if name in green:
+            seen_green = True
+        else:
+            assert not seen_green, (
+                f"unrecorded query {name} ordered after recorded ones"
+            )
+    # the oracle map must cover the same set in the same order
+    assert list(e.queries()) == order
