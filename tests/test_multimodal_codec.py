@@ -491,3 +491,16 @@ def test_attach_audio_payload_deterministic(spark):
         assert out[i]["payload_bytes"] == 2 * n
         assert out[i]["rms"] == float(amp)
         assert out[i]["peak"] == amp
+
+
+def test_jpeg_truncated_payloads_fail_loudly():
+    """Corrupt inputs must raise, never hang or return wrong geometry:
+    cut the stream inside the header and inside the entropy data."""
+    import struct as _struct
+
+    from common_survey_data_pipeline_spark.operators.jpeg import decode_jpeg
+
+    good = encode_jpeg(_bin_center_pixels(16, 16, 1, seed=9))
+    for cut in (4, len(good) // 2, len(good) - 3):
+        with pytest.raises((ValueError, _struct.error, KeyError)):
+            decode_jpeg(good[:cut])
