@@ -962,9 +962,16 @@ def q_text_fp(spark, sf_dir):
             *[F.element_at("__h", F.least(j + d, nmax)) for d in range(w)]
         ),
     )
+    # NO global distinct: array_distinct already dedupes within a doc,
+    # and doc_id is part of the output pair, so rows are globally
+    # unique by construction — the explicit .distinct() this used to
+    # carry only re-asserted that at the cost of shuffling EVERY
+    # fingerprint (the query's sole exchange; at 100 TB, the dominant
+    # cost). The oracle's SELECT DISTINCT is equally vacuous on its
+    # side, so results are bit-identical.
     return hashed.select(
         "doc_id", F.explode(F.array_distinct(fps)).alias("fp")
-    ).distinct()
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -471,3 +471,13 @@ def test_jl_projection_is_narrow_map(run):
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange") <= 2
+
+
+def test_text_fingerprints_is_shuffle_free(run):
+    # r4: winnowing is scan → narrow hash/window-min map → explode;
+    # (doc_id, fp) pairs are unique by construction (array_distinct
+    # within the doc, doc_id in the pair), so ANY Exchange here is a
+    # reintroduced redundant global distinct — at 100 TB that shuffle
+    # of every fingerprint was the query's dominant cost
+    plan = plan_of(run("text_fingerprints"))
+    assert "Exchange" not in plan
