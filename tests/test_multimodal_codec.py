@@ -504,3 +504,35 @@ def test_jpeg_truncated_payloads_fail_loudly():
     for cut in (4, len(good) // 2, len(good) - 3):
         with pytest.raises((ValueError, _struct.error, KeyError)):
             decode_jpeg(good[:cut])
+
+
+# hypothesis property: the encode→decode roundtrip holds for ANY
+# geometry (1×1 up through several MCUs, multiples of 8 and ragged),
+# any bin-center content, grey and RGB, with and without 4:2:0
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    mode=st.sampled_from(["grey", "rgb", "rgb420"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_roundtrip_property(h, w, mode, seed):
+    from common_survey_data_pipeline_spark.operators.jpeg import decode_jpeg
+
+    if mode == "grey":
+        px = _bin_center_pixels(h, w, 1, seed=seed)
+        payload = encode_jpeg(px)
+    elif mode == "rgb":
+        px = _bin_center_pixels(h, w, 3, seed=seed)
+        payload = encode_jpeg(px)
+    else:
+        # constant-chroma RGB so 2x2 averaging stays lossless
+        lum = _bin_center_pixels(h, w, 1, seed=seed).astype(np.float64)
+        px = np.stack([lum, lum, lum], axis=-1).astype(np.uint8)
+        payload = encode_jpeg(px, subsample_420=True)
+    got_w, got_h, feats = decode_jpeg(payload)
+    assert (got_w, got_h) == (w, h)
+    assert feats == _expected_hist(px)
