@@ -169,13 +169,20 @@ def main() -> None:
         sf1_dir = ensure_sf1(spark, src_dir=sf_dir)
         sf1_times: dict[str, float] = {}
         for name in SF1_TOP10:
-            t0 = time.time()
-            REGISTRY[name].fn(spark, sf1_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            sf1_times[name] = round(time.time() - t0, 3)
-            spark.catalog.clearCache()
-            spark.sparkContext._jvm.System.gc()
+            # best-of-2 here too: single-shot sf1 samples vary up to 3×
+            # on GC/page-cache luck at 10× data, which would read as a
+            # fake super-linear stage in the ratio column
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                REGISTRY[name].fn(spark, sf1_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = time.time() - t0
+                best = dt if best is None or dt < best else best
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+            sf1_times[name] = round(best, 3)
         out["sf1_top10"] = {
             "sf": 1.0,
             "total": round(sum(sf1_times.values()), 3),
