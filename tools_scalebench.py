@@ -281,8 +281,20 @@ def main() -> None:
             spark, scaled_dir
         ).count()
         for name, thunk in thunks.items():
-            thunk()  # warm the plan/codegen
-            results[name][k] = round(min(timed(thunk) for _ in range(2)), 2)
+            def isolated(t=thunk):
+                # same isolation as bench.py: operators that .cache()
+                # shared subtrees (prefix filter, minhash) must pay the
+                # cache build INSIDE every measured run — Spark dedupes
+                # identical cached plans across calls, so without the
+                # clear the 1x timed runs ride the warm-up's cache while
+                # the 16x runs partially evict, inflating the exponent
+                dt = timed(t)
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+                return dt
+
+            isolated()  # warm the plan/codegen, then drop its cache
+            results[name][k] = round(min(isolated() for _ in range(2)), 2)
     lines = [
         "# SCALING — measured scaling exponents of the heavy operators",
         "",
@@ -307,6 +319,16 @@ def main() -> None:
         "code on k×-amplified part/documents parquet (per-copy name tags",
         "keep cross-copy Levenshtein ≥ 3 → match structure grows",
         "linearly).",
+        "",
+        "Measurement is cache-isolated (clearCache + GC after every",
+        "run, matching bench.py): operators that .cache() shared",
+        "subtrees pay the cache build inside each measured run — prior",
+        "rounds' prefix-filter exponent (0.51) rode the warm-up's",
+        "surviving cache at 1x while the 16x cache partially evicted,",
+        "understating the exponent. Shuffle partitions are FIXED at 64",
+        "across k; a scale-aware deployment grows them with data, so",
+        "the 16x points include partition-pressure cost a real cluster",
+        "would shed.",
         "",
         "| operator | t(1x) s | t(4x) s | t(16x) s | exp |",
         "|---|---|---|---|---|",
