@@ -571,11 +571,16 @@ def prefix_filter_jaccard_pairs(
     # and PPJoin's positional filter (the overlap upper bound from the
     # match positions must reach the equivalent-overlap threshold
     # alpha = ceil(t/(1+t) * (|A|+|B|)))
+    # prefix tokens join as xxhash64 LONGS, not 3-word shingle strings:
+    # the candidate join's shuffle carries 8-byte keys instead of
+    # ~25-40-byte text (same trick as the deletion-neighborhood fuzzy
+    # join) — a hash collision can only ADD a candidate pair, which the
+    # exact Jaccard verify below removes, so recall is untouched
     prefixes = ordered.select(
         F.col("__id"),
         n.alias("__n"),
         F.posexplode(F.slice("__toks", 1, prefix_len)).alias("__pos0", "__p"),
-    )
+    ).withColumn("__p", F.xxhash64("__p"))
     na, nb = F.col("a.__n"), F.col("b.__n")
     # the 1e-9 slack keeps a one-ulp-high t/(1+t) product from pushing
     # ceil past the true integer alpha (over-pruning would LOSE pairs;
