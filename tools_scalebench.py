@@ -8,10 +8,15 @@ linear-ish in the data then shows runtime ratios ≈ k; a hidden
 quadratic stage shows ≈ k².
 
 Usage: python tools_scalebench.py   (writes SCALING.md in the repo root)
+       python tools_scalebench.py --only op1,op2 [--ks 1,16]
+           (targeted re-measurement; prints the rows but does NOT
+           rewrite SCALING.md — partial runs must never clobber the
+           full table)
 """
 
 from __future__ import annotations
 
+import argparse
 import math
 import os
 import sys
@@ -180,6 +185,20 @@ def timed(fn) -> float:
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated operator names; targeted runs print rows "
+        "but do not rewrite SCALING.md",
+    )
+    ap.add_argument(
+        "--ks",
+        default="1,4,16",
+        help="comma-separated amplification factors (default 1,4,16)",
+    )
+    cli = ap.parse_args()
+    only = set(cli.only.split(",")) if cli.only else None
     spark = get_spark(
         app_name="csdp-scalebench",
         shuffle_partitions=64,
@@ -190,7 +209,7 @@ def main() -> None:
             "spark.ui.enabled": "false",
         },
     )
-    ks = (1, 4, 16)
+    ks = tuple(int(x) for x in cli.ks.split(","))
     ops = {
         "exact_dedup_groups": lambda d, e: exact_dedup_groups(
             d, "text", "doc_id"
@@ -255,6 +274,11 @@ def main() -> None:
             "bm25_top_docs",
         ]
     )
+    if only:
+        unknown = only - set(all_names)
+        if unknown:
+            raise SystemExit(f"unknown operators: {sorted(unknown)}")
+        all_names = [o for o in all_names if o in only]
     results: dict[str, dict[int, float]] = {o: {} for o in all_names}
     rows: dict[int, int] = {}
     for k in ks:
@@ -281,6 +305,9 @@ def main() -> None:
             spark, scaled_dir
         ).count()
         for name, thunk in thunks.items():
+            if name not in results:
+                continue
+
             def isolated(t=thunk):
                 # same isolation as bench.py: operators that .cache()
                 # shared subtrees (prefix filter, minhash) must pay the
@@ -295,6 +322,26 @@ def main() -> None:
 
             isolated()  # warm the plan/codegen, then drop its cache
             results[name][k] = round(min(isolated() for _ in range(2)), 2)
+    klo, khi = min(ks), max(ks)
+
+    def table_rows() -> list[str]:
+        body = []
+        for name, ts in results.items():
+            # clamp to the 10ms timing floor so sub-resolution runs read
+            # as "too fast to measure", never as a log(0) crash or fake
+            # exponent
+            t1, t16 = max(ts[klo], 0.01), max(ts[khi], 0.01)
+            exp = math.log(t16 / t1) / math.log(khi / klo)
+            cells = " | ".join(str(ts[k]) for k in ks)
+            body.append(f"| {name} | {cells} | {exp:.2f} |")
+        return body
+
+    if only or ks != (1, 4, 16):
+        # targeted / non-standard run: print, never rewrite SCALING.md
+        hdr = " | ".join(f"t({k}x) s" for k in ks)
+        print(f"| operator | {hdr} | exp |")
+        print("\n".join(table_rows()))
+        return
     lines = [
         "# SCALING — measured scaling exponents of the heavy operators",
         "",
@@ -333,14 +380,7 @@ def main() -> None:
         "| operator | t(1x) s | t(4x) s | t(16x) s | exp |",
         "|---|---|---|---|---|",
     ]
-    for name, ts in results.items():
-        # clamp to the 10ms timing floor so sub-resolution runs read as
-        # "too fast to measure", never as a log(0) crash or fake exponent
-        t1, t16 = max(ts[1], 0.01), max(ts[16], 0.01)
-        exp = math.log(t16 / t1) / math.log(16)
-        lines.append(
-            f"| {name} | {ts[1]} | {ts[4]} | {ts[16]} | {exp:.2f} |"
-        )
+    lines.extend(table_rows())
     lines.append("")
     with open(
         os.path.join(os.path.dirname(__file__), "SCALING.md"), "w"
