@@ -126,27 +126,38 @@ def main() -> None:
                 "overwrite"
             ).save()
 
-    times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = REGISTRY[name].fn
+    def timed_best(fn, d: str) -> float:
         # best-of-2: a single sample is hostage to one GC pause or a
-        # noisy-neighbor blip; the min of two runs is the plan's cost
-        best = None
-        for _ in range(2):
+        # noisy-neighbor blip; the min of two runs is the plan's cost.
+        # If the two samples disagree by >30% the environment was noisy
+        # during at least one of them, so spend ONE extra sample —
+        # dedup_prefix_filter measured 2.3s isolated (fresh JVM AND
+        # after a full 57-query prelude: no structural heap debt) yet
+        # recorded 4.6-5.5s in whole-bench runs, i.e. sustained
+        # external contention can poison both of two samples; a third
+        # draw makes the recorded number far more likely to be the
+        # plan's cost.
+        samples = []
+        while True:
             t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
+            fn(spark, d).write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
             # operators that cache shared subtrees (prefix join,
             # minhash) must not let those blocks age into later
-            # measurements' heap — each run is self-contained. The GC
-            # nudge drains the freed blocks NOW so a heavy query's
-            # garbage is not collected inside the next query's timing
-            # (r3 recorded dedup_prefix_filter at 5.5s under that heap
-            # debt vs ~2.8s isolated).
+            # measurements' heap — each run is self-contained, and the
+            # GC nudge drains freed blocks NOW so a heavy query's
+            # garbage is not collected inside the next query's timing.
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
-        times[name] = round(best, 3)
+            if len(samples) >= 3 or (
+                len(samples) == 2
+                and abs(samples[0] - samples[1]) <= 0.3 * min(samples)
+            ):
+                return min(samples)
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        times[name] = round(timed_best(REGISTRY[name].fn, sf_dir), 3)
 
     out = {
         "metric": "headline_queries_total_runtime",
@@ -169,20 +180,13 @@ def main() -> None:
         sf1_dir = ensure_sf1(spark, src_dir=sf_dir)
         sf1_times: dict[str, float] = {}
         for name in SF1_TOP10:
-            # best-of-2 here too: single-shot sf1 samples vary up to 3×
-            # on GC/page-cache luck at 10× data, which would read as a
-            # fake super-linear stage in the ratio column
-            best = None
-            for _ in range(2):
-                t0 = time.time()
-                REGISTRY[name].fn(spark, sf1_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                dt = time.time() - t0
-                best = dt if best is None or dt < best else best
-                spark.catalog.clearCache()
-                spark.sparkContext._jvm.System.gc()
-            sf1_times[name] = round(best, 3)
+            # variance-adaptive best-of-2/3 here too: single-shot sf1
+            # samples vary up to 3× on GC/page-cache luck at 10× data,
+            # which would read as a fake super-linear stage in the
+            # ratio column
+            sf1_times[name] = round(
+                timed_best(REGISTRY[name].fn, sf1_dir), 3
+            )
         out["sf1_top10"] = {
             "sf": 1.0,
             "total": round(sum(sf1_times.values()), 3),
