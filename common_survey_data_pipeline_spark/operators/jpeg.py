@@ -163,6 +163,8 @@ def _entropy_segments(payload: bytes, pos: int) -> tuple[list[bytes], int]:
         if nxt == 0x00:  # stuffed literal 0xFF
             cur.append(0xFF)
             i += 2
+        elif nxt == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+            i += 1
         elif 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary
             segments.append(bytes(cur))
             cur = bytearray()
@@ -254,6 +256,14 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, list[float]]:
             (restart_interval,) = struct.unpack_from(">H", data, 0)
         elif marker == 0xDA:  # SOS
             ns = data[0]
+            if ns != len(comps):
+                # T.81 allows one scan per component (non-interleaved);
+                # decoding only the first scan would silently return a
+                # luma-only image — stay loud, not wrong
+                raise NotImplementedError(
+                    f"non-interleaved JPEG scan ({ns} of {len(comps)} "
+                    "components) unsupported by the built-in baseline codec"
+                )
             scan: list[dict] = []
             for c in range(ns):
                 cid, tt = data[1 + 2 * c], data[2 + 2 * c]
@@ -333,6 +343,13 @@ def _finish(
     # the true geometry
     full = []
     for comp, plane in zip(scan, planes):
+        if vmax % comp["v"] or hmax % comp["h"]:
+            # legal per T.81 (factors 1-4, no divisibility rule) but the
+            # integer np.repeat upsampler below can't express it
+            raise NotImplementedError(
+                f"non-integer chroma upsampling ratio (component sampling "
+                f"{comp['h']}x{comp['v']} vs max {hmax}x{vmax}) unsupported"
+            )
         if comp["h"] != hmax or comp["v"] != vmax:
             plane = np.repeat(
                 np.repeat(plane, vmax // comp["v"], axis=0),

@@ -198,13 +198,20 @@ def _decode_image_real(payload: bytes) -> tuple[int, int, list[float]]:
     if payload[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
 
-        return decode_jpeg(payload)
+        try:
+            return decode_jpeg(payload)
+        except NotImplementedError:
+            # profile outside the built-in baseline codec (progressive,
+            # 12-bit, CMYK, non-interleaved, fractional sampling): fall
+            # through to PIL when installed instead of failing the stage
+            pass
     try:
         from PIL import Image
     except ImportError as exc:  # pragma: no cover - environment-dependent
         raise NotImplementedError(
-            "payload is neither PNG, BMP nor JPEG; other formats need "
-            "pillow (absent here) or the deterministic fake "
+            "payload profile needs pillow (absent here): either a "
+            "non-PNG/BMP/JPEG format or a JPEG outside the built-in "
+            "baseline codec's profile; or use the deterministic fake "
             "(decode_images(..., use_fake=True))"
         ) from exc
     import io

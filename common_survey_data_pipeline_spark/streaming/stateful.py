@@ -307,6 +307,15 @@ def ewma_stream(
     wrong.
     Sources that can replay late (non-file sources without a
     watermark) should pre-deduplicate or watermark upstream.
+
+    CHECKPOINT MIGRATION: the ordering guard widened the state schema
+    from ``vals array<double>`` to ``vals, last_ts, last_ev`` — Spark's
+    state-schema compatibility check rejects a restart from a
+    checkpoint written by the pre-guard version (StateSchemaNotCompatible).
+    Restarting an existing query across this upgrade requires a fresh
+    checkpoint directory (state is rebuilt from the replayed source;
+    for file sources that is a full re-read, for retention-bounded
+    sources the EWMA warm-up restarts from the retention horizon).
     """
     import math  # noqa: PLC0415 — worker-side import
 

@@ -161,7 +161,7 @@ def test_unknown_format_without_pil_is_loud():
         pytest.skip("pillow installed; fallback covers unknown formats")
     except ImportError:
         pass
-    with pytest.raises(NotImplementedError, match="PNG, BMP nor JPEG"):
+    with pytest.raises(NotImplementedError, match="needs pillow"):
         _decode_image_real(b"GIF89a not a supported format")
 
 
@@ -402,6 +402,95 @@ def test_jpeg_restart_markers():
     plain = decode_jpeg(encode_jpeg(px))
     with_rst = decode_jpeg(encode_jpeg(px, restart=2))
     assert plain == with_rst == (40, 24, _expected_hist(px))
+
+
+def test_jpeg_fill_bytes_before_restart_markers():
+    """T.81 B.1.1.2 allows 0xFF fill bytes in front of any marker —
+    including RSTn inside the entropy stream (regression: these used to
+    read as end-of-scan, truncating the image)."""
+    from common_survey_data_pipeline_spark.operators.jpeg import decode_jpeg
+
+    px = _bin_center_pixels(24, 40, 1, seed=12)
+    plain = encode_jpeg(px, restart=2)
+    i = plain.index(b"\xff\xda")
+    (seg_len,) = struct.unpack_from(">H", plain, i + 2)
+    body_start = i + 2 + seg_len
+    head, body = plain[:body_start], plain[body_start:]
+    # the only 0xFF bytes in the entropy body are stuffing (FF 00),
+    # RSTn and EOI, so a byte-pair replace cannot hit entropy data
+    for r in range(8):
+        body = body.replace(
+            bytes([0xFF, 0xD0 + r]), bytes([0xFF, 0xFF, 0xD0 + r])
+        )
+    padded = head + body
+    assert padded != plain  # restart=2 on 15 MCUs guarantees RSTs exist
+    assert decode_jpeg(padded) == decode_jpeg(plain)
+
+
+def test_jpeg_noninterleaved_scan_is_loud():
+    """One-scan-per-component baseline JPEGs are spec-legal; decoding
+    only the first scan would silently return a luma-only image
+    (regression: must raise, not return grey)."""
+    from common_survey_data_pipeline_spark.operators.jpeg import decode_jpeg
+
+    good = encode_jpeg(_bin_center_pixels(8, 8, 3, seed=13))
+    i = good.index(b"\xff\xda")
+    (seg_len,) = struct.unpack_from(">H", good, i + 2)
+    sos1 = struct.pack(">B", 1) + struct.pack(">BB", 1, 0x00) + bytes(
+        [0, 63, 0]
+    )
+    bad = good[:i] + _seg(0xDA, sos1) + good[i + 2 + seg_len :]
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
+        decode_jpeg(bad)
+
+
+def test_jpeg_fractional_sampling_is_loud():
+    """Sampling factors with non-divisible ratios (e.g. 3:2) are legal
+    per T.81 but outside the integer np.repeat upsampler — must raise a
+    named error, not a numpy shape mismatch."""
+    from common_survey_data_pipeline_spark.operators.jpeg import _finish
+
+    scan = [{"h": 3, "v": 1}, {"h": 2, "v": 1}, {"h": 2, "v": 1}]
+    planes = [np.zeros((8, 24)), np.zeros((8, 16)), np.zeros((8, 16))]
+    with pytest.raises(NotImplementedError, match="non-integer"):
+        _finish(planes, scan, 24, 8, 3, 1)
+
+
+def test_jpeg_unsupported_profile_falls_back_to_pil(monkeypatch):
+    """A JPEG outside the built-in baseline profile (here: progressive)
+    must fall through to PIL when pillow is importable instead of
+    failing the decode stage (regression: the magic-byte dispatch used
+    to raise without trying PIL)."""
+    import sys
+    import types
+
+    from common_survey_data_pipeline_spark.operators.multimodal import (
+        _decode_image_real,
+    )
+
+    progressive = encode_jpeg(_bin_center_pixels(8, 8, 1, seed=14)).replace(
+        b"\xff\xc0", b"\xff\xc2", 1
+    )
+
+    class _FakeIm:
+        width, height = 8, 8
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+        def convert(self, mode):
+            assert mode == "RGB"
+            return np.full((8, 8, 3), 16, dtype=np.uint8)
+
+    pil = types.ModuleType("PIL")
+    pil.Image = types.SimpleNamespace(open=lambda buf: _FakeIm())
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    w, h, feats = _decode_image_real(progressive)
+    assert (w, h) == (8, 8)
+    assert feats[0] == 1.0  # every fake sample (16) lands in bin 0
 
 
 def test_jpeg_progressive_is_loud():
