@@ -86,7 +86,10 @@ from common_survey_data_pipeline_spark.operators.similarity import (
     recall_vs_exact,
     signlsh_topk,
 )
-from common_survey_data_pipeline_spark.sources.tables import load_table
+from common_survey_data_pipeline_spark.sources.tables import (
+    load_table,
+    parallelism_floor,
+)
 from common_survey_data_pipeline_spark.streaming.events import (
     attribution_join,
     dedup_events,
@@ -939,7 +942,10 @@ def q_text_lang(spark, sf_dir):
 def q_text_fp(spark, sf_dir):
     """Winnowing document fingerprints: md5 over char 8-grams, min per
     4-gram sliding window, distinct (rolling-hash fingerprinting)."""
-    docs = _t(spark, sf_dir, "documents")
+    # per-char md5 hashing dominates and runs BEFORE any exchange —
+    # floor the leaf so a single-row-group input doesn't serialize it
+    # (6.3x at sf0.1; no-op on multi-file corpora, see parallelism_floor)
+    docs = parallelism_floor(_t(spark, sf_dir, "documents"))
     k, w = 8, 4
     hashes = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(0))),
@@ -5052,7 +5058,11 @@ def q_inverted_index(spark, sf_dir):
     partitioning (no second shuffle). Stop-phrase skew lands on single
     tasks only for the window's sort, which AQE skew-split handles.
     """
-    docs = _t(spark, sf_dir, "documents")
+    # tokenization + 3-gram explode run below the phrase exchange;
+    # floor the leaf so a single-row-group input doesn't serialize them
+    # (1.1-1.35x at sf0.1 and visibly lower run variance; no-op on
+    # multi-file corpora)
+    docs = parallelism_floor(_t(spark, sf_dir, "documents"))
     grams = docs.select(
         "doc_id", F.explode(T.word_shingles(F.col("text"), 3)).alias("phrase")
     )

@@ -49,3 +49,55 @@ def test_partition_and_pushdown_compose(spark, partitioned_events):
     # dir-level pruning on the partition col AND row-group pushdown on value
     assert "event_type" in plan.split("PartitionFilters")[1].split("]")[0]
     assert "value" in plan.split("PushedFilters")[1].split("]")[0]
+
+
+# ---------------------------------------------------------------------------
+# parallelism_floor: leaf-parallelism guard for single-row-group inputs
+# ---------------------------------------------------------------------------
+
+
+def test_parallelism_floor_widens_single_partition_scan(spark, sf_dir):
+    from common_survey_data_pipeline_spark.sources.tables import (
+        parallelism_floor,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert docs.rdd.getNumPartitions() == 1  # one file, one row group
+    floored = parallelism_floor(docs)
+    want = spark.sparkContext.defaultParallelism
+    assert floored.rdd.getNumPartitions() == want
+    # round-robin rebalance, never a keyed shuffle
+    plan = floored._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" in plan
+    assert "hashpartitioning" not in plan
+    # row-preserving
+    assert floored.count() == docs.count()
+
+
+def test_parallelism_floor_is_noop_on_wide_input(spark, sf_dir):
+    from common_survey_data_pipeline_spark.sources.tables import (
+        parallelism_floor,
+    )
+
+    want = spark.sparkContext.defaultParallelism
+    wide = load_table(spark, sf_dir, "documents").repartition(want)
+    # production shape (scan already >= cores): returns the SAME frame,
+    # so the floor can never introduce a shuffle on a real corpus
+    assert parallelism_floor(wide) is wide
+
+
+def test_parallelism_floor_preserves_scan_pushdown(spark, sf_dir):
+    from common_survey_data_pipeline_spark.sources.tables import (
+        parallelism_floor,
+    )
+
+    df = parallelism_floor(load_table(spark, sf_dir, "documents")).where(
+        F.col("lang") == "en"
+    ).select("doc_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Catalyst pushes the predicate and the column pruning through the
+    # round-robin exchange down to the parquet scan
+    assert "lang" in plan.split("PushedFilters")[1].split("]")[0]
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema

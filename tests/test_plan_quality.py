@@ -476,8 +476,14 @@ def test_jl_projection_is_narrow_map(run):
 def test_text_fingerprints_is_shuffle_free(run):
     # r4: winnowing is scan → narrow hash/window-min map → explode;
     # (doc_id, fp) pairs are unique by construction (array_distinct
-    # within the doc, doc_id in the pair), so ANY Exchange here is a
-    # reintroduced redundant global distinct — at 100 TB that shuffle
-    # of every fingerprint was the query's dominant cost
+    # within the doc, doc_id in the pair), so any KEYED Exchange here is
+    # a reintroduced redundant global distinct — at 100 TB that shuffle
+    # of every fingerprint was the query's dominant cost. The only
+    # exchange the plan may carry is the leaf parallelism_floor's
+    # round-robin (raw rows, pre-compute; a no-op on multi-file
+    # corpora) — never a hash partitioning of the fingerprints.
     plan = plan_of(run("text_fingerprints"))
-    assert "Exchange" not in plan
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+    assert len(exchanges) <= 1
+    for line in exchanges:
+        assert "RoundRobinPartitioning" in line, line

@@ -106,6 +106,17 @@ COMMENT = {
         "whole-stage codegen; the only exchange is the |label|-group\n"
         "rollup of the distortion ratios."
     ),
+    "text_fingerprints": (
+        "Winnowing fingerprints: scan -> narrow hash/window-min map ->\n"
+        "explode, with NO keyed exchange ((doc_id, fp) pairs are unique\n"
+        "by construction, so a global distinct would be a vacuous\n"
+        "all-fingerprint shuffle). The one round-robin exchange is the\n"
+        "leaf parallelism_floor: this test layout is a single parquet\n"
+        "row group, which caps the leaf at ONE task no matter\n"
+        "maxPartitionBytes; the floor rebalances raw rows before the\n"
+        "md5-per-char compute (6x at sf0.1) and provably no-ops on\n"
+        "multi-file production corpora (guard: scan partitions >= cores)."
+    ),
 }
 
 
