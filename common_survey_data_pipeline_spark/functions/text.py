@@ -77,7 +77,16 @@ def quality_score(col: Column) -> Column:
         sw_ratio = hits.cast("double") / F.nullif(F.size(t), F.lit(0))
         sw_score = F.least(F.coalesce(sw_ratio, F.lit(0.0)) * 4.0, F.lit(1.0))
         punct_pen = F.least(F.coalesce(punct_ratio(col), F.lit(0.0)) * 2.0, F.lit(1.0))
-        return F.round(0.5 * len_score + 0.5 * sw_score - 0.25 * punct_pen, 6)
+        # clamp at 0: pure punctuation soup (len/sw scores ~0, full
+        # penalty) would otherwise reach -0.25, breaking the documented
+        # [0, 1] range and any downstream use of the score as a weight
+        return F.round(
+            F.greatest(
+                F.lit(0.0),
+                0.5 * len_score + 0.5 * sw_score - 0.25 * punct_pen,
+            ),
+            6,
+        )
 
     return _bind(tokens(col), score)
 

@@ -179,4 +179,8 @@ def global_cumsum(
         glob = F.col(_LCS) + F.element_at(offset_map, F.col(_PID))
     else:
         glob = F.col(_LCS)
-    return local.withColumn(name, glob.cast("long")).drop(_PID, _LCS)
+    # keep sum()'s natural output type (long for integral inputs,
+    # decimal for decimal, double for double) — a blanket long cast
+    # would silently floor fractional running sums
+    out_type = local.schema[_LCS].dataType
+    return local.withColumn(name, glob.cast(out_type)).drop(_PID, _LCS)

@@ -63,6 +63,15 @@ def codebook_to_long(wide: DataFrame, keep_empty_years: bool = False) -> DataFra
     sparse-friendly; set True for strict positional roundtrips.
     """
     years = discover_year_columns(wide.columns)
+    if not years:
+        # exploding an empty array would silently emit ZERO rows —
+        # every item would vanish; an unrecognized column layout must
+        # be loud, not an empty codebook
+        raise ValueError(
+            "codebook_to_long: no administration-year columns recognized "
+            f"in {wide.columns!r} (expected 'QuestionText.<year>' / "
+            "'SurveyAdminYear<year>' style names)"
+        )
     core = [c for c in wide.columns if c in CORE_COLUMNS]
     entries = []
     for yr in sorted(years):

@@ -40,7 +40,7 @@ from typing import Iterator
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["misra_gries_candidates", "heavy_hitter_tokens"]
@@ -94,7 +94,7 @@ def misra_gries_candidates(
 
 def heavy_hitter_tokens(
     tokens_df: DataFrame,
-    total_tokens: Column | DataFrame,
+    total_tokens: DataFrame,
     token_col: str = "token",
     k: int = 200,
 ) -> DataFrame:

@@ -118,7 +118,22 @@ def interval_join(
     predicate filters in the same stage. The shuffle key is
     (bucket [, key]) — a plain equi join at any scale; replication is
     ceil(interval/bucket)+1 rows per right interval.
+
+    ``how`` is limited to join types whose semantics survive the
+    rewrite: the LEFT side is never replicated (one bucket per row), so
+    inner / left outer / left semi / left anti are exact; a right or
+    full outer join would emit each unmatched right interval once PER
+    EXPLODED BUCKET instead of once, so those are rejected rather than
+    silently wrong.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "semi", "left_semi", "leftsemi", "anti", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"interval_join: how={how!r} unsupported — the bucket "
+            "explode replicates right intervals, so right/full outer "
+            "would duplicate unmatched right rows per bucket"
+        )
     bucket_interval = {"day": "interval 1 day", "month": "interval 1 month",
                        "hour": "interval 1 hour", "week": "interval 1 week"}[bucket]
     trunc = {"day": "DAY", "month": "MONTH", "hour": "HOUR", "week": "WEEK"}[bucket]
@@ -160,7 +175,21 @@ def salted_join(
     plain equi join. Use when AQE skew-join can't kick in (e.g. the
     skewed side feeds a window) or replication is cheaper than a
     re-plan. Right side should be the smaller input.
+
+    ``how`` is limited to join types whose semantics survive the
+    replication: the LEFT side keeps one salt per row, so inner / left
+    outer / left semi / left anti are exact; a right or full outer join
+    would emit each unmatched right row once PER REPLICA (``salt``
+    copies), so those are rejected rather than silently wrong.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "semi", "left_semi", "leftsemi", "anti", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — the right side is "
+            f"replicated {salt}x, so right/full outer would emit "
+            "unmatched right rows once per replica"
+        )
     rk = right_on or left_on
     l = left.withColumn(
         "__salt",

@@ -62,10 +62,25 @@ def scd2_compress(
     """
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
     prev = F.lag(attr_col).over(w)
+    # null-safe change test: `attr != prev` is NULL (not true) when
+    # either side is NULL, which would drop transitions TO a NULL value
+    # and emit duplicate versions for consecutive NULLs; the explicit
+    # first-row test (row_number, not `prev IS NULL`) keeps a history
+    # that STARTS with a NULL attribute
     changes = (
-        df.select(key_col, attr_col, ts_col, tiebreak_col, prev.alias("_prev"))
-        .where(F.col("_prev").isNull() | (F.col(attr_col) != F.col("_prev")))
-        .drop("_prev")
+        df.select(
+            key_col,
+            attr_col,
+            ts_col,
+            tiebreak_col,
+            prev.alias("_prev"),
+            F.row_number().over(w).alias("_rn"),
+        )
+        .where(
+            (F.col("_rn") == 1)
+            | ~F.col(attr_col).eqNullSafe(F.col("_prev"))
+        )
+        .drop("_prev", "_rn")
     )
     w2 = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
     return changes.select(

@@ -24,12 +24,21 @@ def observed_filter(
     The observe node sits ABOVE the filter's input, so ``_in`` counts
     exactly the rows the gate saw, wherever Catalyst moves the
     surrounding stages.
+
+    Accounting is total: a row whose condition evaluates to NULL is
+    filtered out, so it counts as dropped (``sum(cond.cast(long))``
+    alone would skip it, leaving ``in != kept + dropped`` — the exact
+    invariant this module exists to provide). On an empty input all
+    three metrics are 0, never NULL.
     """
     obs = Observation(gate_name)
+    kept = F.when(cond, 1).otherwise(0)  # NULL condition -> not kept
     observed = df.observe(
         obs,
         F.count(F.lit(1)).alias(f"{gate_name}_in"),
-        F.sum(cond.cast("long")).alias(f"{gate_name}_kept"),
-        F.sum((~cond).cast("long")).alias(f"{gate_name}_dropped"),
+        F.coalesce(F.sum(kept), F.lit(0)).alias(f"{gate_name}_kept"),
+        F.coalesce(F.sum(F.lit(1) - kept), F.lit(0)).alias(
+            f"{gate_name}_dropped"
+        ),
     )
     return observed.where(cond), obs

@@ -107,18 +107,35 @@ def dedup_events(
     keys: tuple[str, ...] = ("user_id", "event_type"),
     ts_col: str = "ts",
     watermark: str | None = None,
+    tiebreak_col: str | None = "event_id",
 ) -> DataFrame:
-    """First event per key. Batch: min-ts row per key (deterministic).
-    Streaming: set ``watermark`` and state is bounded via
-    ``dropDuplicatesWithinWatermark`` semantics."""
+    """First event per key. Batch: min-ts row per key, with
+    ``tiebreak_col`` making equal-timestamp picks deterministic (pass
+    ``None`` for frames without such a column — ties then follow the
+    scan order, same as SQL's underspecified ``row_number`` on a
+    non-total sort). Streaming: requires a ``watermark`` (here, or
+    already set upstream via ``withWatermark``) so
+    ``dropDuplicatesWithinWatermark`` state stays bounded — an
+    unbounded streaming dedup is refused rather than silently leaking
+    state forever."""
     if events.isStreaming:
         out = events
         if watermark:
             out = out.withWatermark(ts_col, watermark)
+        elif not any(f.metadata.get("spark.watermarkDelayMs") is not None
+                     for f in out.schema.fields):
+            raise ValueError(
+                "dedup_events on a stream needs a watermark (argument "
+                "or upstream withWatermark): without one, "
+                "dropDuplicatesWithinWatermark cannot bound its state"
+            )
         return out.dropDuplicatesWithinWatermark(list(keys))
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(*keys).orderBy(*order)
     return (
         events.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
@@ -285,9 +302,15 @@ def incremental_codebook_merge(
     cumulative codebook' lifecycle (SURVEY.md §2.10) as a real
     Structured Streaming job: per-year update files stream in (LONG
     form: item core + year + admin_value + question_text) and each
-    micro-batch upserts into a year-partitioned parquet codebook via
-    ``foreachBatch`` — new (item, year) rows are appended, existing ones
-    replaced (dynamic partition overwrite keeps untouched years intact).
+    micro-batch merges into a year-partitioned parquet codebook via
+    ``foreachBatch`` with dynamic partition overwrite. The merge unit
+    is the YEAR, not the row: each delivery must be a full-year
+    snapshot (exactly what a survey administration export is) — a
+    re-delivered year replaces that year's partition wholesale, so
+    items absent from the re-delivery are dropped for that year;
+    untouched years are kept intact. This is deliberately NOT a
+    row-level upsert (tested in ``tests/test_streaming.py``) — a
+    partial-year correction file would lose the year's other items.
 
     This is the Spark-native version of "re-run the script when a new
     export lands": the landing directory is the trigger, the merge is

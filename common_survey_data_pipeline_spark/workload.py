@@ -871,14 +871,15 @@ _SQL_SW = {
 
 _SQL_LOWER_TOKS = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '')"
 
-_SQL_QUALITY_EXPR = f"""round(0.5 * least(len({_SQL_TOKS})::DOUBLE / 64.0, 1.0)
+_SQL_QUALITY_EXPR = f"""round(greatest(0.0,
+                 0.5 * least(len({_SQL_TOKS})::DOUBLE / 64.0, 1.0)
                + 0.5 * least(COALESCE(
                      len(list_filter({_SQL_LOWER_TOKS},
                          t -> list_contains({_SQL_SW['en']}, t)))::DOUBLE
                      / NULLIF(len({_SQL_LOWER_TOKS}), 0), 0.0) * 4.0, 1.0)
                - 0.25 * least(COALESCE(
                      length(regexp_replace(text, '[\\w\\s]', '', 'g'))::DOUBLE
-                     / NULLIF(length(text), 0), 0.0) * 2.0, 1.0),
+                     / NULLIF(length(text), 0), 0.0) * 2.0, 1.0)),
                6)"""
 
 
@@ -3046,13 +3047,14 @@ def q_locf(spark, sf_dir):
     """
     WITH ordered AS (
       SELECT user_id, event_type, ts, event_id,
-             lag(event_type) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+             lag(event_type) OVER w AS prev_type,
+             row_number() OVER w AS rn
       FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     changes AS (
       SELECT user_id, event_type, ts, event_id FROM ordered
-      WHERE prev_type IS NULL OR event_type <> prev_type
+      WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type
     )
     SELECT user_id, event_type,
            ts AS valid_from,

@@ -98,3 +98,17 @@ def test_parquet_schema_evolution_merge(spark, sf_dir, tmp_path):
     assert (
         merged.where(F.col("pipeline_version").isNull()).count() == docs.count()
     )
+
+
+def test_quality_score_stays_in_unit_range(spark):
+    """Documented range is [0, 1]: pure punctuation soup used to reach
+    -0.25 (regression: clamp at 0)."""
+    df = spark.createDataFrame(
+        [("!!! ???",), ("the of and a in to is was it for on",), ("",)],
+        "text string",
+    )
+    scores = [
+        r["q"] for r in df.select(quality_score(F.col("text")).alias("q")).collect()
+    ]
+    assert all(s is not None and 0.0 <= s <= 1.0 for s in scores), scores
+    assert scores[0] == 0.0  # punctuation soup bottoms out at the clamp

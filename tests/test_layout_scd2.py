@@ -110,3 +110,34 @@ def test_scd2_single_shuffle_plan(spark):
     )
     # both windows share one (user_id) exchange: exactly one shuffle
     assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+
+def test_scd2_compress_null_attribute_transitions(spark):
+    """Null-safe change detection: transitions TO NULL are versions,
+    consecutive NULLs compress to ONE version, and a history may START
+    with a NULL attribute (regression: `!=` dropped NULL transitions
+    and `prev IS NULL` duplicated consecutive NULLs)."""
+    rows = [
+        # user 1: A NULL NULL A → versions A, NULL, A
+        (1, 10, _ts("2024-01-01 00:00:00"), "A"),
+        (2, 10, _ts("2024-01-02 00:00:00"), None),
+        (3, 10, _ts("2024-01-03 00:00:00"), None),
+        (4, 10, _ts("2024-01-04 00:00:00"), "A"),
+        # user 2: starts with NULL → NULL, X
+        (5, 20, _ts("2024-06-01 00:00:00"), None),
+        (6, 20, _ts("2024-06-02 00:00:00"), "X"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = scd2_compress(df, "user_id", "event_type", "ts", "event_id")
+    got = {(r["user_id"], r["version"]): r for r in out.collect()}
+    assert len(got) == 5
+    assert got[(10, 1)]["event_type"] == "A"
+    assert got[(10, 2)]["event_type"] is None
+    assert got[(10, 2)]["valid_from"] == _ts("2024-01-02 00:00:00")
+    assert got[(10, 2)]["valid_to"] == _ts("2024-01-04 00:00:00")
+    assert got[(10, 3)]["event_type"] == "A"
+    assert got[(20, 1)]["event_type"] is None
+    assert got[(20, 1)]["valid_to"] == _ts("2024-06-02 00:00:00")
+    assert got[(20, 2)]["event_type"] == "X"

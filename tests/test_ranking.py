@@ -128,3 +128,28 @@ def test_doc_pack_has_no_partitionless_window(spark, sf_dir):
     df = REGISTRY["doc_pack_assignment"].fn(spark, sf_dir)
     offenders = partitionless_windows(plan_of(df))
     assert offenders == [], f"single-task Window in pack plan: {offenders}"
+
+
+def test_global_cumsum_preserves_fractional_types(spark):
+    """The running sum keeps sum()'s natural type (regression: a
+    blanket long cast floored double/decimal cumsums)."""
+    from decimal import Decimal
+
+    from common_survey_data_pipeline_spark.operators.ranking import global_cumsum
+
+    df = spark.range(8).select(
+        F.col("id"), F.lit(0.25).alias("v")
+    ).repartition(3)
+    got = sorted(
+        r["cs"] for r in global_cumsum(df, ["id"], "v", "cs").collect()
+    )
+    assert got == [0.25 * (i + 1) for i in range(8)]
+
+    dec = spark.range(4).select(
+        F.col("id"), F.lit("1.10").cast("decimal(12,2)").alias("v")
+    ).repartition(2)
+    out = global_cumsum(dec, ["id"], "v", "cs")
+    assert out.schema["cs"].dataType.typeName() == "decimal"
+    assert sorted(r["cs"] for r in out.collect()) == [
+        Decimal("1.10"), Decimal("2.20"), Decimal("3.30"), Decimal("4.40")
+    ]

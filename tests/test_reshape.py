@@ -92,3 +92,19 @@ def test_long_form_is_year_partitionable(wide, tmp_path):
 
     parts = sorted(d for d in os.listdir(path) if d.startswith("year="))
     assert parts == ["year=2021", "year=2022", "year=2023", "year=2024"]
+
+
+def test_codebook_to_long_unrecognized_layout_is_loud(spark):
+    """No recognizable year columns must raise, not silently explode an
+    empty array into an empty codebook."""
+    import pytest
+
+    from common_survey_data_pipeline_spark.operators.reshape import (
+        codebook_to_long,
+    )
+
+    df = spark.createDataFrame(
+        [("Q1", "x")], "ITEM_NAME string, AdminYear2023 string"
+    )
+    with pytest.raises(ValueError, match="no administration-year columns"):
+        codebook_to_long(df)

@@ -559,3 +559,34 @@ def test_streaming_mg_state_survives_restart(spark, tmp_path):
             latest[r["token"]] = (r["update_no"], r["weight"])
     assert latest["alpha"] == (2, 80), latest  # 50 carried over + 30 new
     assert latest["beta"][1] == 10
+
+
+def test_dedup_events_custom_tiebreak_and_no_event_id(spark):
+    """The batch tiebreak column is parameterized (regression: a
+    hardcoded event_id tiebreak broke frames without that column)."""
+    df = spark.createDataFrame(
+        [(1, "a", 100, "x"), (1, "a", 100, "y"), (1, "b", 50, "z")],
+        "user_id long, event_type string, seen_at long, payload string",
+    )
+    out = dedup_events(
+        df, keys=("user_id", "event_type"), ts_col="seen_at",
+        tiebreak_col="payload",
+    )
+    got = {(r["event_type"], r["payload"]) for r in out.collect()}
+    assert got == {("a", "x"), ("b", "z")}
+    # and ts-only ordering (tiebreak_col=None) must not reference event_id
+    assert dedup_events(
+        df, keys=("user_id", "event_type"), ts_col="seen_at", tiebreak_col=None
+    ).count() == 2
+
+
+def test_dedup_events_streaming_without_watermark_is_loud(spark, event_stream_dir):
+    """An unbounded streaming dedup is refused (state would leak
+    forever); an upstream withWatermark satisfies the guard."""
+    path, schema = event_stream_dir
+    stream = _read_stream(spark, path, schema)
+    with pytest.raises(ValueError, match="watermark"):
+        dedup_events(stream, keys=("user_id", "event_type"))
+    # argument form and upstream form both pass the guard
+    dedup_events(stream, keys=("user_id",), watermark="1 hour")
+    dedup_events(stream.withWatermark("ts", "1 hour"), keys=("user_id",))

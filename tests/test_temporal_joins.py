@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from common_survey_data_pipeline_spark.operators.temporal_joins import (
@@ -91,3 +92,38 @@ def test_salted_join_equals_plain(spark, sf_dir):
     )
     assert salted.exceptAll(plain).count() == 0
     assert plain.exceptAll(salted).count() == 0
+
+
+def test_interval_join_rejects_right_and_full_outer(spark):
+    left = spark.createDataFrame([(1,)], "k long").withColumn(
+        "ts", F.lit("2024-01-05").cast("timestamp")
+    )
+    right = spark.createDataFrame([(1,)], "k long").select(
+        "k",
+        F.lit("2024-01-01").cast("timestamp").alias("s"),
+        F.lit("2024-02-01").cast("timestamp").alias("e"),
+    )
+    # the bucket explode replicates right intervals: right/full outer
+    # would emit unmatched right rows once per bucket — must refuse
+    for how in ("right", "full", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="interval_join"):
+            interval_join(left, right, "ts", "s", "e", on="k", how=how)
+
+
+def test_salted_join_rejects_right_and_full_outer(spark):
+    left = spark.createDataFrame([(1, "a")], "k long, x string")
+    right = spark.createDataFrame([(2, "b")], "k long, y string")
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(left, right, "k", salt=4, how=how)
+
+
+def test_salted_join_left_outer_exact(spark):
+    """Left outer survives salting: unmatched LEFT rows appear exactly
+    once (the left side keeps one salt per row)."""
+    left = spark.createDataFrame([(1, "a"), (3, "c")], "k long, x string")
+    right = spark.createDataFrame([(1, "r1")], "k long, y string")
+    got = sorted(
+        (r["k"], r["y"]) for r in salted_join(left, right, "k", salt=8, how="left").collect()
+    )
+    assert got == [(1, "r1"), (3, None)]
