@@ -281,7 +281,7 @@ def simhash_signatures(
     text_col: str,
     id_col: str,
     hash_fn: str = "md5",
-) -> DataFrame:
+) -> tuple[DataFrame, int]:
     """Per-document SimHash signature, explode-then-aggregate form:
     one plain-column hash per token row, then ``bits`` sign-sum
     aggregates per doc (all inside whole-stage codegen, map-side
@@ -290,7 +290,10 @@ def simhash_signatures(
     ``hash_fn='md5'`` uses a 60-bit token hash both Spark and DuckDB
     can compute bit-identically (first 15 hex chars of md5) — the
     oracle-checkable profile. ``'xxhash64'`` is the cheaper 64-bit
-    JVM-only profile. Output: (__id, __sim LONG, __nbits INT literal).
+    JVM-only profile.
+
+    Returns ``(signatures, bits)``: a (__id, __sim LONG) frame plus the
+    signature width, which callers need for chunked banding.
     """
     from common_survey_data_pipeline_spark.functions.text import tokens
 

@@ -73,9 +73,12 @@ def triangle_stats(
     n_edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
     node_stats = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
-        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias(
-            "n_wedges"
-        ),
+        # coalesce: sum() over an EMPTY degree table (edge-less graph)
+        # is NULL, which would null out n_wedges AND the coefficient
+        # (NULL == 0 is NULL, so the wedge-free guard would miss)
+        F.coalesce(
+            F.sum(F.col("d") * (F.col("d") - 1) / 2), F.lit(0.0)
+        ).cast("long").alias("n_wedges"),
     )
     return (
         node_stats.crossJoin(F.broadcast(n_edges))

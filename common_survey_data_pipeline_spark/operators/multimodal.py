@@ -340,7 +340,13 @@ def sample_frames(
 ) -> DataFrame:
     """Frame-sampling plumbing for video-shaped payloads: emit one row
     per sampled offset (the real decoder would emit decoded frames).
-    Pure columnar — the sampling plan itself needs no Python."""
+    Pure columnar — the sampling plan itself needs no Python.
+
+    NULL payloads emit no frames (same totality policy as
+    decode_images/decode_audio) — without the filter, ``F.least``
+    skips the NULL length and every byte-less payload would emit
+    ``max_frames`` phantom rows."""
+    media = media.where(F.col(payload_col).isNotNull())
     offsets = F.transform(
         F.sequence(
             F.lit(0),

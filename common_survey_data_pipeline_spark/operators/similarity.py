@@ -67,8 +67,18 @@ def cosine_topk(
     right for a handful of queries. ``'matmul'`` broadcasts the query
     matrix and scores each corpus partition with one numpy product in
     ``mapInPandas`` — ~100× cheaper per pair once the query set has
-    hundreds of rows. Identical output (tested).
+    hundreds of rows. Identical output (tested), including the corrupt-
+    input envelope: null-vector rows are dropped on both sides up front
+    (a NULL embedding would crash the numpy kernel and emit NULL-sim
+    rows from the expression path — two different behaviors for the
+    same corrupt input).
     """
+    corpus = corpus.where(
+        F.col(corpus_vec).isNotNull() & F.col(corpus_id).isNotNull()
+    )
+    queries = queries.where(
+        F.col(query_vec).isNotNull() & F.col(query_id).isNotNull()
+    )
     if strategy == "matmul":
         return _cosine_topk_matmul(
             corpus, queries, corpus_id, corpus_vec, query_id, query_vec, k,
@@ -115,6 +125,10 @@ def _cosine_topk_matmul(
     qpd = queries.select(
         F.col(query_id).alias("qid"), F.col(query_vec).alias("qv")
     ).toPandas()
+    if len(qpd) == 0:  # np.stack cannot stack zero arrays
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, vec_id long, cosine_sim double, rank int"
+        )
     q_ids = qpd["qid"].to_numpy()
     qm = np.stack(qpd["qv"].to_numpy()).astype("float64")
     qn = np.linalg.norm(qm, axis=1, keepdims=True)
@@ -183,17 +197,25 @@ def recall_vs_exact(
     driver's value-hash pins "full k found AND recall ≥ min_recall" per
     query. The exact side is a full corpus scan — the verification cost,
     paid on a query SAMPLE at 100 TB, never on the whole query log.
+
+    The query universe is the EXACT side's: a query the ANN index
+    misses entirely (empty bucket, no probe hits) reports
+    ``found_k = 0, recall_ok = false`` — deriving the universe from the
+    ann side would make total misses vanish from the report, the one
+    regression the contract exists to catch.
     """
+    universe = exact.select("query_id").distinct()
     hits = ann.select("query_id", "vec_id").join(
         exact.select("query_id", "vec_id"), ["query_id", "vec_id"]
     )
-    found = ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("found_k"))
+    found = ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("__found"))
     hit_n = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("__hits"))
     return (
-        found.join(hit_n, "query_id", "left")
+        universe.join(found, "query_id", "left")
+        .join(hit_n, "query_id", "left")
         .select(
             "query_id",
-            F.col("found_k").cast("int").alias("found_k"),
+            F.coalesce(F.col("__found"), F.lit(0)).cast("int").alias("found_k"),
             (
                 F.coalesce(F.col("__hits"), F.lit(0)) / F.lit(float(k))
                 >= min_recall
@@ -222,6 +244,39 @@ def signlsh_bucket(vec: Column, planes: np.ndarray) -> Column:
     return bucket
 
 
+def _lsh_base_cols(
+    vec: Column, tables: list[np.ndarray], n_planes: int
+) -> list[Column]:
+    """Per-table tagged bucket id columns: table ``t``'s buckets live in
+    a disjoint id space via the ``t << (n_planes + 1)`` tag. Shared by
+    ``signlsh_topk`` and ``embedding_neardup_pairs`` so the LSH geometry
+    cannot silently diverge between the two."""
+    return [
+        signlsh_bucket(vec, planes) + F.lit(t << (n_planes + 1)).cast("long")
+        for t, planes in enumerate(tables)
+    ]
+
+
+def _lsh_probe_cols(
+    n_tables: int, n_planes: int, multiprobe: bool
+) -> list[Column]:
+    """Probe set over MATERIALIZED base-bucket columns ``__b{t}``: each
+    table's own bucket plus (when ``multiprobe``) its Hamming-1 XOR
+    neighbors. Referencing the materialized columns instead of inlining
+    the plane-literal-heavy bucket expression keeps the plan from
+    bloating n_planes×."""
+    cols: list[Column] = []
+    for t in range(n_tables):
+        base = F.col(f"__b{t}")
+        cols.append(base)
+        if multiprobe:
+            cols.extend(
+                base.bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), i))
+                for i in range(n_planes)
+            )
+    return cols
+
+
 def signlsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -246,7 +301,18 @@ def signlsh_topk(
     classic LSH recall/space dial. Same output contract as
     ``cosine_topk``; at 100 TB the bucket join is a shuffle equi-join
     on (table, bucket) instead of a full corpus scan per query.
+
+    Corrupt rows (null id/vector) cannot participate — same contract as
+    ``ivf_topk`` / ``embedding_neardup_pairs`` (a null vector would
+    otherwise sign-hash to bucket 0 in every table and surface as a
+    NULL-similarity candidate).
     """
+    corpus = corpus.where(
+        F.col(corpus_vec).isNotNull() & F.col(corpus_id).isNotNull()
+    )
+    queries = queries.where(
+        F.col(query_vec).isNotNull() & F.col(query_id).isNotNull()
+    )
     probe = corpus.select(corpus_vec).first()
     if probe is None:  # empty corpus: steady state for fresh partitions
         return corpus.sparkSession.createDataFrame(
@@ -255,44 +321,31 @@ def signlsh_topk(
     dim = len(probe[0])
     tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
 
-    def tagged_bucket(vec, t, planes):
-        # disjoint bucket spaces per table: bucket ids are tagged with t
-        return signlsh_bucket(vec, planes) + F.lit(t << (n_planes + 1)).cast("long")
-
     c = corpus.select(
         F.col(corpus_id).alias("vec_id"),
         F.col(corpus_vec).alias("__cv"),
         F.explode(
-            F.array(
-                *[
-                    tagged_bucket(F.col(corpus_vec), t, planes)
-                    for t, planes in enumerate(tables)
-                ]
-            )
+            F.array(*_lsh_base_cols(F.col(corpus_vec), tables, n_planes))
         ).alias("bucket"),
     )
     # materialize each table's base bucket once, then derive the probe
-    # set from the column refs — inlining the (plane-literal-heavy)
-    # bucket expression into every XOR probe bloats the plan n_planes×
+    # set from the column refs (see _lsh_probe_cols)
     q0 = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("__qv"),
         *[
-            tagged_bucket(F.col(query_vec), t, planes).alias(f"__b{t}")
-            for t, planes in enumerate(tables)
+            col.alias(f"__b{t}")
+            for t, col in enumerate(
+                _lsh_base_cols(F.col(query_vec), tables, n_planes)
+            )
         ],
     )
-    probe_cols = []
-    for t in range(n_tables):
-        base = F.col(f"__b{t}")
-        probe_cols.append(base)
-        if multiprobe:
-            probe_cols.extend(
-                base.bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), i))
-                for i in range(n_planes)
-            )
     qb = q0.select(
-        "query_id", "__qv", F.explode(F.array(*probe_cols)).alias("bucket")
+        "query_id",
+        "__qv",
+        F.explode(
+            F.array(*_lsh_probe_cols(n_tables, n_planes, multiprobe))
+        ).alias("bucket"),
     )
     joined = (
         c.join(F.broadcast(qb), "bucket")
@@ -415,8 +468,15 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    corpus = corpus.where(  # null vectors cannot be indexed or matched
-        F.col(corpus_vec).isNotNull() & F.col(corpus_id).isNotNull()
+    corpus = corpus.where(
+        # null vectors cannot be indexed or matched; zero vectors have
+        # no direction — _unit_normalize yields an all-NULL array that
+        # array_to_vector rejects (NOT_NULL_ASSERT_VIOLATION inside
+        # KMeans.fit), so they are corrupt rows too (failed-encoder
+        # output), same policy as _exact_neardup_matmul's norms==0→nan
+        F.col(corpus_vec).isNotNull()
+        & F.col(corpus_id).isNotNull()
+        & (l2_norm(F.col(corpus_vec)) > 0)
     )
     if corpus.first() is None:  # nothing to index
         return corpus.sparkSession.createDataFrame(
@@ -442,7 +502,11 @@ def ivf_topk(
         spark.createDataFrame(centroids, "cell int, centroid array<double>")
     )
 
-    q = queries.select(
+    q = queries.where(  # same corrupt-row policy on the query side
+        F.col(query_vec).isNotNull()
+        & F.col(query_id).isNotNull()
+        & (l2_norm(F.col(query_vec)) > 0)
+    ).select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("__qv"),
         _unit_normalize(F.col(query_vec)).alias("__qn"),
@@ -520,36 +584,30 @@ def embedding_neardup_pairs(
             [], "id_a long, id_b long, cosine_sim double"
         )
     dim = len(probe[0])
+    # distinct seed offset: the self-join index must not reuse the
+    # query-index hyperplanes of signlsh_topk on the same corpus
     tables = [_hyperplanes(dim, n_planes, seed + 1000 + t) for t in range(n_tables)]
-
-    def tagged(vec, t, planes):
-        return signlsh_bucket(vec, planes) + F.lit(t << (n_planes + 1)).cast("long")
 
     base = corpus.select(
         F.col(corpus_id).alias("__id"),
         F.col(corpus_vec).alias("__v"),
         *[
-            tagged(F.col(corpus_vec), t, planes).alias(f"__b{t}")
-            for t, planes in enumerate(tables)
+            col.alias(f"__b{t}")
+            for t, col in enumerate(
+                _lsh_base_cols(F.col(corpus_vec), tables, n_planes)
+            )
         ],
     )
     c = base.select(
         "__id", "__v",
         F.explode(F.array(*[F.col(f"__b{t}") for t in range(n_tables)])).alias("bucket"),
     )
-    probe_cols = []
-    for t in range(n_tables):
-        bc = F.col(f"__b{t}")
-        probe_cols.append(bc)
-        if multiprobe:
-            probe_cols.extend(
-                bc.bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), i))
-                for i in range(n_planes)
-            )
     p = base.select(
         F.col("__id").alias("__pid"),
         F.col("__v").alias("__pv"),
-        F.explode(F.array(*probe_cols)).alias("bucket"),
+        F.explode(
+            F.array(*_lsh_probe_cols(n_tables, n_planes, multiprobe))
+        ).alias("bucket"),
     )
     return (
         c.join(p, (c["bucket"] == p["bucket"]) & (c["__id"] < p["__pid"]))

@@ -165,3 +165,14 @@ def test_pagerank_warning_survives_null_delta(spark):
         pagerank(df, tol=1e-30, max_iter=2).collect()
     msgs = [str(c.message) for c in caught if "pagerank" in str(c.message)]
     assert msgs and "undefined" in msgs[0]
+
+
+def test_triangle_stats_empty_graph_zeroes(spark):
+    """Empty edge list: every stat 0 and clustering_coeff 0.0, never
+    NULL (regression: sum() over the empty degree table nulled
+    n_wedges and the NULL==0 guard missed)."""
+    empty = spark.createDataFrame([], "a long, b long")
+    row = triangle_stats(empty).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_wedges"],
+            row["n_triangles"]) == (0, 0, 0, 0)
+    assert row["clustering_coeff"] == 0.0

@@ -625,3 +625,18 @@ def test_jpeg_roundtrip_property(h, w, mode, seed):
     got_w, got_h, feats = decode_jpeg(payload)
     assert (got_w, got_h) == (w, h)
     assert feats == _expected_hist(px)
+
+
+def test_sample_frames_null_payload_emits_no_rows(spark):
+    """NULL payloads emit no frames (regression: F.least skips NULLs,
+    so a byte-less payload used to emit max_frames phantom rows)."""
+    from common_survey_data_pipeline_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(200)), (2, None)], "doc_id long, payload binary"
+    )
+    out = sample_frames(df, every_n_bytes=64, max_frames=8).collect()
+    assert {r["doc_id"] for r in out} == {1}
+    assert len(out) == 4  # offsets 0, 64, 128, 192 for the 200-byte payload

@@ -123,3 +123,79 @@ def test_ivf_full_probe_is_exact(emb, queries, exact):
         for r in ivf_topk(emb, queries, k=10, nlist=8, nprobe=8).collect()
     }
     assert got == exact
+
+
+# ---------------------------------------------------------------------------
+# Corrupt-input envelope (regressions from the r4 review pass)
+# ---------------------------------------------------------------------------
+
+
+def test_recall_report_covers_totally_missed_queries(spark):
+    """A query the ANN index misses ENTIRELY must appear as
+    (found_k=0, recall_ok=false), not vanish from the report."""
+    from common_survey_data_pipeline_spark.operators.similarity import (
+        recall_vs_exact,
+    )
+
+    ann = spark.createDataFrame([(1, 100), (1, 101)], "query_id long, vec_id long")
+    exact = spark.createDataFrame(
+        [(1, 100), (1, 101), (2, 200), (2, 201)], "query_id long, vec_id long"
+    )
+    got = {r["query_id"]: r for r in recall_vs_exact(ann, exact, k=2).collect()}
+    assert got[1]["found_k"] == 2 and got[1]["recall_ok"]
+    assert got[2]["found_k"] == 0 and not got[2]["recall_ok"]
+
+
+def test_signlsh_null_rows_filtered_not_crashing(spark):
+    """A NULL embedding as the FIRST corpus row used to crash the dim
+    probe; any NULL vector used to hash into bucket 0 as a candidate."""
+    corpus = spark.createDataFrame(
+        [(99, None), (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (7, None)],
+        "query_id long, query_vec array<double>",
+    )
+    out = signlsh_topk(corpus, queries, k=2, n_planes=2, n_tables=4).collect()
+    assert {r["query_id"] for r in out} == {1}
+    assert all(r["vec_id"] != 99 and r["cosine_sim"] is not None for r in out)
+
+
+def test_ivf_zero_and_null_vectors_filtered_not_crashing(spark):
+    """Zero-magnitude corpus vectors used to kill KMeans.fit with
+    NOT_NULL_ASSERT_VIOLATION (unit-normalize yields an all-NULL array)."""
+    rows = [(50, [0.0, 0.0]), (51, None)] + [
+        (i, [float(i % 7 + 1), float(i % 3)]) for i in range(20)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, query_vec array<double>"
+    )
+    out = ivf_topk(corpus, queries, k=3, nlist=2, nprobe=2).collect()
+    assert len(out) == 3
+    assert all(r["vec_id"] not in (50, 51) for r in out)
+
+
+def test_cosine_topk_matmul_empty_and_null_envelope(spark):
+    """Empty query sets and NULL vectors must behave identically across
+    the two strategies (matmul used to crash on both)."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    empty_q = spark.createDataFrame([], "query_id long, query_vec array<double>")
+    for strat in ("expr", "matmul"):
+        assert cosine_topk(corpus, empty_q, k=5, strategy=strat).count() == 0
+    q = spark.createDataFrame(
+        [(9, [1.0, 0.0]), (8, None)], "query_id long, query_vec array<double>"
+    )
+    got = {
+        strat: sorted(
+            (r["query_id"], r["vec_id"], r["cosine_sim"])
+            for r in cosine_topk(corpus, q, k=5, strategy=strat).collect()
+        )
+        for strat in ("expr", "matmul")
+    }
+    assert got["expr"] == got["matmul"]
+    assert all(qid == 9 and vid != 2 for qid, vid, _ in got["expr"])
