@@ -61,7 +61,12 @@ def main(argv: list[str] | None = None) -> int:
         help="run a registry operator (see `query --list`) over a table dir",
     )
     q.add_argument("--name", default=None, help="registry query name")
-    q.add_argument("--data", default=None, help="directory of *.parquet tables")
+    q.add_argument(
+        "--data",
+        default=None,
+        help="directory of *.parquet tables (default: $SPARK_GRAFT_SF_DIR "
+        "or /root/testdata/sf0.1)",
+    )
     q.add_argument("--out", default=None, help="write result parquet here (default: show)")
     q.add_argument("--list", action="store_true", help="list available queries")
     q.add_argument(
@@ -96,8 +101,12 @@ def main(argv: list[str] | None = None) -> int:
         if args.name not in REGISTRY:
             print(f"unknown query {args.name!r}; see `query --list`", file=sys.stderr)
             return 2
+        from common_survey_data_pipeline_spark.sources.tables import (
+            DEFAULT_SF_DIR,
+        )
+
         spark = get_spark(app_name=f"csdp-query-{args.name}")
-        df = REGISTRY[args.name].fn(spark, args.data)
+        df = REGISTRY[args.name].fn(spark, args.data or DEFAULT_SF_DIR)
         if args.explain:
             from common_survey_data_pipeline_spark.plans import plan_of
 

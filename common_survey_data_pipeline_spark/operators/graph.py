@@ -14,6 +14,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def basket_pairs(
+    df: DataFrame,
+    basket_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    symmetric: bool = False,
+) -> DataFrame:
+    """Per-basket item co-occurrence pairs: collect_set per basket +
+    double explode — ONE basket-keyed shuffle and a narrow explode (the
+    equivalent self-join would shuffle both sides); fanout per basket is
+    basket-size², bounded by basket size.
+
+    ``symmetric=False`` yields each unordered pair once per basket
+    (``a < b``); ``symmetric=True`` yields both directions (``a != b``)
+    — the edge-list form pagerank consumes. Output (a, b), one row per
+    (basket, pair): aggregate by (a, b) for co-occurrence counts.
+
+    This is THE basket-pair kernel — pagerank, the triangle census and
+    association rules all build their edges here, so the semantics (and
+    any future hot-basket salting) live in one place instead of three
+    drifting copies.
+    """
+    baskets = df.groupBy(basket_col).agg(
+        F.collect_set(item_col).alias("__ps")
+    )
+    pairs = baskets.select(F.explode("__ps").alias("a"), "__ps").select(
+        "a", F.explode("__ps").alias("b")
+    )
+    cond = (
+        F.col("a") != F.col("b") if symmetric else F.col("a") < F.col("b")
+    )
+    return pairs.where(cond)
+
+
 def triangle_stats(
     und: DataFrame, a_col: str = "a", b_col: str = "b"
 ) -> DataFrame:

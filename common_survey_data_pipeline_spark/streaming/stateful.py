@@ -66,13 +66,21 @@ class ThresholdAlertProcessor:  # pragma: no cover — needs protobuf
         total = self.total.get()[0] if self.total.exists() else 0.0
         emitted = self.alerts.get()[0] if self.alerts.exists() else 0
         out_no, out_tot = [], []
-        for pdf in rows:
-            for v in pdf["value"]:
-                total += float(v)
-                while total >= (emitted + 1) * self.threshold:
-                    emitted += 1
-                    out_no.append(emitted)
-                    out_tot.append(total)
+        pdfs = [p for p in rows]
+        # fold in event-time order, not shuffle-arrival order — the
+        # batch twin orders by (ts, event_id), and an unsorted fold
+        # makes total_at_alert nondeterministic across runs
+        batch = (
+            pd.concat(pdfs).sort_values(["ts", "event_id"])
+            if pdfs
+            else pd.DataFrame(columns=["ts", "event_id", "value"])
+        )
+        for v in batch["value"]:
+            total += float(v)
+            while total >= (emitted + 1) * self.threshold:
+                emitted += 1
+                out_no.append(emitted)
+                out_tot.append(total)
         self.total.update((total,))
         self.alerts.update((emitted,))
         if out_no:
@@ -100,13 +108,19 @@ def _alerts_stream_applyinpandas(
     def update(key, pdf_iter, state):
         total, emitted = state.get if state.exists else (0.0, 0)
         out_no, out_tot = [], []
-        for pdf in pdf_iter:
-            for v in pdf["value"]:
-                total += float(v)
-                while total >= (emitted + 1) * threshold:
-                    emitted += 1
-                    out_no.append(emitted)
-                    out_tot.append(total)
+        pdfs = [p for p in pdf_iter]
+        # event-time order, matching the batch twin (see processor above)
+        batch = (
+            pd.concat(pdfs).sort_values(["ts", "event_id"])
+            if pdfs
+            else pd.DataFrame(columns=["ts", "event_id", "value"])
+        )
+        for v in batch["value"]:
+            total += float(v)
+            while total >= (emitted + 1) * threshold:
+                emitted += 1
+                out_no.append(emitted)
+                out_tot.append(total)
         state.update((total, emitted))
         if out_no:
             yield pd.DataFrame(
@@ -143,19 +157,37 @@ def threshold_alerts(
                 timeMode="None",
             )
         return _alerts_stream_applyinpandas(events, threshold)
-    w = (
+    order = [F.col(ts_col).asc(), F.col("event_id").asc()]
+    w_cum = (
         Window.partitionBy("user_id")
-        .orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = events.withColumn("__cum", F.sum("value").over(w))
-    prev_level = F.floor((F.col("__cum") - F.col("value")) / threshold)
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = events.withColumn("__cum", F.sum("value").over(w_cum))
+    # the streaming form's `emitted` counter is MONOTONE: an alert level
+    # is emitted at most once, even if the running total dips back below
+    # a threshold (negative values) and re-crosses it. The batch mirror
+    # is therefore the running MAX level over all PRIOR rows (clamped at
+    # 0, the counter's start), not the previous row's level — the
+    # per-row `level > prev_level` form re-emitted levels on re-crossings.
     level = F.floor(F.col("__cum") / threshold)
-    crossings = cum.where(level > prev_level).select(
+    lv = cum.withColumn("__level", level).withColumn(
+        "__emitted",
+        F.greatest(
+            F.coalesce(F.max(F.col("__level")).over(w_prev), F.lit(0)),
+            F.lit(0),
+        ),
+    )
+    crossings = lv.where(F.col("__level") > F.col("__emitted")).select(
         "user_id",
         F.col("__cum").alias("total_at_alert"),
-        prev_level.alias("__from"),
-        level.alias("__to"),
+        F.col("__emitted").alias("__from"),
+        F.col("__level").alias("__to"),
     )
     # one alert row PER LEVEL crossed (a single large event can cross
     # several thresholds at once — sequence/explode mirrors the

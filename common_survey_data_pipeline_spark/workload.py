@@ -46,7 +46,10 @@ from common_survey_data_pipeline_spark.operators.fuzzy_join import (
     strdist_neardup_pairs,
     stringdist_left_join,
 )
-from common_survey_data_pipeline_spark.operators.graph import triangle_stats
+from common_survey_data_pipeline_spark.operators.graph import (
+    basket_pairs,
+    triangle_stats,
+)
 from common_survey_data_pipeline_spark.operators.joins import (
     anti_join,
     bloom_semi_join,
@@ -2454,14 +2457,24 @@ def q_tfidf(spark, sf_dir):
     broadcast back onto TF. The LLM-pipeline keyword-extraction
     primitive, fully relational."""
     docs = _t(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    # corpus size as a broadcast 1-row aggregate (the sibling pattern in
+    # unigram_logprob) — an eager docs.count() here would bake a full
+    # extra corpus scan into PLAN CONSTRUCTION, firing a job even for
+    # `query --explain`
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n_docs"))
     toks = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(df), "term").select(
-        "doc_id",
-        "term",
-        F.round(F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), 6).alias("tfidf"),
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("__n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (
@@ -4185,7 +4198,9 @@ def q_kmeans_sizes(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     centroids = [
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in emb.where(F.col("vec_id") < 8).collect()
+        for r in emb.where(
+            (F.col("vec_id") < 8) & F.col("embedding").isNotNull()
+        ).collect()
     ]
     if not centroids:  # empty table: typed empty census
         return spark.createDataFrame(
@@ -4713,16 +4728,11 @@ def q_pagerank(spark, sf_dir):
     and exact-tie ordering agree bit-for-bit across engines.
     """
     li = _t(spark, sf_dir, "lineitem")
-    # edge build: ONE shuffle (order-keyed collect_set) + a narrow
-    # double-explode — cheaper than the equivalent self-join, which
-    # shuffles both sides; fanout per order is basket-size², bounded
-    baskets = li.groupBy("l_orderkey").agg(
-        F.collect_set("l_partkey").alias("ps")
-    )
+    # edge build: the shared basket-pair kernel (one order-keyed
+    # shuffle + narrow double-explode; operators/graph.py::basket_pairs)
     pairs = (
-        baskets.select(F.explode("ps").alias("src"), "ps")
-        .select("src", F.explode("ps").alias("dst"))
-        .where(F.col("src") != F.col("dst"))
+        basket_pairs(li, symmetric=True)
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .distinct()
         # the edge list feeds deg + BOTH iterations; without a
         # checkpoint this lineage re-executes for every consumer (the
@@ -4827,22 +4837,25 @@ def q_incremental_agg(spark, sf_dir):
     "events_threshold_alerts",
     """
     WITH cum AS (
-      SELECT user_id, event_id, value,
+      SELECT user_id, ts, event_id, value,
              sum(value) OVER (PARTITION BY user_id
                               ORDER BY ts, event_id) AS c
       FROM events
     ),
-    crossings AS (
+    lv AS (
       SELECT user_id, c,
-             floor((c - value) / 100.0)::BIGINT AS lv_from,
-             floor(c / 100.0)::BIGINT AS lv_to
+             floor(c / 100.0)::BIGINT AS level,
+             greatest(coalesce(
+               max(floor(c / 100.0)::BIGINT) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 0)
+               AS emitted
       FROM cum
-      WHERE floor(c / 100.0) > floor((c - value) / 100.0)
     )
     SELECT user_id,
-           unnest(generate_series(lv_from + 1, lv_to)) AS alert_no,
+           unnest(generate_series(emitted + 1, level)) AS alert_no,
            round(c, 6) AS total_at_alert
-    FROM crossings
+    FROM lv WHERE level > emitted
     """,
 )
 def q_threshold_alerts(spark, sf_dir):
@@ -4850,10 +4863,13 @@ def q_threshold_alerts(spark, sf_dir):
     (``streaming/stateful.py::threshold_alerts``): one alert per 100.0
     of cumulative per-user value, emitted at the event that crosses each
     multiple (an event that jumps several levels emits one row per
-    level). Cumulative-sum window + crossing filter + sequence explode —
-    the same rows the streaming form emits incrementally from two
-    per-key state scalars (tests/test_pydatasource_stateful.py proves
-    the stream/batch equivalence)."""
+    level). Cumulative-sum window + running-MAX-level crossing filter +
+    sequence explode — the running max (not the previous row's level)
+    mirrors the streaming form's monotone `emitted` counter, so a total
+    that dips below a threshold and re-crosses it (negative values)
+    never re-emits an alert level on either side
+    (tests/test_pydatasource_stateful.py proves the stream/batch
+    equivalence)."""
     ev = _t(spark, sf_dir, "events")
     alerts = threshold_alerts_batch(ev, threshold=100.0)
     return alerts.select(
@@ -5011,13 +5027,8 @@ def q_triangles(spark, sf_dir):
     against brute-force counts on constructed graphs).
     """
     li = _t(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.collect_set("l_partkey").alias("ps")
-    )
     und = (
-        baskets.select(F.explode("ps").alias("a"), "ps")
-        .select("a", F.explode("ps").alias("b"))
-        .where(F.col("a") < F.col("b"))
+        basket_pairs(li)
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= 2)
@@ -5380,13 +5391,8 @@ def q_assoc_rules(spark, sf_dir):
     item = op.groupBy(F.col("l_partkey").alias("part")).agg(
         F.count(F.lit(1)).alias("n_part")
     )
-    baskets = li.groupBy("l_orderkey").agg(
-        F.collect_set("l_partkey").alias("ps")
-    )
     pair = (
-        baskets.select(F.explode("ps").alias("a"), "ps")
-        .select("a", F.explode("ps").alias("b"))
-        .where(F.col("a") < F.col("b"))
+        basket_pairs(li)
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_both"))
         .where(F.col("n_both") >= 2)

@@ -18,6 +18,10 @@ from tests.oracle_harness import compare, duck_connection
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     names = sys.argv[2:] or list(REGISTRY)
+    unknown = [n for n in names if n not in REGISTRY]
+    if unknown:
+        print(f"unknown queries: {unknown}; see REGISTRY", file=sys.stderr)
+        return 2
     spark = get_spark(shuffle_partitions=8)
     con = duck_connection(sf_dir)
     failures = []

@@ -40,3 +40,10 @@ def test_cli_compact(spark, sf_dir, tmp_path, capsys):
     assert rc == 0
     assert "-> 1 files" in capsys.readouterr().out
     assert spark.read.parquet(dst).count() == 500
+
+
+def test_cli_query_without_data_uses_default_dir(spark, capsys):
+    """--data is optional: the query runner falls back to
+    DEFAULT_SF_DIR instead of crashing on os.path.join(None, ...)."""
+    assert main(["query", "--name", "s1_scan_filter_project", "--explain"]) == 0
+    assert "Scan" in capsys.readouterr().out

@@ -117,3 +117,28 @@ def test_threshold_alerts_stream_equals_batch(spark, sf_dir, tmp_path):
     assert len(want) > 0
     for r in got_rows:  # every emitted alert is internally consistent
         assert r["total_at_alert"] >= 100.0 * r["alert_no"] - 1e-9
+
+
+def test_threshold_alerts_batch_monotone_on_recrossings(spark):
+    """The batch twin mirrors the streaming form's MONOTONE emitted
+    counter: a running total that dips below a threshold and re-crosses
+    it (negative values) never re-emits an alert level (regression:
+    the per-row level-crossing form emitted duplicate alert_no rows)."""
+    import datetime
+
+    rows = [
+        (1, 10, datetime.datetime(2024, 1, 1, 0, 0, 0), 150.0),
+        (2, 10, datetime.datetime(2024, 1, 1, 0, 1, 0), -100.0),
+        (3, 10, datetime.datetime(2024, 1, 1, 0, 2, 0), 50.0),
+        (4, 10, datetime.datetime(2024, 1, 1, 0, 3, 0), 120.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = sorted(
+        (r["alert_no"], r["total_at_alert"])
+        for r in threshold_alerts(df, threshold=100.0).collect()
+    )
+    # crossings: 150 (level 1), dip to 50, re-cross at 100 (NOT re-
+    # emitted), then 220 (level 2)
+    assert got == [(1, 150.0), (2, 220.0)]

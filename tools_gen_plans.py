@@ -1,4 +1,4 @@
-"""Regenerate PLANS.md — formatted physical plans of fifteen representative
+"""Regenerate PLANS.md — formatted physical plans of the representative
 queries with the scale commentary each plan shape is meant to prove.
 
 Usage: python tools_gen_plans.py   (writes PLANS.md in the repo root)
@@ -128,7 +128,7 @@ def main() -> None:
         "# PLANS — headline physical plans (sf0.01, local, AQE on)",
         "",
         "Auto-generated by `python tools_gen_plans.py` — `.explain`-style",
-        "formatted plans for fifteen representative queries, with the scale",
+        "formatted plans for sixteen representative queries, with the scale",
         "commentary the plan shape is meant to prove. Regenerate after any",
         "plan-affecting change.",
         "",
