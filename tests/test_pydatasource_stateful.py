@@ -20,6 +20,26 @@ from common_survey_data_pipeline_spark.streaming.stateful import (
 )
 
 
+def _write_time_ordered_batches(ev, path, n: int = 3) -> None:
+    """Split ``ev`` into ``n`` time-disjoint parquet files written
+    oldest-first with distinct mtimes, so the file stream source
+    replays them in event-time order (ties in a single multi-file
+    commit replay arbitrarily — see test_streaming.py's
+    ordered_stream_dir, the same technique)."""
+    import time as _time
+
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span = (hi - lo) / n
+    for i in range(n):
+        part = ev.where(
+            (F.col("ts") >= lo + i * span)
+            & (F.col("ts") < (lo + (i + 1) * span if i < n - 1 else hi))
+            | (F.lit(i == n - 1) & (F.col("ts") == hi))
+        )
+        part.coalesce(1).write.mode("append").parquet(path)
+        _time.sleep(1.1)
+
+
 @pytest.fixture(scope="module")
 def corpus_source(spark):
     spark.dataSource.register(SyntheticCorpusDataSource)
@@ -86,14 +106,11 @@ def test_threshold_alerts_stream_equals_batch(spark, sf_dir, tmp_path):
         "ts", F.col("ts").cast("timestamp")
     )
     path = str(tmp_path / "alert_stream")
-    # 3 micro-batches in EVENT-TIME order so the stream's per-key
-    # arrival order matches the batch twin's (ts, event_id) window order
-    (
-        ev.repartitionByRange(3, "ts", "event_id")
-        .sortWithinPartitions("ts", "event_id")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    # 3 time-disjoint micro-batch files written OLDEST-FIRST with
+    # distinct mtimes — the file source orders ties arbitrarily, so a
+    # single multi-file commit does NOT replay in event-time order
+    # (same technique as test_streaming.py::ordered_stream_dir)
+    _write_time_ordered_batches(ev, path)
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
@@ -106,17 +123,65 @@ def test_threshold_alerts_stream_equals_batch(spark, sf_dir, tmp_path):
         got_rows = spark.sql("SELECT * FROM t_alerts").collect()
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    # the shuffle inside each micro-batch does not preserve ts order, so
-    # per-alert TOTALS are order-dependent; with non-negative values the
-    # alert COUNT per user is order-invariant (floor(final_total/thr))
-    # and must match the batch twin exactly
-    got = {(r["user_id"], r["alert_no"]) for r in got_rows}
+    # the operator sorts each micro-batch by (ts, event_id) before
+    # folding, so with time-disjoint micro-batches the FULL rows —
+    # including per-alert totals — are deterministic and must equal the
+    # batch twin's exactly (pre-sort, totals depended on shuffle order)
+    got = {
+        (r["user_id"], r["alert_no"], round(r["total_at_alert"], 6))
+        for r in got_rows
+    }
     want_rows = threshold_alerts(ev, threshold=100.0).collect()
-    want = {(r["user_id"], r["alert_no"]) for r in want_rows}
+    want = {
+        (r["user_id"], r["alert_no"], round(r["total_at_alert"], 6))
+        for r in want_rows
+    }
     assert got == want
     assert len(want) > 0
-    for r in got_rows:  # every emitted alert is internally consistent
-        assert r["total_at_alert"] >= 100.0 * r["alert_no"] - 1e-9
+
+
+def test_threshold_alerts_stream_equals_batch_with_negative_values(
+    spark, tmp_path
+):
+    """End-to-end monotone-counter equivalence: a per-user total that
+    dips below a threshold and re-crosses it emits NO duplicate alert
+    in EITHER form (the batch twin's running-max filter mirrors the
+    streaming emitted counter)."""
+    import datetime
+
+    rows = [
+        (i, uid, datetime.datetime(2024, 1, 1, 0, i, 0), v)
+        for uid, vals in {
+            10: [150.0, -100.0, 50.0, 120.0],   # dip + re-cross
+            20: [90.0, -50.0, 260.0, -300.0, 10.0],  # multi-level jump
+        }.items()
+        for i, v in enumerate(vals)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    path = str(tmp_path / "neg_alert_stream")
+    _write_time_ordered_batches(ev, path)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    try:
+        run_stream_to_memory(
+            threshold_alerts(stream, threshold=100.0), "t_neg_alerts"
+        )
+        got_rows = spark.sql("SELECT * FROM t_neg_alerts").collect()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    key = lambda r: (r["user_id"], r["alert_no"], round(r["total_at_alert"], 6))
+    got = sorted(key(r) for r in got_rows)
+    want = sorted(
+        key(r) for r in threshold_alerts(ev, threshold=100.0).collect()
+    )
+    assert got == want
+    # and no alert level is ever emitted twice per user
+    assert len({(u, a) for u, a, _ in got}) == len(got)
 
 
 def test_threshold_alerts_batch_monotone_on_recrossings(spark):
