@@ -333,3 +333,118 @@ def test_multitouch_credit_matches_brute_force(spark, tmp_path_factory, rows):
     for h in credit:
         assert got[h][0] == n_touch[h]
         assert abs(got[h][1] - credit[h]) < 1e-3  # query rounds to 4dp
+
+
+# ---------------------------------------------------------------------------
+# SCD2 compression ≡ naive per-key model (null-safe change detection)
+# ---------------------------------------------------------------------------
+
+
+def _scd2_model(rows):
+    """Brute-force SCD2: rows = [(key, ts, tiebreak, attr)] → set of
+    (key, attr, valid_from, valid_to, version)."""
+    out = []
+    bykey: dict = {}
+    for k, ts, tb, a in rows:
+        bykey.setdefault(k, []).append((ts, tb, a))
+    for k, seq in bykey.items():
+        seq.sort(key=lambda r: (r[0], r[1]))
+        versions = []
+        prev = object()  # sentinel != anything, None included
+        for ts, tb, a in seq:
+            if a != prev or not versions:
+                versions.append([a, ts, None])
+            prev = a
+        for i in range(len(versions) - 1):
+            versions[i][2] = versions[i + 1][1]
+        out.extend(
+            (k, a, vf, vt, i + 1) for i, (a, vf, vt) in enumerate(versions)
+        )
+    return set(out)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),          # key
+            st.integers(min_value=0, max_value=5),          # ts
+            st.integers(min_value=0, max_value=99),         # tiebreak
+            st.one_of(st.none(), st.sampled_from(["A", "B"])),  # attr
+        ),
+        min_size=1,
+        max_size=10,
+        unique_by=lambda r: (r[0], r[1], r[2]),
+    )
+)
+@settings(**SETTINGS)
+def test_scd2_equals_model_with_nulls(spark, rows):
+    from common_survey_data_pipeline_spark.operators.timeseries import (
+        scd2_compress,
+    )
+
+    df = spark.createDataFrame(
+        rows, "k long, ts long, tb long, attr string"
+    )
+    got = {
+        (r["k"], r["attr"], r["valid_from"], r["valid_to"], r["version"])
+        for r in scd2_compress(df, "k", "attr", "ts", "tb").collect()
+    }
+    assert got == _scd2_model(rows)
+
+
+# ---------------------------------------------------------------------------
+# Batch threshold alerts ≡ streaming while-loop model (monotone counter)
+# ---------------------------------------------------------------------------
+
+
+def _alerts_model(rows, threshold=100.0):
+    """The streaming operator's exact fold: per-user (ts, event_id)
+    order, monotone emitted counter."""
+    out = []
+    bykey: dict = {}
+    for ev, k, ts, v in rows:
+        bykey.setdefault(k, []).append((ts, ev, v))
+    for k, seq in bykey.items():
+        seq.sort()
+        total, emitted = 0.0, 0
+        for ts, ev, v in seq:
+            total += v
+            while total >= (emitted + 1) * threshold:
+                emitted += 1
+                out.append((k, emitted, round(total, 6)))
+    return sorted(out)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=999),  # event_id
+            st.integers(min_value=0, max_value=2),    # user
+            st.integers(min_value=0, max_value=9),    # ts (minute)
+            st.sampled_from([-250.0, -60.0, 30.0, 90.0, 150.0, 340.0]),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda r: r[0],
+    )
+)
+@settings(**SETTINGS)
+def test_threshold_alerts_batch_equals_streaming_model(spark, rows):
+    import datetime
+
+    from common_survey_data_pipeline_spark.streaming.stateful import (
+        threshold_alerts,
+    )
+
+    data = [
+        (ev, k, datetime.datetime(2024, 1, 1, 0, ts, 0), v)
+        for ev, k, ts, v in rows
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = sorted(
+        (r["user_id"], r["alert_no"], round(r["total_at_alert"], 6))
+        for r in threshold_alerts(df, threshold=100.0).collect()
+    )
+    assert got == _alerts_model(rows)
