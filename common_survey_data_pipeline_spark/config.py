@@ -52,14 +52,18 @@ class PipelineConfig:
         )
     )
 
+    # the per-year naming contract lives ONLY in generate_dynamic_columns
+    # (varinfo-update.R:38-44); the properties delegate so a scheme
+    # change cannot make the two drift
+
     @property
     def qualtrics_col_name(self) -> str:
-        return f"QualtricsVariableName.{self.survey_year}"
+        return generate_dynamic_columns(self.survey_year)["qualtrics_col_name"]
 
     @property
     def question_text_col_name(self) -> str:
-        return f"QuestionText.{self.survey_year}"
+        return generate_dynamic_columns(self.survey_year)["question_text_col_name"]
 
     @property
     def survey_admin_year_col_name(self) -> str:
-        return f"SurveyAdminYear.{self.survey_year}"
+        return generate_dynamic_columns(self.survey_year)["survey_admin_year_col_name"]

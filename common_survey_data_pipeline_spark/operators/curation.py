@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from common_survey_data_pipeline_spark.functions.text import lang_id, quality_score
 from common_survey_data_pipeline_spark.operators.dedup import (
+    exact_dedup,
     minhash_dedup_pairs,
     neardup_clusters,
 )
@@ -42,6 +43,17 @@ def curate_corpus(
     Deterministic keeper policy throughout: the minimum id survives in
     every duplicate group (exact or near), so reruns and engine ports
     agree row-for-row.
+
+    CACHING CONTRACT: the scored-and-filtered corpus is
+    ``localCheckpoint(eager=False)``-ed (it feeds the exact-dedup
+    group-by, both sides of its semi join, the MinHash shingle build
+    and the final anti join — without the cut, the quality/lang-id
+    scoring of the FULL corpus re-executes 3+ times), and
+    ``minhash_dedup_pairs`` additionally ``.cache()``s its shingle
+    table for the clustering phase (see its docstring). Long-lived
+    sessions calling this per shard should ``spark.catalog.clearCache()``
+    between calls; checkpoint blocks are freed by the ContextCleaner
+    once the returned frame is garbage.
     """
     scored = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -51,15 +63,12 @@ def curate_corpus(
     )
     kept = scored.where(
         (F.col("quality") >= min_quality) & (F.col("__lang") == lang)
-    ).drop("__lang")
+    ).drop("__lang").localCheckpoint(eager=False)
 
-    # exact dedup: min id per content hash, applied with a semi join
-    keepers = (
-        kept.groupBy(F.md5("__text").alias("__h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    uniq = kept.join(keepers, "doc_id", "left_semi")
+    # exact dedup: min id per content hash, applied with a semi join —
+    # the same operator (and keeper policy) the registry exposes as
+    # dedup_exact_groups, not a drifting inline copy
+    uniq = exact_dedup(kept, "__text", "doc_id")
 
     # near dedup among survivors: cluster, drop everything but the
     # cluster representative (cluster_id == min reachable id)

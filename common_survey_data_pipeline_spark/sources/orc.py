@@ -21,20 +21,16 @@ def write_partitioned_orc(
     compression: str = "zstd",
 ) -> None:
     """Write ``df`` as a partitioned, sorted, size-bounded ORC table
-    (see ``write_partitioned_parquet`` for the layout rationale)."""
-    out = df
-    if partition_by:
-        out = out.repartition(*partition_by)
-    if sort_within_by:
-        out = out.sortWithinPartitions(*partition_by, *sort_within_by)
-    writer = (
-        out.write.mode("overwrite")
-        .option("maxRecordsPerFile", max_records_per_file)
-        .option("compression", compression)
+    (see ``write_partitioned_parquet`` for the layout rationale; both
+    delegate to the same layout kernel)."""
+    from common_survey_data_pipeline_spark.sources.parquet_sink import (
+        _write_partitioned,
     )
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.orc(path)
+
+    _write_partitioned(
+        df, path, "orc", partition_by, sort_within_by,
+        max_records_per_file, compression,
+    )
 
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:

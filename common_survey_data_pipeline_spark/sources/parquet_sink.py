@@ -23,6 +23,39 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 
 
+def _write_partitioned(
+    df: DataFrame,
+    path: str,
+    fmt: str,
+    partition_by: Sequence[str],
+    sort_within_by: Sequence[str],
+    max_records_per_file: int,
+    compression: str,
+) -> None:
+    """Shared layout kernel for the partitioned columnar writers
+    (parquet here, ORC in ``sources/orc.py``) — ONE implementation of
+    the repartition/sort/size-bound contract so the two formats cannot
+    drift."""
+    out = df
+    if partition_by:
+        out = out.repartition(*partition_by)
+    if sort_within_by:
+        # partition columns lead the sort: the dynamic-partition writer
+        # requires rows ordered by partition value and would otherwise
+        # re-sort (unstably), destroying the data ordering we just paid
+        # for
+        out = out.sortWithinPartitions(*partition_by, *sort_within_by)
+    writer = (
+        out.write.mode("overwrite")
+        .format(fmt)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .option("compression", compression)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
 def write_partitioned_parquet(
     df: DataFrame,
     path: str,
@@ -39,23 +72,10 @@ def write_partitioned_parquet(
     splits oversized partitions into bounded files. zstd: best
     size/speed trade for cold corpus storage, splittable in parquet.
     """
-    out = df
-    if partition_by:
-        out = out.repartition(*partition_by)
-    if sort_within_by:
-        # partition columns lead the sort: the dynamic-partition writer
-        # requires rows ordered by partition value and would otherwise
-        # re-sort (unstably), destroying the data ordering we just paid
-        # for
-        out = out.sortWithinPartitions(*partition_by, *sort_within_by)
-    writer = (
-        out.write.mode("overwrite")
-        .option("maxRecordsPerFile", max_records_per_file)
-        .option("compression", compression)
+    _write_partitioned(
+        df, path, "parquet", partition_by, sort_within_by,
+        max_records_per_file, compression,
     )
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
 
 
 def write_sorted_parquet(
@@ -109,11 +129,13 @@ def file_fragmentation_report(spark, path: str) -> dict:
         F.avg("count").alias("avg_rows"),
         F.max("count").alias("max_rows"),
     ).collect()[0]
+    # zero-row table: the aggregates are NULL, not 0 — report an empty
+    # layout instead of dying on float(None)
     return {
         "n_files": row["n_files"],
-        "min_rows": row["min_rows"],
-        "avg_rows": float(row["avg_rows"]),
-        "max_rows": row["max_rows"],
+        "min_rows": row["min_rows"] if row["min_rows"] is not None else 0,
+        "avg_rows": float(row["avg_rows"]) if row["avg_rows"] is not None else 0.0,
+        "max_rows": row["max_rows"] if row["max_rows"] is not None else 0,
     }
 
 
@@ -123,6 +145,7 @@ def compact_parquet(
     dst: str,
     target_rows_per_file: int = 1_000_000,
     sort_within_by: Sequence[str] = (),
+    compression: str = "zstd",
 ) -> int:
     """Small-files compaction (the nightly table-maintenance job):
     rewrite a fragmented parquet directory into ``ceil(rows/target)``
@@ -143,6 +166,10 @@ def compact_parquet(
     (
         out.write.mode("overwrite")
         .option("maxRecordsPerFile", target_rows_per_file)
+        # explicit codec: maintenance must not silently re-encode a
+        # zstd table to the session default (snappy); zstd matches the
+        # partitioned writers' cold-storage default
+        .option("compression", compression)
         .parquet(dst)
     )
     return n_files

@@ -56,3 +56,17 @@ def test_sort_within_partitions_orders_row_groups(spark, tmp_path):
     for f in glob.glob(os.path.join(out, "p=*", "*.parquet")):
         ids = pq.read_table(f, columns=["id"])["id"].to_pylist()
         assert ids == sorted(ids), f
+
+
+def test_fragmentation_report_empty_table(spark, tmp_path):
+    """A schema-only (zero-row) table reports an empty layout instead
+    of dying on float(None) (regression)."""
+    from common_survey_data_pipeline_spark.sources.parquet_sink import (
+        file_fragmentation_report,
+    )
+
+    path = str(tmp_path / "empty_tbl")
+    spark.createDataFrame([], "id long, v double").write.parquet(path)
+    rep = file_fragmentation_report(spark, path)
+    assert rep["min_rows"] == 0 and rep["max_rows"] == 0
+    assert rep["avg_rows"] == 0.0

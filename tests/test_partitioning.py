@@ -101,3 +101,23 @@ def test_parallelism_floor_preserves_scan_pushdown(spark, sf_dir):
     assert "ReadSchema" in plan
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "text" not in read_schema
+
+
+def test_parallelism_floor_noops_in_fingerprints_on_wide_input(
+    spark, sf_dir, tmp_path
+):
+    """Integration pin for the floor's scale contract: the SAME registry
+    query that carries a round-robin exchange on a single-row-group
+    input compiles to a ZERO-exchange plan when the input is already
+    wide (multi-file, >= cores) — i.e. on a production-shaped corpus
+    the floor provably adds no shuffle."""
+    from common_survey_data_pipeline_spark.workload import REGISTRY
+
+    wide_dir = str(tmp_path / "wide_sf")
+    want = spark.sparkContext.defaultParallelism
+    load_table(spark, sf_dir, "documents").repartition(want).write.parquet(
+        f"{wide_dir}/documents.parquet"
+    )
+    df = REGISTRY["text_fingerprints"].fn(spark, wide_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -199,16 +199,6 @@ def main() -> None:
     )
     cli = ap.parse_args()
     only = set(cli.only.split(",")) if cli.only else None
-    spark = get_spark(
-        app_name="csdp-scalebench",
-        shuffle_partitions=64,
-        extra_conf={
-            # the driver IS the executor in local mode; the 16x corpus's
-            # shingle explosions need real heap
-            "spark.driver.memory": "24g",
-            "spark.ui.enabled": "false",
-        },
-    )
     ks = tuple(int(x) for x in cli.ks.split(","))
     # every lambda receives lazy GETTERS (below), not DataFrames, so a
     # targeted --only run only builds the datasets its operators touch
@@ -277,10 +267,21 @@ def main() -> None:
         ]
     )
     if only:
+        # validate BEFORE the (24g local[32]) session pays JVM startup
         unknown = only - set(all_names)
         if unknown:
             raise SystemExit(f"unknown operators: {sorted(unknown)}")
         all_names = [o for o in all_names if o in only]
+    spark = get_spark(
+        app_name="csdp-scalebench",
+        shuffle_partitions=64,
+        extra_conf={
+            # the driver IS the executor in local mode; the 16x corpus's
+            # shingle explosions need real heap
+            "spark.driver.memory": "24g",
+            "spark.ui.enabled": "false",
+        },
+    )
     results: dict[str, dict[int, float]] = {o: {} for o in all_names}
     rows: dict[int, int] = {}
 
@@ -298,7 +299,16 @@ def main() -> None:
 
         return get
 
+    import gc as _gc
+
     for k in ks:
+        # drop the PREVIOUS k's checkpointed datasets deterministically:
+        # rebinding the lazy boxes below releases the Python refs, and
+        # the explicit gc pushes py4j to free the JVM-side handles so
+        # the ContextCleaner unpersists their blocks BEFORE the next
+        # k's (memory-hungry) measurements, not at some later GC whim
+        _gc.collect()
+        spark.sparkContext._jvm.System.gc()
         docs = lazy(lambda k=k: amplified_docs(spark, k).localCheckpoint())
         embs = lazy(lambda k=k: amplified_embeddings(spark, k).localCheckpoint())
         keys = lazy(lambda k=k: amplified_keys(spark, k).localCheckpoint())
