@@ -12,6 +12,10 @@ Usage: python tools_scalebench.py   (writes SCALING.md in the repo root)
            (targeted re-measurement; prints the rows but does NOT
            rewrite SCALING.md — partial runs must never clobber the
            full table)
+       python tools_scalebench.py --skew
+           (hot-key stress: times the same join as a naive shuffle
+           join, with AQE skew-split, and with salted_join; prints
+           the rows for the SCALING.md skew section)
 """
 
 from __future__ import annotations
@@ -184,6 +188,175 @@ def timed(fn) -> float:
     return time.time() - t0
 
 
+def skew_probe() -> None:
+    """Hot-key join stress: 16M-row fact where ONE key holds 50% of the
+    rows, joined to a 100k-row dim, feeding a per-row transform (sha2)
+    + global aggregate — the shape of a real pipeline stage (join then
+    compute per joined row). Broadcast is disabled for the probe (the
+    100 TB scenario it models is a dim too big to broadcast), so the
+    naive plan shuffles both sides and the hot key's 8M rows land on a
+    single reducer — the classic straggler.
+
+    The PRIMARY evidence is deterministic: the per-reducer row
+    distribution under Spark's actual partitioning function (Murmur3
+    ``F.hash`` == ``hashpartitioning``). On one box wall-clock is a
+    weak skew signal — a straggler core still runs at full local memory
+    bandwidth, and this sandbox's timing noise (GC of a 24g heap,
+    external tenants) swamps the effect; on a 1000-executor cluster the
+    max/avg reducer-load ratio IS the wall-clock ratio, because the
+    straggler holds the stage open while 999 executors idle. Wall times
+    are printed as a secondary, caveated signal. Three plans over the
+    SAME inputs, all verified to return the same aggregate value:
+
+    * naive      — shuffle join, AQE skew-split OFF (what a non-adaptive
+                   engine, or a skewed key feeding a WINDOW, does)
+    * aqe_skew   — shuffle join, AQE skew-split ON (Spark's runtime fix;
+                   only fires for SMJ/SHJ when the hot partition exceeds
+                   its size thresholds)
+    * salted(32) — ``temporal_joins.salted_join``: right side replicated
+                   32x, left rows spread by row hash; works even where
+                   AQE can't kick in (window feeds, non-SMJ plans)
+    """
+    from common_survey_data_pipeline_spark.operators.temporal_joins import (
+        salted_join,
+    )
+
+    n_fact, n_dim, n_keys = 16_000_000, 100_000, 100_000
+    spark = get_spark(
+        app_name="csdp-skewprobe",
+        shuffle_partitions=64,
+        extra_conf={
+            "spark.driver.memory": "24g",
+            "spark.ui.enabled": "false",
+            # the modeled dim does NOT fit in a broadcast at 100 TB —
+            # force the shuffle path the probe exists to stress
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        },
+    )
+    fact = (
+        spark.range(n_fact)
+        .select(
+            F.when(F.pmod("id", F.lit(2)) == 0, F.lit(0))
+            .otherwise(F.pmod(F.xxhash64("id"), F.lit(n_keys)))
+            .cast("long")
+            .alias("user_id"),
+            F.col("id").alias("value"),
+        )
+        .localCheckpoint()
+    )
+    dim = (
+        spark.range(n_dim)
+        .select(
+            F.col("id").alias("c_custkey"),
+            F.concat(F.lit("seg_"), F.pmod("id", F.lit(7))).alias("segment"),
+        )
+        .localCheckpoint()
+    )
+    expected = None
+
+    def run(name: str, skew_flag: str, fn) -> None:
+        nonlocal expected
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skew_flag)
+        counts = []
+
+        def once() -> float:
+            dt_box = []
+
+            def act():
+                t0 = time.time()
+                counts.append(fn())
+                dt_box.append(time.time() - t0)
+
+            act()
+            return dt_box[0]
+
+        once()  # warm-up (codegen + checkpoint reads)
+        best = round(min(once() for _ in range(2)), 2)
+        got = set(counts)
+        if expected is None:
+            expected = got.pop()
+            got = {expected}
+        assert got == {expected}, f"{name}: row count drifted {got}"
+        print(f"| {name} | {best} |")
+
+    def digest(joined) -> int:
+        # per-joined-row transform + one-row aggregate: the transform
+        # runs INSIDE the join's reduce task, so a hot partition does
+        # its share serially — exactly what a downstream per-row
+        # compute (tokenize, score, featurize) does to a skewed join
+        return joined.select(
+            F.sha2(F.concat_ws("_", "value", "segment"), 256).alias("h")
+        ).agg(F.sum(F.ascii("h")).alias("s")).collect()[0]["s"]
+
+    hot = n_fact // 2
+    print(
+        f"Skew probe: fact {n_fact:,} rows ({hot:,} on ONE key), dim "
+        f"{n_dim:,} rows, broadcast disabled, 64 shuffle partitions; "
+        "join feeds a per-row sha2 + global sum."
+    )
+
+    # ---- primary evidence: deterministic reducer-load distribution ----
+    # reducer id under Spark's hashpartitioning = pmod(murmur3, n); the
+    # salted variant partitions on (key, __salt) with __salt exactly as
+    # salted_join computes it (xxhash64 of the whole left row mod 32)
+    n_part = 64
+
+    def load_stats(reducer_col) -> tuple[int, int, float]:
+        dist = (
+            fact.select(F.pmod(reducer_col, F.lit(n_part)).alias("p"))
+            .groupBy("p")
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .agg(
+                F.max("rows").alias("mx"),
+                F.expr("percentile(rows, 0.5)").alias("md"),
+                F.avg("rows").alias("av"),
+            )
+            .collect()[0]
+        )
+        return int(dist["mx"]), int(dist["md"]), float(dist["av"])
+
+    naive_mx, naive_md, naive_av = load_stats(F.hash("user_id"))
+    salt_col = F.pmod(F.xxhash64("user_id", "value"), F.lit(32)).cast("int")
+    salt_mx, salt_md, salt_av = load_stats(F.hash("user_id", salt_col))
+    print("\nReducer-load distribution (rows per reduce task, 64 tasks):")
+    print("| plan | max | median | max/avg |\n|---|---|---|---|")
+    print(
+        f"| naive (hash on key) | {naive_mx:,} | {naive_md:,} | "
+        f"{naive_mx / naive_av:.1f}x |"
+    )
+    print(
+        f"| salted (hash on key+salt32) | {salt_mx:,} | {salt_md:,} | "
+        f"{salt_mx / salt_av:.1f}x |"
+    )
+
+    # ---- secondary evidence: single-box wall time (noisy, caveated) ----
+    print(
+        "\nWall time (best-of-2 after warm-up; single-box, noisy — the "
+        "distribution above is the scale signal):"
+    )
+    print("| plan | t (s) |\n|---|---|")
+    run(
+        "naive shuffle join (AQE skew-split off)",
+        "false",
+        lambda: digest(fact.join(dim, fact.user_id == dim.c_custkey)),
+    )
+    run(
+        "AQE skew-split",
+        "true",
+        lambda: digest(fact.join(dim, fact.user_id == dim.c_custkey)),
+    )
+    run(
+        "salted_join(salt=32)",
+        "false",
+        lambda: digest(
+            salted_join(
+                fact, dim, left_on="user_id", right_on="c_custkey", salt=32
+            )
+        ),
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -197,7 +370,16 @@ def main() -> None:
         default="1,4,16",
         help="comma-separated amplification factors (default 1,4,16)",
     )
+    ap.add_argument(
+        "--skew",
+        action="store_true",
+        help="run the hot-key join stress probe instead of the "
+        "amplification sweep",
+    )
     cli = ap.parse_args()
+    if cli.skew:
+        skew_probe()
+        return
     only = set(cli.only.split(",")) if cli.only else None
     ks = tuple(int(x) for x in cli.ks.split(","))
     # every lambda receives lazy GETTERS (below), not DataFrames, so a
