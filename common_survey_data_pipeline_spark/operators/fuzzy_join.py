@@ -322,6 +322,17 @@ def strdist_neardup_pairs(
       carries its hashed-variant array and only the candidate whose
       join key equals ``array_min(array_intersect(va, vb))`` survives —
       still an exact, purely map-side dedup, no post-join shuffle.
+
+    Memory contract of the pinned shuffled-hash joins: unlike
+    sort-merge, a hash-relation BUILD cannot spill, so each reduce
+    partition's variant slice must fit in a task's fair-share execution
+    memory (``0.6*heap / (2*cores)`` worst case). Deployments must grow
+    ``spark.sql.shuffle.partitions`` with the key pool AND cap
+    ``spark.sql.adaptive.advisoryPartitionSizeInBytes`` accordingly —
+    AQE coalescing otherwise re-merges to 64MB-on-wire partitions whose
+    in-memory hash relations are several times larger (measured: a 64x
+    key pool needs ~16MB advisory under a 225MB/task fair share; see
+    ``tools_scalebench.py --partitions``).
     """
     if not 1 <= max_dist <= 2:
         raise ValueError(

@@ -376,6 +376,15 @@ def main() -> None:
         help="run the hot-key join stress probe instead of the "
         "amplification sweep",
     )
+    ap.add_argument(
+        "--partitions",
+        type=int,
+        default=64,
+        help="shuffle partitions (default 64; the standard SCALING.md "
+        "table is measured at 64 — raise for k>16 probes the way a "
+        "real deployment grows partitions with data, e.g. 256 at 64x, "
+        "or shuffled-hash build sides outgrow per-task memory)",
+    )
     cli = ap.parse_args()
     if cli.skew:
         skew_probe()
@@ -456,12 +465,23 @@ def main() -> None:
         all_names = [o for o in all_names if o in only]
     spark = get_spark(
         app_name="csdp-scalebench",
-        shuffle_partitions=64,
+        shuffle_partitions=cli.partitions,
         extra_conf={
             # the driver IS the executor in local mode; the 16x corpus's
             # shingle explosions need real heap
             "spark.driver.memory": "24g",
             "spark.ui.enabled": "false",
+            # AQE coalescing re-merges shuffle partitions to the 64MB
+            # advisory size, silently overriding --partitions — at 64x a
+            # 64MB-on-wire partition decompresses into a >256MB hash
+            # relation, which exceeds a task's FAIR-SHARE execution
+            # memory in this 32-thread/24g layout (pool/(2*32) ≈ 225MB)
+            # and kills pinned shuffled-hash builds. Scale the advisory
+            # with the requested partition count so --partitions 256
+            # really yields ~4x smaller reduce partitions.
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(
+                max(4 * 1024**3 // cli.partitions, 4 * 1024**2)
+            ),
         },
     )
     results: dict[str, dict[int, float]] = {o: {} for o in all_names}
