@@ -5921,7 +5921,8 @@ def q_twav(spark, sf_dir):
            event_type,
            count(DISTINCT user_id) AS exact_users,
            (abs(approx_count_distinct(user_id)::DOUBLE
-                / count(DISTINCT user_id) - 1) < 0.05) AS approx_ok
+                - count(DISTINCT user_id))
+            < greatest(0.05 * count(DISTINCT user_id), 5)) AS approx_ok
     FROM events GROUP BY 1, 2, 3
     """,
 )
@@ -5932,10 +5933,17 @@ def q_ev_unique_users(spark, sf_dir):
     the only one that scales in batch: sketch state is a few KB per
     open window vs the per-window-per-user set of exact DISTINCT).
 
-    Same engine-portable contract as `a6_approx_count_distinct`: each
+    Same engine-portable contract as `a6_approx_count_distinct` — each
     engine exports the exact count (identical by definition) plus a
-    boolean that its OWN sketch lands within 5% of it — raw estimates
-    are sketch-implementation-specific and never compared. The
+    boolean that its OWN sketch lands close to it; raw estimates are
+    sketch-implementation-specific and never compared — but with an
+    ABSOLUTE error floor the per-event-type query doesn't need:
+    ``|est - exact| < max(5% of exact, 5)``. Hourly windows have
+    small cardinalities, where HLL implementations carry low-range
+    bias a purely relative bound turns into a coin flip (measured at
+    sf0.1: DuckDB's sketch sits 2 under on 25-user groups — 8%
+    relative — on 20 of 3600 groups, while Spark at rsd=0.01 passes;
+    sf0.01 masked it because tiny groups estimate exactly). The
     streaming form's micro-batch-merged estimates are bit-identical to
     the one-shot batch run (HLL register-merge is order-independent;
     asserted in tests/test_streaming.py).
@@ -5962,9 +5970,9 @@ def q_ev_unique_users(spark, sf_dir):
         "exact_users",
         (
             F.abs(
-                F.col("approx_users").cast("double") / F.col("exact_users") - 1
+                F.col("approx_users").cast("double") - F.col("exact_users")
             )
-            < 0.05
+            < F.greatest(0.05 * F.col("exact_users"), F.lit(5))
         ).alias("approx_ok"),
     )
 

@@ -67,3 +67,21 @@ def test_driver_order_surfaces_unrecorded_queries_first():
             )
     # the oracle map must cover the same set in the same order
     assert list(e.queries()) == order
+
+
+def test_hourly_unique_users_contract_holds_at_sf01(spark):
+    """Scale regression for the sketch contract's absolute-error floor:
+    at sf0.1 the hourly windows hold ~15-35 users each, where DuckDB's
+    HLL sits ~2 under the exact count (8% relative on 25-user groups,
+    20 of 3600 groups past a pure 5% relative bound) while Spark at
+    rsd=0.01 passes — so a purely relative contract hash-mismatches at
+    sf0.1 and NOWHERE smaller (tiny groups estimate exactly). Runs the
+    one affected query at sf0.1; the full registry stays at sf0.001."""
+    sf01 = "/root/testdata/sf0.1"
+    con = duck_connection(sf01)
+    try:
+        spec = REGISTRY["events_hourly_unique_users"]
+        res = compare(spec.fn(spark, sf01), con, spec.oracle)
+        assert res["match"], res["detail"][:800]
+    finally:
+        con.close()
