@@ -1,10 +1,14 @@
 """Run the full driver-style oracle comparison at a given sf (dev tool).
 
 Usage: python run_oracle_check.py [sf_dir] [query ...]
+
+``CSDP_DRIVER_MEM`` (e.g. ``16g``) sizes the local JVM heap — required
+for sf1-scale checks, where the default 1g driver dies in GC.
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -22,7 +26,11 @@ def main() -> int:
     if unknown:
         print(f"unknown queries: {unknown}; see REGISTRY", file=sys.stderr)
         return 2
-    spark = get_spark(shuffle_partitions=8)
+    mem = os.environ.get("CSDP_DRIVER_MEM")
+    spark = get_spark(
+        shuffle_partitions=8,
+        extra_conf={"spark.driver.memory": mem} if mem else None,
+    )
     con = duck_connection(sf_dir)
     failures = []
     for name in names:
