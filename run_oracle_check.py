@@ -4,6 +4,12 @@ Usage: python run_oracle_check.py [sf_dir] [query ...]
 
 ``CSDP_DRIVER_MEM`` (e.g. ``16g``) sizes the local JVM heap — required
 for sf1-scale checks, where the default 1g driver dies in GC.
+
+Quadratic ORACLES (exact all-pairs: dedup_minhash/prefix/ngram, the
+CC-cluster pair, j10) run 15-84 min EACH in single-threaded DuckDB at
+sf0.1 — for big-sf sweeps run the fast queries first (ascending by a
+prior sweep's recorded times) and the quadratic tail as parallel
+single-query invocations.
 """
 
 from __future__ import annotations
