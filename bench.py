@@ -1,9 +1,16 @@
 """Benchmark the engine's headline queries.
 
 Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE final JSON line:
 ``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
 "sf": ...}``.
+
+The harness that records this run keeps only a bounded stdout TAIL
+(~2000 chars), so the final line is a COMPACT summary kept under 1400
+chars: totals, sf, the slowest queries that fit, and the sf1 spot-check
+total. The complete per-query breakdown (all queries + the full sf1
+section) is written to ``BENCH_LOCAL.json`` next to this script —
+round 4's driver bench record was lost to a >2000-char single line.
 
 Each query executes fully (noop sink — no driver-side collect) so the
 measured time is plan execution, not result transfer.
@@ -196,7 +203,33 @@ def main() -> None:
                 for name in SF1_TOP10
             },
         }
-    print(json.dumps(out))
+
+    # full breakdown to a file (unbounded size there)
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+    # final stdout line: compact summary that survives a 2000-char tail
+    # capture. Greedily include the slowest queries until the line would
+    # exceed the budget; the rest live in BENCH_LOCAL.json.
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(times),
+        "detail": "BENCH_LOCAL.json",
+        "queries": {},
+    }
+    if "sf1_top10" in out:
+        compact["sf1_total"] = out["sf1_top10"]["total"]
+    for name, t in sorted(times.items(), key=lambda kv: -kv[1]):
+        trial = dict(compact)
+        trial["queries"] = {**compact["queries"], name: t}
+        if len(json.dumps(trial, separators=(",", ":"))) > 1400:
+            break
+        compact = trial
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -93,7 +93,11 @@ def cosine_topk(
     if exclude_self:
         joined = joined.where(F.col("vec_id") != F.col("query_id"))
     scored = joined.withColumn(
-        "cosine_sim", F.round(cosine(F.col("__cv"), F.col("__qv")), 6)
+        "cosine_sim",
+        # + 0.0 canonicalizes IEEE -0.0 -> +0.0 so a near-zero rounded
+        # similarity prints identically in Spark and DuckDB (see
+        # workload._roundz) and sorts in one tie-group in both engines
+        F.round(cosine(F.col("__cv"), F.col("__qv")), 6) + F.lit(0.0),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc_nulls_last(), F.col("vec_id").asc()
@@ -355,7 +359,11 @@ def signlsh_topk(
     if exclude_self:
         joined = joined.where(F.col("vec_id") != F.col("query_id"))
     scored = joined.withColumn(
-        "cosine_sim", F.round(cosine(F.col("__cv"), F.col("__qv")), 6)
+        "cosine_sim",
+        # + 0.0 canonicalizes IEEE -0.0 -> +0.0 so a near-zero rounded
+        # similarity prints identically in Spark and DuckDB (see
+        # workload._roundz) and sorts in one tie-group in both engines
+        F.round(cosine(F.col("__cv"), F.col("__qv")), 6) + F.lit(0.0),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc_nulls_last(), F.col("vec_id").asc()
@@ -523,7 +531,11 @@ def ivf_topk(
     if exclude_self:
         joined = joined.where(F.col("vec_id") != F.col("query_id"))
     scored = joined.withColumn(
-        "cosine_sim", F.round(cosine(F.col("__cv"), F.col("__qv")), 6)
+        "cosine_sim",
+        # + 0.0 canonicalizes IEEE -0.0 -> +0.0 so a near-zero rounded
+        # similarity prints identically in Spark and DuckDB (see
+        # workload._roundz) and sorts in one tie-group in both engines
+        F.round(cosine(F.col("__cv"), F.col("__qv")), 6) + F.lit(0.0),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc_nulls_last(), F.col("vec_id").asc()
@@ -613,7 +625,10 @@ def embedding_neardup_pairs(
         c.join(p, (c["bucket"] == p["bucket"]) & (c["__id"] < p["__pid"]))
         .select("__id", "__v", "__pid", "__pv")
         .dropDuplicates(["__id", "__pid"])
-        .withColumn("cosine_sim", F.round(cosine(F.col("__v"), F.col("__pv")), 6))
+        .withColumn(
+            # + 0.0: IEEE signed-zero canonicalization (workload._roundz)
+            "cosine_sim", F.round(cosine(F.col("__v"), F.col("__pv")), 6) + F.lit(0.0)
+        )
         .where(F.col("cosine_sim") >= threshold)
         .select(
             F.col("__id").alias("id_a"),

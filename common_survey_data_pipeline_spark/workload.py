@@ -146,6 +146,31 @@ def _disc_price_dec():
     )
 
 
+def _roundz(col, d: int):
+    """Round to ``d`` decimals and canonicalize IEEE signed zero.
+
+    A SIGNED metric whose value lands in (−0.5·10⁻ᵈ, 0) rounds to −0.0
+    in DuckDB (IEEE round keeps the sign bit) but to +0.0 in Spark
+    (``F.round`` goes through BigDecimal, which has no signed zero).
+    The two print differently ('-0.0' vs '0.0'), so a representation-
+    hashing comparator — the driver's value hash — flags a divergence
+    even though the doubles compare numerically equal. That was round
+    4's one red driver row (`user_value_trend`: user 27's raw slope
+    −2.86e-08).
+
+    ``x + 0.0`` is the standard IEEE canonicalization: −0.0 + 0.0 =
+    +0.0 under round-to-nearest, and an exact identity for every other
+    value (NULL and NaN included). Use this for EVERY rounded metric
+    whose range includes negatives — slopes, intercepts, correlations,
+    covariances, skewness, cosines, signed means, log-ratios — and
+    mirror it as ``round(..., d) + 0`` in the paired oracle SQL so
+    both engines emit +0.0. Non-negative metrics (prices, counts,
+    ratios, stddevs, ranks) cannot produce −0.0 and stay on plain
+    ``F.round``.
+    """
+    return F.round(col, d) + F.lit(0.0)
+
+
 @register(
     "s1_scan_filter_project",
     f"""
@@ -1198,9 +1223,9 @@ def q_dedup_simhash(spark, sf_dir):
     "similarity_topk",
     """
     SELECT q.vec_id AS query_id, e.vec_id,
-           round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cosine_sim,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) + 0 AS cosine_sim,
            row_number() OVER (PARTITION BY q.vec_id
-                              ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) DESC,
+                              ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) + 0 DESC,
                                        e.vec_id)::INTEGER AS rank
     FROM embeddings e JOIN embeddings q ON q.vec_id < 5 AND e.vec_id <> q.vec_id
     QUALIFY rank <= 10
@@ -2113,9 +2138,9 @@ def q_stratified(spark, sf_dir):
     SELECT l_returnflag,
            round(stddev_samp(l_quantity), 4) AS sd_qty,
            round(var_samp(l_discount), 6) AS var_disc,
-           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-           round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price,
-           round(skewness(l_quantity), 4) AS skew_qty
+           round(corr(l_quantity, l_extendedprice), 4) + 0 AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) + 0 AS cov_qty_price,
+           round(skewness(l_quantity), 4) + 0 AS skew_qty
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -2125,9 +2150,9 @@ def q_stats(spark, sf_dir):
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qty_price"),
-        F.round(F.skewness("l_quantity"), 4).alias("skew_qty"),
+        _roundz(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        _roundz(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qty_price"),
+        _roundz(F.skewness("l_quantity"), 4).alias("skew_qty"),
     )
 
 
@@ -3100,7 +3125,7 @@ def q_scd2(spark, sf_dir):
     "embedding_centroids",
     """
     SELECT label, i::INTEGER AS pos,
-           round(avg(embedding[i]::DOUBLE), 6) AS centroid_val
+           round(avg(embedding[i]::DOUBLE), 6) + 0 AS centroid_val
     FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
     GROUP BY 1, 2
     """,
@@ -3116,7 +3141,7 @@ def q_embedding_centroids(spark, sf_dir):
     return (
         emb.select("label", F.posexplode("embedding").alias("pos0", "v"))
         .groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
-        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_val"))
+        .agg(_roundz(F.avg(F.col("v").cast("double")), 6).alias("centroid_val"))
     )
 
 
@@ -4221,7 +4246,7 @@ def q_kmeans_sizes(spark, sf_dir):
     "embedding_dim_stats",
     """
     SELECT i::INT AS dim,
-           round(avg(e.embedding[i]::DOUBLE), 6) AS mean_v,
+           round(avg(e.embedding[i]::DOUBLE), 6) + 0 AS mean_v,
            round(stddev_samp(e.embedding[i]::DOUBLE), 6) AS sd_v,
            min(e.embedding[i]::DOUBLE) AS min_v,
            max(e.embedding[i]::DOUBLE) AS max_v
@@ -4246,7 +4271,7 @@ def q_embedding_dim_stats(spark, sf_dir):
         F.col("val").cast("double").alias("v"),
     )
     return exploded.groupBy("dim").agg(
-        F.round(F.avg("v"), 6).alias("mean_v"),
+        _roundz(F.avg("v"), 6).alias("mean_v"),
         F.round(F.stddev_samp("v"), 6).alias("sd_v"),
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
@@ -5112,7 +5137,7 @@ def q_inverted_index(spark, sf_dir):
              row_number() OVER (
                PARTITION BY q.query_id
                ORDER BY round(list_cosine_similarity(
-                 e.embedding::DOUBLE[], q.qvec::DOUBLE[]), 6) DESC,
+                 e.embedding::DOUBLE[], q.qvec::DOUBLE[]), 6) + 0 DESC,
                  e.vec_id) AS srank
       FROM embeddings e JOIN q ON e.vec_id <> q.query_id
     ),
@@ -5171,7 +5196,7 @@ def q_rrf_hybrid(spark, sf_dir):
         .select(
             "query_id",
             F.col("vec_id").alias("doc_id"),
-            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias(
+            _roundz(cosine(F.col("embedding"), F.col("qvec")), 6).alias(
                 "sim"
             ),
         )
@@ -5589,9 +5614,9 @@ def q_k_anonymity(spark, sf_dir):
     )
     SELECT user_id,
            count(*) AS n_events,
-           round(regr_slope(value, x), 6) AS slope_per_sec,
-           round(regr_intercept(value, x), 6) AS intercept,
-           round(regr_r2(value, x), 6) AS r2
+           round(regr_slope(value, x), 6) + 0 AS slope_per_sec,
+           round(regr_intercept(value, x), 6) + 0 AS intercept,
+           round(regr_r2(value, x), 6) + 0 AS r2
     FROM e
     GROUP BY user_id
     HAVING count(*) >= 2 AND regr_r2(value, x) IS NOT NULL
@@ -5622,9 +5647,9 @@ def q_user_trend(spark, sf_dir):
     )
     out = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.regr_slope(F.col("value"), x), 6).alias("slope_per_sec"),
-        F.round(F.regr_intercept(F.col("value"), x), 6).alias("intercept"),
-        F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
+        _roundz(F.regr_slope(F.col("value"), x), 6).alias("slope_per_sec"),
+        _roundz(F.regr_intercept(F.col("value"), x), 6).alias("intercept"),
+        _roundz(F.regr_r2(F.col("value"), x), 6).alias("r2"),
     )
     return out.where(
         (F.col("n_events") >= 2) & F.col("r2").isNotNull()
@@ -5634,9 +5659,9 @@ def q_user_trend(spark, sf_dir):
 @register(
     "lineitem_correlations",
     """
-    SELECT round(corr(l_quantity, l_extendedprice), 6) AS q_price_corr,
-           round(corr(l_extendedprice, l_discount), 6) AS price_disc_corr,
-           round(covar_samp(l_quantity, l_extendedprice), 6) AS q_price_cov,
+    SELECT round(corr(l_quantity, l_extendedprice), 6) + 0 AS q_price_corr,
+           round(corr(l_extendedprice, l_discount), 6) + 0 AS price_disc_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 6) + 0 AS q_price_cov,
            round(stddev_samp(l_quantity), 6) AS sd_qty,
            round(stddev_samp(l_extendedprice), 6) AS sd_price
     FROM lineitem
@@ -5651,13 +5676,13 @@ def q_lineitem_corr(spark, sf_dir):
     """
     li = _t(spark, sf_dir, "lineitem")
     return li.agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+        _roundz(F.corr("l_quantity", "l_extendedprice"), 6).alias(
             "q_price_corr"
         ),
-        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias(
+        _roundz(F.corr("l_extendedprice", "l_discount"), 6).alias(
             "price_disc_corr"
         ),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias(
+        _roundz(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias(
             "q_price_cov"
         ),
         F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
@@ -6170,7 +6195,7 @@ def q_skyline(spark, sf_dir):
     ml AS (SELECT lang, sum(c) AS cl FROM joint GROUP BY 1),
     ms AS (SELECT source, sum(c) AS cs FROM joint GROUP BY 1)
     SELECT count(*)::BIGINT AS n_cells,
-           round(sum((c / n) * ln((c / n) / ((cl / n) * (cs / n)))), 6)
+           round(sum((c / n) * ln((c / n) / ((cl / n) * (cs / n)))), 6) + 0
              AS mi_nats
     FROM joint JOIN ml USING (lang) JOIN ms USING (source) CROSS JOIN tot
     """,
@@ -6204,7 +6229,7 @@ def q_mutual_info(spark, sf_dir):
         .crossJoin(F.broadcast(tot))
         .agg(
             F.count(F.lit(1)).alias("n_cells"),
-            F.round(F.sum(term), 6).alias("mi_nats"),
+            _roundz(F.sum(term), 6).alias("mi_nats"),
         )
     )
 
@@ -6250,7 +6275,7 @@ def q_embedding_cov(spark, sf_dir):
     SELECT user_id, event_id,
            round(regr_slope(value, x) OVER (
              PARTITION BY user_id ORDER BY rn
-             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS slope_10
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) + 0 AS slope_10
     FROM e
     QUALIFY rn >= 10
     """,
@@ -6276,7 +6301,7 @@ def q_user_trend_rolling(spark, sf_dir):
         "user_id",
         "event_id",
         F.row_number().over(w_ord).alias("rn"),
-        F.round(F.regr_slope(F.col("value"), x).over(w_frame), 6).alias(
+        _roundz(F.regr_slope(F.col("value"), x).over(w_frame), 6).alias(
             "slope_10"
         ),
     )
@@ -6301,8 +6326,8 @@ def q_user_trend_rolling(spark, sf_dir):
       FROM freq
     )
     SELECT count(*)::BIGINT AS vocab_size,
-           round(regr_slope(ln(cnt), ln(rank)), 6) AS zipf_slope,
-           round(regr_r2(ln(cnt), ln(rank)), 6) AS r2
+           round(regr_slope(ln(cnt), ln(rank)), 6) + 0 AS zipf_slope,
+           round(regr_r2(ln(cnt), ln(rank)), 6) + 0 AS r2
     FROM ranked
     """,
 )
@@ -6331,10 +6356,10 @@ def q_zipf(spark, sf_dir):
     )
     return ranked.agg(
         F.count(F.lit(1)).alias("vocab_size"),
-        F.round(
+        _roundz(
             F.regr_slope(F.log(F.col("cnt")), F.log(F.col("rank"))), 6
         ).alias("zipf_slope"),
-        F.round(F.regr_r2(F.log(F.col("cnt")), F.log(F.col("rank"))), 6).alias(
+        _roundz(F.regr_r2(F.log(F.col("cnt")), F.log(F.col("rank"))), 6).alias(
             "r2"
         ),
     )
@@ -6678,7 +6703,7 @@ def q_abc(spark, sf_dir):
            round((greatest(n_cur / tc, 0.000001)
                   - greatest(n_ref / tr, 0.000001))
                  * ln(greatest(n_cur / tc, 0.000001)
-                      / greatest(n_ref / tr, 0.000001)), 6) AS psi_term
+                      / greatest(n_ref / tr, 0.000001)), 6) + 0 AS psi_term
     FROM g, tot
     """,
 )
@@ -6731,7 +6756,7 @@ def q_drift_psi(spark, sf_dir):
         "bucket",
         "n_ref",
         "n_cur",
-        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
+        _roundz((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
     )
 
 

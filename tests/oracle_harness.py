@@ -1,13 +1,28 @@
 """Local replica of the driver's t2 correctness gate: run each
 workload query on Spark AND its DuckDB oracle, compare row-count,
-schema (column names), and order-insensitive values."""
+schema (column names), and an order-insensitive REPRESENTATION hash.
+
+The representation point matters: the driver hashes the per-cell
+string forms of both result sets, so two values that are numerically
+equal but print differently (IEEE −0.0 vs +0.0, a float32 vs float64
+widening, differing decimal scales) are a driver FAILURE. Round 4's
+`user_value_trend` red row was exactly this class — DuckDB
+`round(−2.86e-08, 6)` keeps the IEEE sign (−0.0) while Spark's
+`F.round` goes through BigDecimal (+0.0); the old harness re-rounded
+and compared numerically (−0.0 == 0.0), so every local sweep was
+green while the driver's hash was red. This version canonicalizes
+each cell to a string WITHOUT collapsing representation differences:
+local OK ⇔ driver green, and a −0.0/+0.0 pair fails loudly
+(pinned by tests/test_oracle_harness_contract.py).
+"""
 
 from __future__ import annotations
 
-import math
 import os
+from datetime import date, datetime
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = (
@@ -38,23 +53,56 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        s = df[c]
-        if pd.api.types.is_float_dtype(s):
-            df[c] = s.map(
-                lambda x: None if x is None or (isinstance(x, float) and math.isnan(x))
-                else round(float(x), 6)
-            )
-        elif pd.api.types.is_datetime64_any_dtype(s):
-            df[c] = s.astype("datetime64[us]").astype(str)
-        else:
-            df[c] = s.map(lambda x: None if x is None else str(x))
-    df = df.sort_values(by=list(df.columns), key=lambda s: s.map(str)).reset_index(
-        drop=True
-    )
-    return df
+def _canon_cell(x) -> str:
+    """Canonical string form of one result cell, mirroring what the
+    driver hashes. No numeric re-rounding, no sign collapsing — if two
+    engines' representations differ, the canonical forms differ."""
+    if x is None:
+        return "null"
+    # NaN/NaT of any flavor (float NaN, Decimal('NaN'), pd.NaT): both
+    # engines surface SQL NULL doubles as NaN after .toPandas()/.df(),
+    # so null and NaN must share one token
+    try:
+        if x != x:
+            return "null"
+    except (TypeError, ValueError):
+        pass
+    if isinstance(x, (bool, np.bool_)):
+        return "true" if x else "false"
+    if isinstance(x, (int, np.integer)):
+        return str(int(x))
+    if isinstance(x, (float, np.floating)):
+        # repr() of the Python float: '−0.0' stays '-0.0', float32
+        # cells widen to their exact float64 value (so a float32-vs-
+        # float64 contract divergence FAILS here, as it would at the
+        # driver)
+        return repr(float(x))
+    if isinstance(x, pd.Timestamp):
+        return str(x.floor("us") if x.nanosecond else x)
+    if isinstance(x, datetime):
+        return str(pd.Timestamp(x))
+    if isinstance(x, date):
+        return str(x)
+    if isinstance(x, (bytes, bytearray)):
+        return bytes(x).hex()
+    if isinstance(x, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_canon_cell(v) for v in x) + "]"
+    if isinstance(x, dict):
+        items = sorted((str(k), _canon_cell(v)) for k, v in x.items())
+        return "{" + ",".join(f"{k}:{v}" for k, v in items) + "}"
+    return str(x)
+
+
+def _canon_rows(df: pd.DataFrame) -> list[tuple[str, ...]]:
+    """Order-insensitive canonical form: each row a tuple of canonical
+    cell strings over name-sorted columns, rows sorted."""
+    cols = sorted(df.columns)
+    rows = [
+        tuple(_canon_cell(x) for x in tup)
+        for tup in df[cols].itertuples(index=False, name=None)
+    ]
+    rows.sort()
+    return rows
 
 
 def compare(sdf, con, sql: str) -> dict:
@@ -72,14 +120,18 @@ def compare(sdf, con, sql: str) -> dict:
     if len(spark_pd) != len(oracle_pd):
         out["detail"] = "row count mismatch"
         return out
-    a, b = _normalize(spark_pd), _normalize(oracle_pd)
-    if a.equals(b):
+    a, b = _canon_rows(spark_pd), _canon_rows(oracle_pd)
+    if a == b:
         out["match"] = True
         return out
-    neq = (a != b) & ~(a.isna() & b.isna())
-    bad = neq.any(axis=1)
+    cols = sorted(spark_pd.columns)
+    diffs = [(ra, rb) for ra, rb in zip(a, b) if ra != rb]
+    shown = "\n".join(
+        f"spark : {dict(zip(cols, ra))}\noracle: {dict(zip(cols, rb))}"
+        for ra, rb in diffs[:3]
+    )
     out["detail"] = (
-        f"{int(bad.sum())} differing rows; first:\nspark:\n"
-        f"{a[bad].head(3)}\noracle:\n{b[bad].head(3)}"
+        f"{len(diffs)} differing canonical rows (of {len(a)}); first:\n"
+        + shown
     )
     return out
