@@ -48,8 +48,16 @@ def _green_driver_rows() -> set[str]:
                 rows = json.load(f)
         except (OSError, ValueError):
             continue
+        if not isinstance(rows, dict):
+            # well-formed but wrong-shaped JSON (e.g. a list) must be
+            # skipped, not crash the driver entry point
+            continue
         for name, row in rows.items():
-            if row.get("hash_match") and row.get("err") is None:
+            if (
+                isinstance(row, dict)
+                and row.get("hash_match")
+                and row.get("err") is None
+            ):
                 green.add(name)
     return green
 

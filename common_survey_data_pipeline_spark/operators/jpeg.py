@@ -268,12 +268,26 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, list[float]]:
             for c in range(ns):
                 cid, tt = data[1 + 2 * c], data[2 + 2 * c]
                 comp = next(cc for cc in comps if cc["id"] == cid)
+                # a scan may reference table ids no DHT/DQT segment
+                # defined; surface that as the module's uniform
+                # 'malformed JPEG' ValueError, not a bare KeyError the
+                # decode stage can't classify
+                dc_id, ac_id, qt_id = (0, tt >> 4), (1, tt & 0x0F), comp["tq"]
+                if dc_id not in htables or ac_id not in htables:
+                    raise ValueError(
+                        "malformed JPEG: SOS references undefined Huffman "
+                        f"table (dc={dc_id[1]}, ac={ac_id[1]})"
+                    )
+                if qt_id not in qtables:
+                    raise ValueError(
+                        f"malformed JPEG: SOS references undefined quant table {qt_id}"
+                    )
                 scan.append(
                     {
                         **comp,
-                        "dc": htables[(0, tt >> 4)],
-                        "ac": htables[(1, tt & 0x0F)],
-                        "qt": qtables[comp["tq"]],
+                        "dc": htables[dc_id],
+                        "ac": htables[ac_id],
+                        "qt": qtables[qt_id],
                     }
                 )
             segments, pos = _entropy_segments(payload, pos)

@@ -22,6 +22,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -130,9 +131,19 @@ def _cosine_topk_matmul(
         F.col(query_id).alias("qid"), F.col(query_vec).alias("qv")
     ).toPandas()
     if len(qpd) == 0:  # np.stack cannot stack zero arrays
-        return corpus.sparkSession.createDataFrame(
-            [], "query_id long, vec_id long, cosine_sim double, rank int"
+        # derive the id types from the input frames so the empty-result
+        # schema matches the non-empty path (which inherits them)
+        qid_type = queries.schema[query_id].dataType
+        cid_type = corpus.schema[corpus_id].dataType
+        schema = T.StructType(
+            [
+                T.StructField("query_id", qid_type),
+                T.StructField("vec_id", cid_type),
+                T.StructField("cosine_sim", T.DoubleType()),
+                T.StructField("rank", T.IntegerType()),
+            ]
         )
+        return corpus.sparkSession.createDataFrame([], schema)
     q_ids = qpd["qid"].to_numpy()
     qm = np.stack(qpd["qv"].to_numpy()).astype("float64")
     qn = np.linalg.norm(qm, axis=1, keepdims=True)

@@ -73,10 +73,18 @@ def parallelism_floor(df: DataFrame, target: int | None = None) -> DataFrame:
     partitions, and the guard returns ``df`` unchanged — so the floor
     can never introduce a shuffle on real corpora. Batch frames only
     (a streaming frame has no static partition count).
+
+    CONTRACT: apply this helper directly to a SCAN (``load_table``
+    output, before any join/aggregate). For a leaf scan,
+    ``df.rdd.getNumPartitions()`` is planning-only — no job runs. But
+    on a plan that already contains exchanges, ``.rdd`` under AQE
+    materializes query stages and executes REAL jobs just to count
+    partitions; all in-repo call sites are leaf scans, and new call
+    sites must be too.
     """
     spark = df.sparkSession
     want = target or spark.sparkContext.defaultParallelism
-    # partition count of the would-be physical scan; planning-only, no job
+    # leaf-scan partition count (see contract above: scans only)
     have = df.rdd.getNumPartitions()
     if have >= want:
         return df

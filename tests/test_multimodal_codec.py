@@ -444,6 +444,22 @@ def test_jpeg_noninterleaved_scan_is_loud():
         decode_jpeg(bad)
 
 
+def test_jpeg_undefined_table_reference_is_loud():
+    """An SOS that selects a DHT table id no segment defined must raise
+    the module's uniform 'malformed JPEG' ValueError (which the decode
+    stage classifies), not an opaque KeyError (regression)."""
+    from common_survey_data_pipeline_spark.operators.jpeg import decode_jpeg
+
+    good = encode_jpeg(_bin_center_pixels(8, 8, 3, seed=13))
+    i = good.index(b"\xff\xda")
+    # SOS payload: [ns, (cid, tt)*ns, ss, se, ah_al]; point component
+    # 0's dc/ac selectors at table id 7, which no DHT defines
+    bad = bytearray(good)
+    bad[i + 4 + 2] = 0x77
+    with pytest.raises(ValueError, match="malformed JPEG.*Huffman"):
+        decode_jpeg(bytes(bad))
+
+
 def test_jpeg_fractional_sampling_is_loud():
     """Sampling factors with non-divisible ratios (e.g. 3:2) are legal
     per T.81 but outside the integer np.repeat upsampler — must raise a

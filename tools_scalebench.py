@@ -504,13 +504,6 @@ def main() -> None:
     import gc as _gc
 
     for k in ks:
-        # drop the PREVIOUS k's checkpointed datasets deterministically:
-        # rebinding the lazy boxes below releases the Python refs, and
-        # the explicit gc pushes py4j to free the JVM-side handles so
-        # the ContextCleaner unpersists their blocks BEFORE the next
-        # k's (memory-hungry) measurements, not at some later GC whim
-        _gc.collect()
-        spark.sparkContext._jvm.System.gc()
         docs = lazy(lambda k=k: amplified_docs(spark, k).localCheckpoint())
         embs = lazy(lambda k=k: amplified_embeddings(spark, k).localCheckpoint())
         keys = lazy(lambda k=k: amplified_keys(spark, k).localCheckpoint())
@@ -521,6 +514,15 @@ def main() -> None:
             )
         )
         scaled_dir = lazy(lambda k=k: amplified_part_dir(spark, k))
+        # drop the PREVIOUS k's checkpointed datasets deterministically:
+        # the rebinds ABOVE released the only Python refs to the prior
+        # k's boxes, so this gc (AFTER rebinding — before it, the old
+        # getters would still pin the blocks) pushes py4j to free the
+        # JVM-side handles and the ContextCleaner unpersists them
+        # BEFORE the next k's (memory-hungry) measurements, not at
+        # some later GC whim
+        _gc.collect()
+        spark.sparkContext._jvm.System.gc()
         if only is None:
             rows[k] = docs().count()  # SCALING.md header (full runs only)
         thunks = {name: (lambda fn=fn: fn(docs, embs)) for name, fn in ops.items()}
