@@ -3125,7 +3125,10 @@ def q_scd2(spark, sf_dir):
     "embedding_centroids",
     """
     SELECT label, i::INTEGER AS pos,
-           round(avg(embedding[i]::DOUBLE), 6) + 0 AS centroid_val
+           round(sum(CAST(round_even(embedding[i]::DOUBLE
+                                     * 1000000000000.0, 0) AS BIGINT))::DOUBLE
+                 / count(*)::DOUBLE / 1000000000000.0, 6) + 0
+             AS centroid_val
     FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
     GROUP BY 1, 2
     """,
@@ -3133,15 +3136,34 @@ def q_scd2(spark, sf_dir):
 def q_embedding_centroids(spark, sf_dir):
     """Per-label centroid of the embedding vectors — the distributed
     vector-mean at the core of IVF/k-means training, expressed
-    relationally (posexplode → groupBy(label, pos) → avg) so it scales
-    to any vector count with one shuffle and stays JVM-side. Elements
-    are widened to double BEFORE averaging so partition-order float
-    error stays ~1e-16 and the 6-decimal round is engine-stable."""
+    relationally (posexplode → groupBy(label, pos) → sum/count) so it
+    scales to any vector count with one shuffle and stays JVM-side.
+
+    HASH-STABLE BY CONSTRUCTION (round-5 guard-band finding: raw
+    centroid means at sf0.1 sit 2.9e-10 from a rounding half-boundary,
+    inside partial-aggregation float noise): each element is quantized
+    to an INTEGER at 1e-12 (nearest-even: Spark `rint` ≡ DuckDB
+    `round_even` ≡ IEEE roundTiesToEven, on the identical
+    float32→double product), the per-group SUM is exact int64
+    arithmetic (|q| ≤ 5.3e11, Σ over millions of rows still < 2⁶³),
+    and the mean is one fixed double division sequence — so both
+    engines produce bit-identical values regardless of partition
+    order. The 1e-12 quantization is 10⁶× below the 6-decimal output
+    round, so the contract value equals the float mean for every
+    practical purpose."""
     emb = _t(spark, sf_dir, "embeddings")
+    q = F.expr("CAST(rint(CAST(v AS DOUBLE) * 1000000000000.0) AS BIGINT)")
     return (
         emb.select("label", F.posexplode("embedding").alias("pos0", "v"))
         .groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
-        .agg(_roundz(F.avg(F.col("v").cast("double")), 6).alias("centroid_val"))
+        .agg(
+            _roundz(
+                F.sum(q).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1000000000000.0),
+                6,
+            ).alias("centroid_val")
+        )
     )
 
 
@@ -5608,51 +5630,113 @@ def q_k_anonymity(spark, sf_dir):
     "user_value_trend",
     """
     WITH e AS (
-      SELECT user_id, value,
-             epoch(ts) - epoch(TIMESTAMP '2024-01-01') AS x
+      SELECT user_id,
+             CAST(value AS DECIMAL(6,2)) AS yd,
+             epoch_us(ts::TIMESTAMP)
+               - 1704067200000000 AS xu
       FROM events
+    ),
+    s AS (
+      SELECT user_id,
+             count(*) AS n_events,
+             sum(CAST(xu AS DECIMAL(20,0))) AS sx,
+             sum(yd) AS sy,
+             sum(CAST(xu AS DECIMAL(19,0)) * yd) AS sxy,
+             sum(CAST(xu AS DECIMAL(19,0)) * CAST(xu AS DECIMAL(19,0)))
+               AS sxx,
+             sum(yd * yd) AS syy,
+             max(xu) AS xmax, min(xu) AS xmin,
+             max(yd) AS ymax, min(yd) AS ymin
+      FROM e GROUP BY user_id
     )
-    SELECT user_id,
-           count(*) AS n_events,
-           round(regr_slope(value, x), 6) + 0 AS slope_per_sec,
-           round(regr_intercept(value, x), 6) + 0 AS intercept,
-           round(regr_r2(value, x), 6) + 0 AS r2
-    FROM e
-    GROUP BY user_id
-    HAVING count(*) >= 2 AND regr_r2(value, x) IS NOT NULL
+    SELECT user_id, n_events,
+           round((n_events::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / (n_events::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                 * 1000000.0, 6) + 0 AS slope_per_sec,
+           round((sy::DOUBLE - (n_events::DOUBLE * sxy::DOUBLE
+                                - sx::DOUBLE * sy::DOUBLE)
+                              / (n_events::DOUBLE * sxx::DOUBLE
+                                 - sx::DOUBLE * sx::DOUBLE)
+                              * sx::DOUBLE)
+                 / n_events::DOUBLE, 6) + 0 AS intercept,
+           round((n_events::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 * (n_events::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / ((n_events::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                    * (n_events::DOUBLE * syy::DOUBLE
+                       - sy::DOUBLE * sy::DOUBLE)), 6) + 0 AS r2
+    FROM s
+    WHERE n_events >= 2 AND xmax > xmin AND ymax > ymin
     """,
 )
 def q_user_trend(spark, sf_dir):
-    """Per-user least-squares trend of event value over time via the
-    SQL-standard REGRESSION AGGREGATES (regr_slope / regr_intercept /
-    regr_r2) — closed-form OLS as a plain grouped aggregation, the
-    drift-per-entity monitor (is this user's spend trending up?)
-    without any per-group fitting loop or UDF.
+    """Per-user least-squares trend of event value over time — closed-
+    form OLS as a plain grouped aggregation, the drift-per-entity
+    monitor (is this user's spend trending up?) without any per-group
+    fitting loop or UDF.
 
     Scale shape: ONE user-keyed shuffle; the regression state per group
-    is six constants (n, sum x, sum y, sum xy, sum x2, sum y2) merged
-    by map-side partials, so a billion users cost the same per-group
-    state as ten. x is FRACTIONAL seconds since 2024-01-01 (casting the
-    timestamp, not ``unix_timestamp``, which truncates micros) — the
-    centering matters numerically: against raw epoch (~1.7e9) the
-    intercept extrapolates ~54 years out of range and a 1e-13 relative
-    slope wobble from summation order moves it past the 6-decimal
-    round; centered x keeps both engines' closed forms bit-stable.
+    is six constants (n, Σx, Σy, Σxy, Σx², Σy² plus min/max guards)
+    merged by map-side partials, so a billion users cost the same
+    per-group state as ten.
+
+    HASH-STABLE BY CONSTRUCTION (round-5 guard-band finding: raw
+    slopes at sf0.1 sit 8.6e-11 from a rounding half-boundary, inside
+    cross-engine float-summation noise): the sufficient statistics are
+    EXACT — x is integer microseconds centered on 2024-01-01, y the
+    exact DECIMAL(6,2) business value, and every Σ is decimal/integer
+    arithmetic with no float rounding, so both engines' sums are
+    bit-identical regardless of partial-aggregation order. The closed
+    forms then run in DOUBLE over identical inputs with an identical
+    operation sequence (mirrored verbatim in the oracle SQL), so the
+    doubles — and the rounded outputs — match bit-for-bit. Degenerate
+    groups (constant x or constant y) are filtered on exact integer
+    min/max, replacing the engine-specific `regr_r2 IS NOT NULL`.
     """
     ev = _t(spark, sf_dir, "events")
     # parquet surfaces ts as TIMESTAMP_NTZ; hop through TIMESTAMP (UTC
-    # session) to get fractional epoch seconds, matching DuckDB's epoch()
-    x = F.col("ts").cast("timestamp").cast("double") - F.lit(
-        1704067200.0  # epoch seconds of 2024-01-01 00:00:00 UTC
+    # session), then to exact integer micros like DuckDB's epoch_us
+    xu = F.unix_micros(F.col("ts").cast("timestamp")) - F.lit(
+        1704067200000000  # micros of 2024-01-01 00:00:00 UTC
     )
-    out = ev.groupBy("user_id").agg(
+    yd = F.col("value").cast("decimal(6,2)")
+    xd14 = xu.cast("decimal(14,0)")
+    s = ev.select(
+        "user_id", xu.alias("xu"), yd.alias("yd"), xd14.alias("xd")
+    ).groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        _roundz(F.regr_slope(F.col("value"), x), 6).alias("slope_per_sec"),
-        _roundz(F.regr_intercept(F.col("value"), x), 6).alias("intercept"),
-        _roundz(F.regr_r2(F.col("value"), x), 6).alias("r2"),
+        F.sum(F.col("xu").cast("decimal(20,0)")).alias("sx"),
+        F.sum("yd").alias("sy"),
+        F.sum(F.col("xd") * F.col("yd")).alias("sxy"),
+        F.sum(F.col("xd") * F.col("xd")).alias("sxx"),
+        F.sum(F.col("yd") * F.col("yd")).alias("syy"),
+        F.max("xu").alias("xmax"),
+        F.min("xu").alias("xmin"),
+        F.max("yd").alias("ymax"),
+        F.min("yd").alias("ymin"),
     )
-    return out.where(
-        (F.col("n_events") >= 2) & F.col("r2").isNotNull()
+    n = F.col("n_events").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    a = n * sxy - sx * sy  # same op order as the oracle text
+    b = n * sxx - sx * sx
+    c = n * syy - sy * sy
+    slope_us = a / b
+    return (
+        s.where(
+            (F.col("n_events") >= 2)
+            & (F.col("xmax") > F.col("xmin"))
+            & (F.col("ymax") > F.col("ymin"))
+        )
+        .select(
+            "user_id",
+            "n_events",
+            _roundz(slope_us * F.lit(1000000.0), 6).alias("slope_per_sec"),
+            _roundz((sy - slope_us * sx) / n, 6).alias("intercept"),
+            _roundz(a * a / (b * c), 6).alias("r2"),
+        )
     )
 
 
@@ -6237,12 +6321,27 @@ def q_mutual_info(spark, sf_dir):
 @register(
     "embedding_covariance",
     """
+    WITH q AS (
+      SELECT CAST(round_even(embedding[i]::DOUBLE * 1000000.0, 0)
+                  AS BIGINT) AS qi,
+             CAST(round_even(embedding[j]::DOUBLE * 1000000.0, 0)
+                  AS BIGINT) AS qj,
+             i, j
+      FROM embeddings,
+           generate_series(1, 64) s1(i), generate_series(1, 64) s2(j)
+      WHERE i <= j AND embedding IS NOT NULL
+    ),
+    s AS (
+      SELECT i, j, count(*) AS n,
+             sum(qi) AS sx, sum(qj) AS sy,
+             sum(qi::HUGEINT * qj) AS sxy
+      FROM q GROUP BY i, j
+    )
     SELECT i::INT AS i, j::INT AS j,
-           round(covar_samp(embedding[i]::DOUBLE, embedding[j]::DOUBLE), 6)
-             + 0.0 AS cov
-    FROM embeddings, generate_series(1, 64) s1(i), generate_series(1, 64) s2(j)
-    WHERE i <= j AND embedding IS NOT NULL
-    GROUP BY 1, 2
+           round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / (n::DOUBLE * (n::DOUBLE - 1.0))
+                 / 1000000000000.0, 6) + 0.0 AS cov
+    FROM s WHERE n > 1
     """,
 )
 def q_embedding_cov(spark, sf_dir):
@@ -6250,13 +6349,16 @@ def q_embedding_cov(spark, sf_dir):
     corpus — the PCA / whitening / anisotropy-diagnostic input —
     via `operators/linalg.py::embedding_covariance`.
 
-    The oracle states the semantics as per-pair `covar_samp` over a
-    d×d unnest (d² row amplification — fine for DuckDB at oracle
-    scale, catastrophic at 100 TB); the Spark plan instead reduces
-    each partition to ONE X'X partial (vectorized BLAS in Arrow
-    batches) and shuffles only O(d²·partitions) partial rows. Same
-    closed form, same 6-decimal contract as the other embedding
-    aggregates.
+    The oracle states the semantics as per-pair sums over a d×d unnest
+    (d² row amplification — fine for DuckDB at oracle scale,
+    catastrophic at 100 TB); the Spark plan instead reduces each Arrow
+    batch to ONE X'X partial (vectorized matmul) and shuffles only
+    O(d²·batches) partial rows. Both engines quantize elements to
+    integers at 1e-6 (nearest-even) and keep every sum EXACT, so the
+    closed-form covariance is bit-identical across engines and
+    partitionings — see the linalg module docstring for the round-5
+    guard-band finding (raw covariances 9.6e-11 from a rounding
+    half-boundary) that motivated the quantized contract.
     """
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_covariance(emb, "embedding")
@@ -6266,47 +6368,96 @@ def q_embedding_cov(spark, sf_dir):
     "user_trend_rolling",
     """
     WITH e AS (
-      SELECT user_id, event_id, value,
-             epoch(ts) - epoch(TIMESTAMP '2024-01-01') AS x,
+      SELECT user_id, event_id,
+             CAST(value AS DECIMAL(6,2)) AS yd,
+             epoch_us(ts::TIMESTAMP) - 1704067200000000 AS xu,
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) AS rn
       FROM events
+    ),
+    s AS (
+      SELECT user_id, event_id, rn,
+             sum(CAST(xu AS DECIMAL(20,0))) OVER w AS sx,
+             sum(yd) OVER w AS sy,
+             sum(CAST(xu AS DECIMAL(19,0)) * yd) OVER w AS sxy,
+             sum(CAST(xu AS DECIMAL(19,0)) * CAST(xu AS DECIMAL(19,0)))
+               OVER w AS sxx,
+             max(xu) OVER w AS xmax, min(xu) OVER w AS xmin
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
     )
     SELECT user_id, event_id,
-           round(regr_slope(value, x) OVER (
-             PARTITION BY user_id ORDER BY rn
-             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) + 0 AS slope_10
-    FROM e
-    QUALIFY rn >= 10
+           CASE WHEN xmax > xmin THEN
+             round((10.0 * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                   / (10.0 * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                   * 1000000.0, 6) + 0
+           END AS slope_10
+    FROM s
+    WHERE rn >= 10
     """,
 )
 def q_user_trend_rolling(spark, sf_dir):
-    """ROLLING least-squares trend per user — regression aggregates as
-    WINDOW functions over the last 10 events, the drift monitor that
-    localizes `user_value_trend`'s whole-history slope to a moving
-    frame (emitted only once the frame is full, so every slope covers
-    exactly 10 points).
+    """ROLLING least-squares trend per user — regression sufficient
+    statistics as WINDOW sums over the last 10 events, the drift
+    monitor that localizes `user_value_trend`'s whole-history slope to
+    a moving frame (emitted only once the frame is full, so every
+    slope covers exactly 10 points and n is the literal 10.0).
 
     Scale shape: ONE user-keyed shuffle; the frame is ROWS-bounded, so
     Spark's window evaluates it with constant per-row state — no
-    per-user materialization of history. x is centered fractional
-    seconds (same epoch anchor as `user_value_trend`) to keep the
-    closed form numerically stable at 6 decimals across engines.
+    per-user materialization of history.
+
+    HASH-STABLE BY CONSTRUCTION (same design as `user_value_trend`,
+    round-5 guard-band finding: raw rolling slopes sit as close as
+    5.3e-13 to a rounding half-boundary): the frame sums are EXACT
+    decimal/integer arithmetic over integer-microsecond x and
+    DECIMAL(6,2) y, so any window evaluation strategy (running state,
+    segment tree, re-scan) yields bit-identical statistics; the
+    closed form is then a fixed DOUBLE op sequence mirrored verbatim
+    in the oracle. Constant-x frames emit NULL via an exact integer
+    min/max guard instead of engine-specific regr_slope semantics.
     """
     ev = _t(spark, sf_dir, "events")
-    x = F.col("ts").cast("timestamp").cast("double") - F.lit(1704067200.0)
+    xu = F.unix_micros(F.col("ts").cast("timestamp")) - F.lit(
+        1704067200000000
+    )
+    yd = F.col("value").cast("decimal(6,2)")
+    xd19 = F.col("xu").cast("decimal(19,0)")
     w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w_frame = w_ord.rowsBetween(-9, 0)
-    out = ev.select(
+    base = ev.select(
         "user_id",
         "event_id",
+        "ts",
+        xu.alias("xu"),
+        yd.alias("yd"),
         F.row_number().over(w_ord).alias("rn"),
-        _roundz(F.regr_slope(F.col("value"), x).over(w_frame), 6).alias(
-            "slope_10"
-        ),
     )
-    return out.where(F.col("rn") >= 10).select(
-        "user_id", "event_id", "slope_10"
+    w_frame = Window.partitionBy("user_id").orderBy("rn").rowsBetween(-9, 0)
+    s = base.select(
+        "user_id",
+        "event_id",
+        "rn",
+        F.sum(F.col("xu").cast("decimal(20,0)")).over(w_frame).alias("sx"),
+        F.sum("yd").over(w_frame).alias("sy"),
+        F.sum(xd19 * F.col("yd")).over(w_frame).alias("sxy"),
+        F.sum(xd19 * xd19).over(w_frame).alias("sxx"),
+        F.max("xu").over(w_frame).alias("xmax"),
+        F.min("xu").over(w_frame).alias("xmin"),
+    )
+    n = F.lit(10.0)
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope_us = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.where(F.col("rn") >= 10).select(
+        "user_id",
+        "event_id",
+        F.when(
+            F.col("xmax") > F.col("xmin"),
+            _roundz(slope_us * F.lit(1000000.0), 6),
+        ).alias("slope_10"),
     )
 
 
@@ -7099,9 +7250,18 @@ def q_j13_jw(spark, sf_dir):
     )
 
 
+# EWMA weights 0.9^k for k = 0..19 as SHARED LITERALS: both engines
+# index the same 20 doubles instead of each calling its own libm
+# pow() (JVM Math.pow and C libm may differ in the last ulp), so the
+# weighted sums are bit-identical given the identical fold order.
+# repr() round-trips each double exactly through both SQL parsers.
+_EWMA_W = [0.9**k for k in range(20)]
+_EWMA_W_SQL = "[" + ", ".join(repr(w) for w in _EWMA_W) + "]"
+
+
 @register(
     "ewma_user_value",
-    """
+    f"""
     WITH w AS (
       SELECT user_id, event_id, value,
              list(value) OVER (PARTITION BY user_id
@@ -7112,10 +7272,12 @@ def q_j13_jw(spark, sf_dir):
     SELECT user_id, event_id, round(value, 4) AS value,
            round(
              list_aggregate(list_transform(arr,
-               (x, i) -> x * pow(0.9, len(arr) - i)), 'sum')
+               (x, i) -> x * ({_EWMA_W_SQL}::DOUBLE[])[len(arr) - i + 1]),
+               'sum')
              / list_aggregate(list_transform(arr,
-               (x, i) -> pow(0.9, len(arr) - i)), 'sum'),
-             6) AS ewma
+               (x, i) -> ({_EWMA_W_SQL}::DOUBLE[])[len(arr) - i + 1]),
+               'sum'),
+             6) + 0 AS ewma
     FROM w
     """,
 )
@@ -7132,9 +7294,15 @@ def q_ewma(spark, sf_dir):
     Scale shape: ONE user-keyed shuffle for the window; per-row state
     is a ≤20-element array folded JVM-side (`transform`+`aggregate`
     HOFs — no UDF); (ts, event_id) is a total order so the frame
-    content is deterministic. Products and the left-to-right fold
-    mirror the oracle's `list_transform`/`list_aggregate` exactly, so
-    the doubles agree bit-for-bit before rounding.
+    content is deterministic.
+
+    HASH-STABLE BY CONSTRUCTION (round-5 guard-band finding: raw ewma
+    values at sf0.1 sit 2.8e-11 from a rounding half-boundary): the
+    weights are the module-level `_EWMA_W` DOUBLE LITERALS embedded in
+    both plans — no engine-local pow() — and the left-to-right fold
+    order mirrors the oracle's `list_aggregate` exactly, so identical
+    inputs go through an identical double op sequence on both engines
+    and the quotient is bit-identical before the round.
     """
     e = _t(spark, sf_dir, "events").where(
         F.col("event_type") == "purchase"
@@ -7146,19 +7314,21 @@ def q_ewma(spark, sf_dir):
     )
     arr = F.collect_list("value").over(w)
     n = F.size(F.col("arr"))
+    weights = F.array(*[F.lit(wk) for wk in _EWMA_W])
     # Spark HOF lambda index is 0-based (DuckDB's is 1-based): element
     # i of an n-array gets weight 0.9^(n-1-i) — newest (i = n-1) gets
-    # 0.9^0, matching the oracle's len(arr) - i with i starting at 1
+    # 0.9^0 == _EWMA_W[0], matching the oracle's [len(arr) - i + 1]
+    # with i starting at 1 (element_at is 1-based: index n-1-i+1)
     num = F.aggregate(
         F.transform(
-            F.col("arr"), lambda x, i: x * F.pow(F.lit(0.9), n - 1 - i)
+            F.col("arr"), lambda x, i: x * F.element_at(weights, n - i)
         ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     den = F.aggregate(
         F.transform(
-            F.col("arr"), lambda x, i: F.pow(F.lit(0.9), n - 1 - i)
+            F.col("arr"), lambda x, i: F.element_at(weights, n - i)
         ),
         F.lit(0.0),
         lambda acc, x: acc + x,
@@ -7169,7 +7339,7 @@ def q_ewma(spark, sf_dir):
             "user_id",
             "event_id",
             F.round("value", 4).alias("value"),
-            F.round(num / den, 6).alias("ewma"),
+            _roundz(num / den, 6).alias("ewma"),
         )
     )
 

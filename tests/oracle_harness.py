@@ -95,11 +95,26 @@ def _canon_cell(x) -> str:
 
 def _canon_rows(df: pd.DataFrame) -> list[tuple[str, ...]]:
     """Order-insensitive canonical form: each row a tuple of canonical
-    cell strings over name-sorted columns, rows sorted."""
-    cols = sorted(df.columns)
+    cell strings over name-sorted columns, rows sorted.
+
+    Column-level DATE rule: a datetime column whose every non-null
+    value is midnight formats as date-only. This mirrors the driver
+    (pandas prints all-midnight datetime64 columns date-only), so a
+    Spark DATE column hashes equal to the oracle's midnight TIMESTAMP
+    column — the three date-typed registry queries have green driver
+    rows with exactly this shape. A MIXED-time column keeps full
+    timestamps for every cell, midnight ones included, on both sides.
+    """
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            nonnull = s.dropna()
+            if len(nonnull) and (nonnull.dt.normalize() == nonnull).all():
+                df[c] = s.dt.strftime("%Y-%m-%d")
     rows = [
         tuple(_canon_cell(x) for x in tup)
-        for tup in df[cols].itertuples(index=False, name=None)
+        for tup in df.itertuples(index=False, name=None)
     ]
     rows.sort()
     return rows

@@ -62,6 +62,37 @@ def test_datetime_precision_fails(con):
     assert not bad["match"]
 
 
+def test_date_equals_midnight_timestamp_column(con):
+    """A Spark DATE column and the oracle's all-midnight TIMESTAMP
+    column hash equal (the driver's pandas formatting prints both
+    date-only) — but a mixed-time column keeps full timestamps."""
+    import datetime
+
+    spark_side = _FakeSparkDF(
+        pd.DataFrame({"d": [datetime.date(1996, 9, 16)]})
+    )
+    assert compare(spark_side, con, "SELECT TIMESTAMP '1996-09-16' AS d")[
+        "match"
+    ]
+    mixed = _FakeSparkDF(
+        pd.DataFrame(
+            {
+                "d": [
+                    pd.Timestamp("1996-09-16 00:00:00"),
+                    pd.Timestamp("1996-09-16 12:00:00"),
+                ]
+            }
+        )
+    )
+    res = compare(
+        mixed,
+        con,
+        "SELECT * FROM (VALUES (TIMESTAMP '1996-09-16'),"
+        " (TIMESTAMP '1996-09-16 12:00:00')) t(d)",
+    )
+    assert res["match"]
+
+
 def test_same_float_different_source_notation_matches(con):
     """1e-07 vs 0.0000001 are the SAME double — notation in the SQL
     text must not matter once values are canonicalized."""
