@@ -455,6 +455,8 @@ def main() -> None:
             "cc_star_chain",
             "er_sorted_neighborhood",
             "bm25_top_docs",
+            "text_fingerprints",
+            "inverted_index_postings",
         ]
     )
     if only:
@@ -539,6 +541,41 @@ def main() -> None:
         thunks["bm25_top_docs"] = lambda: REGISTRY["bm25_top_docs"].fn(
             spark, scaled_dir()
         ).count()
+
+        def _floored_registry_count(name: str) -> int:
+            # VERDICT r4 item 7: the two queries that apply
+            # parallelism_floor, run on the amplified corpus — verify
+            # the floor's guard on whichever branch this k's corpus
+            # exercises: a multi-file scan (amplified k >= ~4) already
+            # has >= cores partitions and MUST come back unchanged (no
+            # extra exchange ever reaches a real corpus); the 1x
+            # rewrite is still one part file, where the floor fires
+            # exactly as it does on the raw sf tables.
+            from common_survey_data_pipeline_spark.sources.tables import (
+                load_table,
+                parallelism_floor,
+            )
+
+            docs = load_table(spark, scaled_dir(), "documents")
+            have = docs.rdd.getNumPartitions()
+            want = spark.sparkContext.defaultParallelism
+            is_noop = parallelism_floor(docs) is docs
+            assert is_noop == (have >= want), (
+                f"parallelism_floor guard mismatch: {have} scan "
+                f"partitions vs want {want}, noop={is_noop}"
+            )
+            print(
+                f"    [{name}] scan partitions={have}, floor "
+                + ("NO-OP (multi-file path)" if is_noop else "ACTIVE")
+            )
+            return REGISTRY[name].fn(spark, scaled_dir()).count()
+
+        thunks["text_fingerprints"] = lambda: _floored_registry_count(
+            "text_fingerprints"
+        )
+        thunks["inverted_index_postings"] = lambda: _floored_registry_count(
+            "inverted_index_postings"
+        )
         for name, thunk in thunks.items():
             if name not in results:
                 continue
