@@ -3476,7 +3476,9 @@ def q_pii_redact(spark, sf_dir):
     )
     SELECT t.doc_id,
            count(*) AS n_tokens,
-           round(avg(ln(f.tf / f.total)), 4) AS avg_logprob
+           round(sum(CAST(round_even(ln(f.tf / f.total) * 1000000000.0, 0)
+                          AS BIGINT))::DOUBLE
+                 / count(*)::DOUBLE / 1000000000.0, 4) + 0 AS avg_logprob
     FROM toks t JOIN freqs f USING (tok)
     GROUP BY t.doc_id
     """,
@@ -3493,6 +3495,19 @@ def q_unigram_logprob(spark, sf_dir):
     Spark's AQE broadcasts it at runtime, so the corpus shuffles once
     (the per-doc group-by), never on the join. The windowed total is a
     1-row aggregate, not a data-wide window.
+
+    HASH-STABLE BY CONSTRUCTION (round-5 sf1 guard-band finding: with
+    560k output docs the closest raw mean sits 2.3e-10 from a rounding
+    half-boundary — a 50k-row output ALWAYS puts some value near a
+    boundary, so per-doc float-averaging order must not matter): each
+    token's log-probability is quantized to integer NANO-NATS
+    (nearest-even `rint` ≡ `round_even` on the identical
+    `log(tf/total)` double), the per-doc sum is exact int64, and the
+    mean is one fixed double division sequence. The only residual
+    cross-engine surface is libm log itself, whose last-ulp wobble
+    lands on a rint boundary with probability ~1e-7 per distinct
+    (tf, total) pair — and then moves one doc's mean by 1e-9/n, eight
+    orders below the 4-decimal round.
     """
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
@@ -3501,11 +3516,17 @@ def q_unigram_logprob(spark, sf_dir):
     freqs = toks.groupBy("tok").agg(F.count("*").alias("tf"))
     total = freqs.agg(F.sum("tf").alias("total"))
     scored = toks.join(freqs, "tok").crossJoin(F.broadcast(total))
+    qnat = F.expr(
+        "CAST(rint(ln(tf / total) * 1000000000.0) AS BIGINT)"
+    )
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
-        F.round(F.avg(F.log(F.col("tf") / F.col("total"))), 4).alias(
-            "avg_logprob"
-        ),
+        _roundz(
+            F.sum(qnat).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1000000000.0),
+            4,
+        ).alias("avg_logprob"),
     )
 
 
