@@ -22,8 +22,11 @@ products per Arrow batch; the combine sums them as exact decimals and
 the covariance is a fixed DOUBLE op sequence over identical inputs —
 bit-identical on any engine, any partitioning. The 1e-6 quantization
 perturbs a covariance of O(1)-scaled vectors by ≲ 2e-6·E|x| (µ ≪ the
-6-decimal output round for unit-scale embeddings); the input-domain
-contract is |x| ≤ ~3e4 so a batch of 10k rows keeps Σ|q_i·q_j| < 2⁶³.
+6-decimal output round for unit-scale embeddings). INPUT-DOMAIN
+CONTRACT: a batch of r rows keeps Σ|q_i·q_j| ≤ r·max(q)² and must stay
+under 2⁶³, so max|x| ≤ √(2⁶³/r)/1e6 — ≈ 30 for the default 10k-row
+Arrow batches (unit-scale embeddings clear it by 50×). The kernel
+CHECKS the bound per batch and raises instead of wrapping.
 """
 
 from __future__ import annotations
@@ -67,14 +70,25 @@ def embedding_covariance(
             # double product (np.rint == IEEE roundTiesToEven ==
             # DuckDB round_even(x, 0))
             q = np.rint(x * _Q).astype(np.int64)
+            # enforce the module's input-domain contract LOUDLY:
+            # numpy int64 matmul wraps silently on overflow, which
+            # would diverge from the exact HUGEINT oracle
+            qmax = float(np.abs(q).max(initial=0))
+            if qmax * qmax * q.shape[0] >= 2.0**63:
+                raise ValueError(
+                    "embedding_covariance: |x| too large for the exact "
+                    f"int64 Gram path (max|q|={qmax:.3g} over "
+                    f"{q.shape[0]} rows; need max|x| <= "
+                    f"{(2.0**63 / q.shape[0]) ** 0.5 / _Q:.3g}); rescale "
+                    "the embeddings or lower the quantization scale"
+                )
             if iu is None:
                 iu, ju = np.triu_indices(q.shape[1])
             # one EXACT int64 partial per Arrow batch (~10k rows), not
-            # per partition: bounds Σ|q_i·q_j| ≤ rows·max|q|² < 2⁶³
-            # for the documented input domain, at the price of
-            # O(d²·batches) shuffle rows — still vanishing vs inputs
+            # per partition — O(d²·batches) shuffle rows, still
+            # vanishing vs inputs
             s = q.sum(axis=0, dtype=np.int64)
-            g = (q.T @ q).astype(np.int64)
+            g = q.T @ q
             yield pd.DataFrame(
                 {
                     "i": (iu + 1).astype("int32"),

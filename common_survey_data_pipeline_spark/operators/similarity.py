@@ -22,7 +22,6 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -45,6 +44,16 @@ def l2_norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
+
+
+def _round6z(col: Column) -> Column:
+    """Round a similarity to 6 decimals and canonicalize IEEE signed
+    zero (+ 0.0: −0.0 + 0.0 = +0.0, identity otherwise), so a
+    near-zero rounded cosine prints identically in Spark and DuckDB
+    (see workload._roundz) and sorts in one tie-group in both engines.
+    Every rounded-similarity path — expr or matmul — must go through
+    this or its numpy twin (np.round(...) + 0.0)."""
+    return F.round(col, 6) + F.lit(0.0)
 
 
 def cosine_topk(
@@ -94,11 +103,7 @@ def cosine_topk(
     if exclude_self:
         joined = joined.where(F.col("vec_id") != F.col("query_id"))
     scored = joined.withColumn(
-        "cosine_sim",
-        # + 0.0 canonicalizes IEEE -0.0 -> +0.0 so a near-zero rounded
-        # similarity prints identically in Spark and DuckDB (see
-        # workload._roundz) and sorts in one tie-group in both engines
-        F.round(cosine(F.col("__cv"), F.col("__qv")), 6) + F.lit(0.0),
+        "cosine_sim", _round6z(cosine(F.col("__cv"), F.col("__qv")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc_nulls_last(), F.col("vec_id").asc()
@@ -124,26 +129,24 @@ def _cosine_topk_matmul(
     unit-normalized query matrix, one matmul per corpus partition, emit
     each partition's per-query top-k candidates (already rounded), then
     a global window keeps the true top-k — partial top-k per partition
-    bounds the shuffle at (partitions × queries × k) rows."""
+    bounds the shuffle at (partitions × queries × k) rows.
+
+    LONG-ID CONTRACT: this kernel emits BIGINT ids regardless of the
+    input id types (the mapInPandas schema below is fixed and the
+    kernel ``.astype('int64')``s), so the empty-query early return
+    uses the same fixed schema — empty and non-empty results of THIS
+    strategy always union cleanly. Callers with non-long ids get the
+    widened type on both paths (the expr strategy inherits input types
+    instead)."""
     import pandas as pd
 
     qpd = queries.select(
         F.col(query_id).alias("qid"), F.col(query_vec).alias("qv")
     ).toPandas()
     if len(qpd) == 0:  # np.stack cannot stack zero arrays
-        # derive the id types from the input frames so the empty-result
-        # schema matches the non-empty path (which inherits them)
-        qid_type = queries.schema[query_id].dataType
-        cid_type = corpus.schema[corpus_id].dataType
-        schema = T.StructType(
-            [
-                T.StructField("query_id", qid_type),
-                T.StructField("vec_id", cid_type),
-                T.StructField("cosine_sim", T.DoubleType()),
-                T.StructField("rank", T.IntegerType()),
-            ]
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, vec_id long, cosine_sim double, rank int"
         )
-        return corpus.sparkSession.createDataFrame([], schema)
     q_ids = qpd["qid"].to_numpy()
     qm = np.stack(qpd["qv"].to_numpy()).astype("float64")
     qn = np.linalg.norm(qm, axis=1, keepdims=True)
@@ -157,7 +160,7 @@ def _cosine_topk_matmul(
             cm = np.stack(pdf["cv"].to_numpy()).astype("float64")
             cn = np.linalg.norm(cm, axis=1, keepdims=True)
             cn[cn == 0] = np.nan
-            sims = np.round((cm / cn) @ qmat.T, 6)  # n_c × n_q
+            sims = np.round((cm / cn) @ qmat.T, 6) + 0.0  # n_c × n_q; +0.0 = _round6z twin (-0.0 -> +0.0)
             if exclude_self:
                 sims[c_ids[:, None] == ids_q[None, :]] = np.nan
             out = []
@@ -370,11 +373,7 @@ def signlsh_topk(
     if exclude_self:
         joined = joined.where(F.col("vec_id") != F.col("query_id"))
     scored = joined.withColumn(
-        "cosine_sim",
-        # + 0.0 canonicalizes IEEE -0.0 -> +0.0 so a near-zero rounded
-        # similarity prints identically in Spark and DuckDB (see
-        # workload._roundz) and sorts in one tie-group in both engines
-        F.round(cosine(F.col("__cv"), F.col("__qv")), 6) + F.lit(0.0),
+        "cosine_sim", _round6z(cosine(F.col("__cv"), F.col("__qv")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc_nulls_last(), F.col("vec_id").asc()
@@ -427,7 +426,7 @@ def _exact_neardup_matmul(
             bx = np.stack(pdf["v"].to_numpy()).astype("float64")
             bn = np.linalg.norm(bx, axis=1, keepdims=True)
             bn[bn == 0] = np.nan
-            sims = np.round((bx / bn) @ all_xn.T, 6)
+            sims = np.round((bx / bn) @ all_xn.T, 6) + 0.0  # _round6z twin (-0.0 -> +0.0)
             rows_i, cols_j = np.where(
                 (sims >= threshold) & (b_ids[:, None] < all_ids[None, :])
             )
@@ -542,11 +541,7 @@ def ivf_topk(
     if exclude_self:
         joined = joined.where(F.col("vec_id") != F.col("query_id"))
     scored = joined.withColumn(
-        "cosine_sim",
-        # + 0.0 canonicalizes IEEE -0.0 -> +0.0 so a near-zero rounded
-        # similarity prints identically in Spark and DuckDB (see
-        # workload._roundz) and sorts in one tie-group in both engines
-        F.round(cosine(F.col("__cv"), F.col("__qv")), 6) + F.lit(0.0),
+        "cosine_sim", _round6z(cosine(F.col("__cv"), F.col("__qv")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc_nulls_last(), F.col("vec_id").asc()
@@ -636,10 +631,7 @@ def embedding_neardup_pairs(
         c.join(p, (c["bucket"] == p["bucket"]) & (c["__id"] < p["__pid"]))
         .select("__id", "__v", "__pid", "__pv")
         .dropDuplicates(["__id", "__pid"])
-        .withColumn(
-            # + 0.0: IEEE signed-zero canonicalization (workload._roundz)
-            "cosine_sim", F.round(cosine(F.col("__v"), F.col("__pv")), 6) + F.lit(0.0)
-        )
+        .withColumn("cosine_sim", _round6z(cosine(F.col("__v"), F.col("__pv"))))
         .where(F.col("cosine_sim") >= threshold)
         .select(
             F.col("__id").alias("id_a"),

@@ -3150,9 +3150,16 @@ def q_embedding_centroids(spark, sf_dir):
     engines produce bit-identical values regardless of partition
     order. The 1e-12 quantization is 10⁶× below the 6-decimal output
     round, so the contract value equals the float mean for every
-    practical purpose."""
+    practical purpose. The group sum runs in decimal(38,0) — Spark's
+    bare long sum wraps silently past 2⁶³ (≈1.6e7 unit-scale vectors
+    per group at this quantization) while DuckDB's sum(BIGINT)
+    promotes to HUGEINT; the decimal cast keeps both exact at any
+    group size."""
     emb = _t(spark, sf_dir, "embeddings")
-    q = F.expr("CAST(rint(CAST(v AS DOUBLE) * 1000000000000.0) AS BIGINT)")
+    q = F.expr(
+        "CAST(CAST(rint(CAST(v AS DOUBLE) * 1000000000000.0) AS BIGINT)"
+        " AS DECIMAL(20,0))"
+    )
     return (
         emb.select("label", F.posexplode("embedding").alias("pos0", "v"))
         .groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
@@ -5652,7 +5659,7 @@ def q_k_anonymity(spark, sf_dir):
     """
     WITH e AS (
       SELECT user_id,
-             CAST(value AS DECIMAL(6,2)) AS yd,
+             CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS yc,
              epoch_us(ts::TIMESTAMP)
                - 1704067200000000 AS xu
       FROM events
@@ -5661,25 +5668,27 @@ def q_k_anonymity(spark, sf_dir):
       SELECT user_id,
              count(*) AS n_events,
              sum(CAST(xu AS DECIMAL(20,0))) AS sx,
-             sum(yd) AS sy,
-             sum(CAST(xu AS DECIMAL(19,0)) * yd) AS sxy,
+             sum(CAST(yc AS DECIMAL(20,0))) AS sy,
+             sum(CAST(xu AS DECIMAL(19,0)) * CAST(yc AS DECIMAL(10,0)))
+               AS sxy,
              sum(CAST(xu AS DECIMAL(19,0)) * CAST(xu AS DECIMAL(19,0)))
                AS sxx,
-             sum(yd * yd) AS syy,
+             sum(CAST(yc AS DECIMAL(10,0)) * CAST(yc AS DECIMAL(10,0)))
+               AS syy,
              max(xu) AS xmax, min(xu) AS xmin,
-             max(yd) AS ymax, min(yd) AS ymin
+             max(yc) AS ymax, min(yc) AS ymin
       FROM e GROUP BY user_id
     )
     SELECT user_id, n_events,
            round((n_events::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
-                 / (n_events::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
-                 * 1000000.0, 6) + 0 AS slope_per_sec,
+                 / (n_events::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE),
+                 6) + 0 AS slope_per_sec,
            round((sy::DOUBLE - (n_events::DOUBLE * sxy::DOUBLE
                                 - sx::DOUBLE * sy::DOUBLE)
                               / (n_events::DOUBLE * sxx::DOUBLE
                                  - sx::DOUBLE * sx::DOUBLE)
                               * sx::DOUBLE)
-                 / n_events::DOUBLE, 6) + 0 AS intercept,
+                 / n_events::DOUBLE / 1000000.0, 6) + 0 AS intercept,
            round((n_events::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
                  * (n_events::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
                  / ((n_events::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
@@ -5704,14 +5713,20 @@ def q_user_trend(spark, sf_dir):
     slopes at sf0.1 sit 8.6e-11 from a rounding half-boundary, inside
     cross-engine float-summation noise): the sufficient statistics are
     EXACT — x is integer microseconds centered on 2024-01-01, y the
-    exact DECIMAL(6,2) business value, and every Σ is decimal/integer
-    arithmetic with no float rounding, so both engines' sums are
-    bit-identical regardless of partial-aggregation order. The closed
-    forms then run in DOUBLE over identical inputs with an identical
-    operation sequence (mirrored verbatim in the oracle SQL), so the
-    doubles — and the rounded outputs — match bit-for-bit. Degenerate
-    groups (constant x or constant y) are filtered on exact integer
-    min/max, replacing the engine-specific `regr_r2 IS NOT NULL`.
+    value quantized to integer MICRO-UNITS with nearest-even `rint` ≡
+    `round_even` on the identical double product (NOT a decimal cast:
+    ~11% of event values carry sub-cent and ~3% full double precision,
+    and Spark's double→decimal conversion goes through the shortest
+    string where DuckDB rounds the exact binary expansion — a
+    divergence surface this query must not stand on). Every Σ is then
+    decimal/integer arithmetic with no float rounding, so both
+    engines' sums are bit-identical regardless of partial-aggregation
+    order, and the closed forms run in DOUBLE over identical inputs
+    with an identical operation sequence (mirrored verbatim in the
+    oracle SQL). With y in micro-units and x in µs the unit factors
+    cancel: slope_per_sec = Δy'/Δx directly. Degenerate groups
+    (constant x or constant y) are filtered on exact integer min/max,
+    replacing the engine-specific `regr_r2 IS NOT NULL`.
     """
     ev = _t(spark, sf_dir, "events")
     # parquet surfaces ts as TIMESTAMP_NTZ; hop through TIMESTAMP (UTC
@@ -5719,21 +5734,25 @@ def q_user_trend(spark, sf_dir):
     xu = F.unix_micros(F.col("ts").cast("timestamp")) - F.lit(
         1704067200000000  # micros of 2024-01-01 00:00:00 UTC
     )
-    yd = F.col("value").cast("decimal(6,2)")
-    xd14 = xu.cast("decimal(14,0)")
+    yc = F.expr("CAST(rint(value * 1000000.0) AS BIGINT)")
+    # decimal(19,0) matches the oracle and holds any µs offset this
+    # side of year ~33658; (19,0)² multiplies into (38,0) with scale 0,
+    # so Spark's precision-loss path never rounds
+    xd = F.col("xu").cast("decimal(19,0)")
+    yd = F.col("yc").cast("decimal(10,0)")
     s = ev.select(
-        "user_id", xu.alias("xu"), yd.alias("yd"), xd14.alias("xd")
+        "user_id", xu.alias("xu"), yc.alias("yc")
     ).groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("xu").cast("decimal(20,0)")).alias("sx"),
-        F.sum("yd").alias("sy"),
-        F.sum(F.col("xd") * F.col("yd")).alias("sxy"),
-        F.sum(F.col("xd") * F.col("xd")).alias("sxx"),
-        F.sum(F.col("yd") * F.col("yd")).alias("syy"),
+        F.sum(F.col("yc").cast("decimal(20,0)")).alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
         F.max("xu").alias("xmax"),
         F.min("xu").alias("xmin"),
-        F.max("yd").alias("ymax"),
-        F.min("yd").alias("ymin"),
+        F.max("yc").alias("ymax"),
+        F.min("yc").alias("ymin"),
     )
     n = F.col("n_events").cast("double")
     sx = F.col("sx").cast("double")
@@ -5744,7 +5763,7 @@ def q_user_trend(spark, sf_dir):
     a = n * sxy - sx * sy  # same op order as the oracle text
     b = n * sxx - sx * sx
     c = n * syy - sy * sy
-    slope_us = a / b
+    slope = a / b  # µ-units per µs == value-units per second
     return (
         s.where(
             (F.col("n_events") >= 2)
@@ -5754,8 +5773,10 @@ def q_user_trend(spark, sf_dir):
         .select(
             "user_id",
             "n_events",
-            _roundz(slope_us * F.lit(1000000.0), 6).alias("slope_per_sec"),
-            _roundz((sy - slope_us * sx) / n, 6).alias("intercept"),
+            _roundz(slope, 6).alias("slope_per_sec"),
+            _roundz(
+                (sy - slope * sx) / n / F.lit(1000000.0), 6
+            ).alias("intercept"),
             _roundz(a * a / (b * c), 6).alias("r2"),
         )
     )
@@ -5997,7 +6018,7 @@ def q_mad_outliers(spark, sf_dir):
     """
     WITH seq AS (
       SELECT user_id,
-             value::DECIMAL(14,6) AS v,
+             CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS vc,
              lead(epoch_us(ts)) OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id)
                - epoch_us(ts) AS dur_us
@@ -6005,7 +6026,10 @@ def q_mad_outliers(spark, sf_dir):
     )
     SELECT user_id,
            count(*)::BIGINT AS n_intervals,
-           round(sum(v * dur_us)::DOUBLE / sum(dur_us)::DOUBLE, 6) AS twav
+           round(sum(CAST(vc AS DECIMAL(19,0))
+                     * CAST(dur_us AS DECIMAL(19,0)))::DOUBLE
+                 / sum(CAST(dur_us AS DECIMAL(20,0)))::DOUBLE
+                 / 1000000.0, 6) AS twav
     FROM seq
     WHERE dur_us IS NOT NULL AND dur_us > 0
     GROUP BY user_id
@@ -6020,8 +6044,12 @@ def q_twav(spark, sf_dir):
     Scale shape: one user-keyed shuffle for the lead window, then a
     grouped sum on the SAME key — Spark reuses the window's hash
     partitioning, so the aggregation adds no second exchange.
-    Numerics: durations in exact integer MICROSECONDS (`unix_micros`
-    ≡ DuckDB `epoch_us`) and values in DECIMAL(14,6), so the weighted
+    Numerics (hash-stable by construction): durations in exact integer
+    MICROSECONDS (`unix_micros` ≡ DuckDB `epoch_us`) and values
+    quantized to integer micro-units with nearest-even rint ≡
+    round_even on the identical double (a DECIMAL cast of the raw
+    double would ride each engine's own double→decimal conversion —
+    ~3% of event values carry full double precision), so the weighted
     sum is exact on both engines regardless of accumulation order —
     only the final division happens in double, on identical operands.
     """
@@ -6030,14 +6058,18 @@ def q_twav(spark, sf_dir):
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     seq = ev.select(
         "user_id",
-        F.col("value").cast("decimal(14,6)").alias("v"),
+        F.expr("CAST(rint(value * 1000000.0) AS BIGINT)").alias("vc"),
         (F.lead(us).over(w) - us).alias("dur_us"),
     ).where(F.col("dur_us").isNotNull() & (F.col("dur_us") > 0))
     return seq.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_intervals"),
         F.round(
-            F.sum(F.col("v") * F.col("dur_us")).cast("double")
-            / F.sum("dur_us").cast("double"),
+            F.sum(
+                F.col("vc").cast("decimal(19,0)")
+                * F.col("dur_us").cast("decimal(19,0)")
+            ).cast("double")
+            / F.sum(F.col("dur_us").cast("decimal(20,0)")).cast("double")
+            / F.lit(1000000.0),
             6,
         ).alias("twav"),
     )
@@ -6390,7 +6422,7 @@ def q_embedding_cov(spark, sf_dir):
     """
     WITH e AS (
       SELECT user_id, event_id,
-             CAST(value AS DECIMAL(6,2)) AS yd,
+             CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS yc,
              epoch_us(ts::TIMESTAMP) - 1704067200000000 AS xu,
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) AS rn
@@ -6399,8 +6431,9 @@ def q_embedding_cov(spark, sf_dir):
     s AS (
       SELECT user_id, event_id, rn,
              sum(CAST(xu AS DECIMAL(20,0))) OVER w AS sx,
-             sum(yd) OVER w AS sy,
-             sum(CAST(xu AS DECIMAL(19,0)) * yd) OVER w AS sxy,
+             sum(CAST(yc AS DECIMAL(20,0))) OVER w AS sy,
+             sum(CAST(xu AS DECIMAL(19,0)) * CAST(yc AS DECIMAL(10,0)))
+               OVER w AS sxy,
              sum(CAST(xu AS DECIMAL(19,0)) * CAST(xu AS DECIMAL(19,0)))
                OVER w AS sxx,
              max(xu) OVER w AS xmax, min(xu) OVER w AS xmin
@@ -6411,8 +6444,7 @@ def q_embedding_cov(spark, sf_dir):
     SELECT user_id, event_id,
            CASE WHEN xmax > xmin THEN
              round((10.0 * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
-                   / (10.0 * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
-                   * 1000000.0, 6) + 0
+                   / (10.0 * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6) + 0
            END AS slope_10
     FROM s
     WHERE rn >= 10
@@ -6433,25 +6465,30 @@ def q_user_trend_rolling(spark, sf_dir):
     round-5 guard-band finding: raw rolling slopes sit as close as
     5.3e-13 to a rounding half-boundary): the frame sums are EXACT
     decimal/integer arithmetic over integer-microsecond x and
-    DECIMAL(6,2) y, so any window evaluation strategy (running state,
-    segment tree, re-scan) yields bit-identical statistics; the
-    closed form is then a fixed DOUBLE op sequence mirrored verbatim
-    in the oracle. Constant-x frames emit NULL via an exact integer
-    min/max guard instead of engine-specific regr_slope semantics.
+    nearest-even micro-unit-quantized y (rint ≡ round_even on the
+    identical double — see `user_value_trend` for why a decimal cast
+    of the raw double is not an option), so any window evaluation
+    strategy (running state, segment tree, re-scan) yields
+    bit-identical statistics; the closed form is then a fixed DOUBLE
+    op sequence mirrored verbatim in the oracle, with the µ-unit/µs
+    factors cancelling into value-per-second directly. Constant-x
+    frames emit NULL via an exact integer min/max guard instead of
+    engine-specific regr_slope semantics.
     """
     ev = _t(spark, sf_dir, "events")
     xu = F.unix_micros(F.col("ts").cast("timestamp")) - F.lit(
         1704067200000000
     )
-    yd = F.col("value").cast("decimal(6,2)")
+    yc = F.expr("CAST(rint(value * 1000000.0) AS BIGINT)")
     xd19 = F.col("xu").cast("decimal(19,0)")
+    yd10 = F.col("yc").cast("decimal(10,0)")
     w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
     base = ev.select(
         "user_id",
         "event_id",
         "ts",
         xu.alias("xu"),
-        yd.alias("yd"),
+        yc.alias("yc"),
         F.row_number().over(w_ord).alias("rn"),
     )
     w_frame = Window.partitionBy("user_id").orderBy("rn").rowsBetween(-9, 0)
@@ -6460,8 +6497,8 @@ def q_user_trend_rolling(spark, sf_dir):
         "event_id",
         "rn",
         F.sum(F.col("xu").cast("decimal(20,0)")).over(w_frame).alias("sx"),
-        F.sum("yd").over(w_frame).alias("sy"),
-        F.sum(xd19 * F.col("yd")).over(w_frame).alias("sxy"),
+        F.sum(F.col("yc").cast("decimal(20,0)")).over(w_frame).alias("sy"),
+        F.sum(xd19 * yd10).over(w_frame).alias("sxy"),
         F.sum(xd19 * xd19).over(w_frame).alias("sxx"),
         F.max("xu").over(w_frame).alias("xmax"),
         F.min("xu").over(w_frame).alias("xmin"),
@@ -6471,14 +6508,13 @@ def q_user_trend_rolling(spark, sf_dir):
     sy = F.col("sy").cast("double")
     sxy = F.col("sxy").cast("double")
     sxx = F.col("sxx").cast("double")
-    slope_us = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     return s.where(F.col("rn") >= 10).select(
         "user_id",
         "event_id",
-        F.when(
-            F.col("xmax") > F.col("xmin"),
-            _roundz(slope_us * F.lit(1000000.0), 6),
-        ).alias("slope_10"),
+        F.when(F.col("xmax") > F.col("xmin"), _roundz(slope, 6)).alias(
+            "slope_10"
+        ),
     )
 
 

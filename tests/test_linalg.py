@@ -61,3 +61,13 @@ def test_no_negative_zero(spark):
     x = np.ones((5, 3))
     got = embedding_covariance(_df(spark, x)).collect()
     assert all(str(r["cov"]) == "0.0" for r in got)
+
+
+def test_input_domain_guard_is_loud(spark):
+    # elements past the exact-int64 Gram bound must raise, not wrap
+    # silently into garbage (numpy int64 matmul has no overflow check)
+    import pytest
+
+    x = np.full((4, 3), 3.0e4)
+    with pytest.raises(Exception, match="int64 Gram"):
+        embedding_covariance(_df(spark, x)).collect()

@@ -57,12 +57,12 @@ NOISE_PRONE = (
 # same double, so they round the same way — and the ordinary oracle
 # sweeps enforce the bit-equality. Each entry names its mechanism.
 BIT_STABLE = {
-    "user_value_trend": "integer-µs x, DECIMAL(6,2) y, exact Σ stats",
+    "user_value_trend": "int-µs x, 1e-6 rint-quantized y, exact Σ stats",
     "user_trend_rolling": "exact decimal window sums, n literal 10",
     "ewma_user_value": "shared literal weights, identical fold order",
-    "embedding_centroids": "1e-12 nearest-even quantize, int64 sums",
+    "embedding_centroids": "1e-12 nearest-even quantize, decimal sums",
     "embedding_covariance": "1e-6 nearest-even quantize, int64 X'X",
-    "user_time_weighted_value": "DECIMAL(14,6)·int64-µs exact sums",
+    "user_time_weighted_value": "1e-6 rint-quantized v · int64-µs sums",
     # sf1 measurement (dev-tool run, 560k output docs): raw mean gap
     # 2.3e-10 — converted to integer nano-nat log-probs, exact per-doc
     # int64 sums, one double division

@@ -59,6 +59,26 @@ def test_matmul_strategy_equals_expr(emb, queries):
     assert len(mat) == 100
 
 
+def test_matmul_strategy_no_negative_zero(spark):
+    """Both strategies canonicalize IEEE −0.0: a tiny negative cosine
+    that rounds to zero must PRINT as '0.0' on the matmul path too
+    (np.round alone keeps the sign bit), or the representation-hash
+    contract diverges between strategies."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [-1e-9, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "query_id long, query_vec array<double>"
+    )
+    for strategy in ("expr", "matmul"):
+        rows = cosine_topk(
+            corpus, q, k=5, strategy=strategy
+        ).collect()
+        sims = {r["vec_id"]: r["cosine_sim"] for r in rows}
+        assert str(sims[2]) == "0.0", (strategy, sims)
+
+
 def test_signlsh_recall(emb, queries, exact):
     got = {
         (r["query_id"], r["vec_id"])
