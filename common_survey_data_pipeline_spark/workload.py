@@ -4295,14 +4295,29 @@ def q_kmeans_sizes(spark, sf_dir):
 @register(
     "embedding_dim_stats",
     """
+    WITH q AS (
+      SELECT i,
+             CAST(round_even(e.embedding[i]::DOUBLE * 1000000000000.0, 0)
+                  AS BIGINT) AS qv,
+             e.embedding[i]::DOUBLE AS v
+      FROM embeddings e,
+           unnest(generate_series(1, len(e.embedding))) AS t(i)
+    ),
+    s AS (
+      SELECT i, count(*) AS n,
+             sum(CAST(qv AS DECIMAL(20,0))) AS sq,
+             sum(CAST(qv AS DECIMAL(19,0)) * CAST(qv AS DECIMAL(19,0)))
+               AS sq2,
+             min(v) AS min_v, max(v) AS max_v
+      FROM q GROUP BY i
+    )
     SELECT i::INT AS dim,
-           round(avg(e.embedding[i]::DOUBLE), 6) + 0 AS mean_v,
-           round(stddev_samp(e.embedding[i]::DOUBLE), 6) AS sd_v,
-           min(e.embedding[i]::DOUBLE) AS min_v,
-           max(e.embedding[i]::DOUBLE) AS max_v
-    FROM embeddings e,
-         unnest(generate_series(1, len(e.embedding))) AS t(i)
-    GROUP BY 1
+           round(sq::DOUBLE / n::DOUBLE / 1000000000000.0, 6) + 0 AS mean_v,
+           round(sqrt((n::DOUBLE * sq2::DOUBLE - sq::DOUBLE * sq::DOUBLE)
+                      / (n::DOUBLE * (n::DOUBLE - 1.0)))
+                 / 1000000000000.0, 6) AS sd_v,
+           min_v, max_v
+    FROM s
     """,
 )
 def q_embedding_dim_stats(spark, sf_dir):
@@ -4312,19 +4327,49 @@ def q_embedding_dim_stats(spark, sf_dir):
     drift, clipped values). ``posexplode`` fans each vector into (dim,
     value) pairs JVM-side, then one 64-group aggregation with map-side
     partials; min/max are exact float comparisons, mean/sd rounded to 6.
-    """
+
+    HASH-STABLE BY CONSTRUCTION (round-5 sf1 guard-band measurement:
+    the raw means sat 1.3e-8 from a rounding half-boundary — 13× the
+    band, one scale step from a coin flip): elements quantize to
+    integers at 1e-12 (nearest-even rint ≡ round_even on the identical
+    double), Σq and Σq² run exact in decimal, and mean/sd are a fixed
+    double op sequence — sd via IEEE-754 `sqrt`, which is CORRECTLY
+    ROUNDED by spec, so identical exact sums give an identical sd on
+    both engines. min/max stay raw float comparisons (no rounding, no
+    arithmetic — representation-safe as-is)."""
     emb = _t(spark, sf_dir, "embeddings")
     exploded = emb.select(
         F.posexplode("embedding").alias("pos", "val")
     ).select(
         (F.col("pos") + 1).cast("int").alias("dim"),
         F.col("val").cast("double").alias("v"),
+        F.expr(
+            "CAST(rint(CAST(val AS DOUBLE) * 1000000000000.0) AS BIGINT)"
+        ).alias("qv"),
     )
-    return exploded.groupBy("dim").agg(
-        _roundz(F.avg("v"), 6).alias("mean_v"),
-        F.round(F.stddev_samp("v"), 6).alias("sd_v"),
+    s = exploded.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("qv").cast("decimal(20,0)")).alias("sq"),
+        F.sum(
+            F.col("qv").cast("decimal(19,0)")
+            * F.col("qv").cast("decimal(19,0)")
+        ).alias("sq2"),
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
+    )
+    n = F.col("n").cast("double")
+    sq = F.col("sq").cast("double")
+    sq2 = F.col("sq2").cast("double")
+    return s.select(
+        "dim",
+        _roundz(sq / n / F.lit(1e12), 6).alias("mean_v"),
+        F.round(
+            F.sqrt((n * sq2 - sq * sq) / (n * (n - F.lit(1.0))))
+            / F.lit(1e12),
+            6,
+        ).alias("sd_v"),
+        "min_v",
+        "max_v",
     )
 
 

@@ -41,7 +41,6 @@ NOISE_PRONE = (
     "zipf_fit",
     "categorical_mutual_info",
     "drift_psi_report",
-    "embedding_dim_stats",
     "similarity_topk",
     "bm25_top_docs",
     "rrf_hybrid_search",
@@ -63,6 +62,9 @@ BIT_STABLE = {
     "embedding_centroids": "1e-12 nearest-even quantize, decimal sums",
     "embedding_covariance": "1e-6 nearest-even quantize, int64 X'X",
     "user_time_weighted_value": "1e-6 rint-quantized v · int64-µs sums",
+    # sf1 measurement: raw mean gap 1.3e-8 (13× the band, one scale
+    # step from a flip) — 1e-12 quantize, exact Σq/Σq², IEEE sqrt
+    "embedding_dim_stats": "1e-12 quantize, exact sums, IEEE sqrt sd",
     # sf1 measurement (dev-tool run, 560k output docs): raw mean gap
     # 2.3e-10 — converted to integer nano-nat log-probs, exact per-doc
     # int64 sums, one double division
