@@ -5830,12 +5830,47 @@ def q_user_trend(spark, sf_dir):
 @register(
     "lineitem_correlations",
     """
-    SELECT round(corr(l_quantity, l_extendedprice), 6) + 0 AS q_price_corr,
-           round(corr(l_extendedprice, l_discount), 6) + 0 AS price_disc_corr,
-           round(covar_samp(l_quantity, l_extendedprice), 6) + 0 AS q_price_cov,
-           round(stddev_samp(l_quantity), 6) AS sd_qty,
-           round(stddev_samp(l_extendedprice), 6) AS sd_price
-    FROM lineitem
+    WITH q AS (
+      SELECT CAST(round_even(l_quantity * 100.0, 0) AS BIGINT) AS qc,
+             CAST(round_even(l_extendedprice * 10000.0, 0) AS BIGINT) AS pc,
+             CAST(round_even(l_discount * 1000000.0, 0) AS BIGINT) AS dc
+      FROM lineitem
+    ),
+    s AS (
+      SELECT count(*) AS n,
+             sum(CAST(qc AS DECIMAL(20,0))) AS sq,
+             sum(CAST(pc AS DECIMAL(20,0))) AS sp,
+             sum(CAST(dc AS DECIMAL(20,0))) AS sd,
+             sum(CAST(qc AS DECIMAL(19,0)) * CAST(pc AS DECIMAL(19,0)))
+               AS sqp,
+             sum(CAST(pc AS DECIMAL(19,0)) * CAST(dc AS DECIMAL(19,0)))
+               AS spd,
+             sum(CAST(qc AS DECIMAL(19,0)) * CAST(qc AS DECIMAL(19,0)))
+               AS sqq,
+             sum(CAST(pc AS DECIMAL(19,0)) * CAST(pc AS DECIMAL(19,0)))
+               AS spp,
+             sum(CAST(dc AS DECIMAL(19,0)) * CAST(dc AS DECIMAL(19,0)))
+               AS sdd
+      FROM q
+    )
+    SELECT round((n::DOUBLE * sqp::DOUBLE - sq::DOUBLE * sp::DOUBLE)
+                 / sqrt((n::DOUBLE * sqq::DOUBLE - sq::DOUBLE * sq::DOUBLE)
+                        * (n::DOUBLE * spp::DOUBLE - sp::DOUBLE * sp::DOUBLE)),
+                 6) + 0 AS q_price_corr,
+           round((n::DOUBLE * spd::DOUBLE - sp::DOUBLE * sd::DOUBLE)
+                 / sqrt((n::DOUBLE * spp::DOUBLE - sp::DOUBLE * sp::DOUBLE)
+                        * (n::DOUBLE * sdd::DOUBLE - sd::DOUBLE * sd::DOUBLE)),
+                 6) + 0 AS price_disc_corr,
+           round((n::DOUBLE * sqp::DOUBLE - sq::DOUBLE * sp::DOUBLE)
+                 / (n::DOUBLE * (n::DOUBLE - 1.0)) / 1000000.0, 6) + 0
+             AS q_price_cov,
+           round(sqrt((n::DOUBLE * sqq::DOUBLE - sq::DOUBLE * sq::DOUBLE)
+                      / (n::DOUBLE * (n::DOUBLE - 1.0))) / 100.0, 6)
+             AS sd_qty,
+           round(sqrt((n::DOUBLE * spp::DOUBLE - sp::DOUBLE * sp::DOUBLE)
+                      / (n::DOUBLE * (n::DOUBLE - 1.0))) / 10000.0, 6)
+             AS sd_price
+    FROM s
     """,
 )
 def q_lineitem_corr(spark, sf_dir):
@@ -5844,20 +5879,55 @@ def q_lineitem_corr(spark, sf_dir):
     aggregate family that rounds out `stats_moments`' single-column
     skew/kurtosis: one full-table pass, constant per-pair state merged
     with map-side partials, no shuffle beyond the final 1-row combine.
+
+    HASH-STABLE BY CONSTRUCTION (round-5 sf1 guard-band measurement:
+    the raw q/price correlation sat 9.9e-9 from a rounding
+    half-boundary — 10× the band): inputs quantize to integers with
+    nearest-even rint on the identical doubles (quantity at 1e-2,
+    price at 1e-4, discount at 1e-6 — ~11% of prices and ~10% of
+    discounts carry sub-cent noise, so a decimal cast would ride each
+    engine's own double→decimal conversion), all five sufficient sums
+    run exact in decimal, and the closed forms — corr = A/√(B·C),
+    covar = A/(n(n−1)), sd = √(B/(n(n−1))) — are fixed double op
+    sequences through IEEE-correctly-rounded sqrt, mirrored verbatim
+    in the oracle. Correlation is invariant to the quantization
+    scales; covar/sd divide them back out.
     """
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        _roundz(F.corr("l_quantity", "l_extendedprice"), 6).alias(
-            "q_price_corr"
-        ),
-        _roundz(F.corr("l_extendedprice", "l_discount"), 6).alias(
-            "price_disc_corr"
-        ),
-        _roundz(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias(
-            "q_price_cov"
-        ),
-        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
-        F.round(F.stddev_samp("l_extendedprice"), 6).alias("sd_price"),
+    s = li.select(
+        F.expr("CAST(rint(l_quantity * 100.0) AS BIGINT)").alias("qc"),
+        F.expr("CAST(rint(l_extendedprice * 10000.0) AS BIGINT)").alias("pc"),
+        F.expr("CAST(rint(l_discount * 1000000.0) AS BIGINT)").alias("dc"),
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    agg = s.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("qc").cast("decimal(20,0)")).alias("sq"),
+        F.sum(F.col("pc").cast("decimal(20,0)")).alias("sp"),
+        F.sum(F.col("dc").cast("decimal(20,0)")).alias("sd"),
+        F.sum(d19("qc") * d19("pc")).alias("sqp"),
+        F.sum(d19("pc") * d19("dc")).alias("spd"),
+        F.sum(d19("qc") * d19("qc")).alias("sqq"),
+        F.sum(d19("pc") * d19("pc")).alias("spp"),
+        F.sum(d19("dc") * d19("dc")).alias("sdd"),
+    )
+    n = F.col("n").cast("double")
+    sq, sp, sd = (F.col(c).cast("double") for c in ("sq", "sp", "sd"))
+    sqp, spd, sqq, spp, sdd = (
+        F.col(c).cast("double") for c in ("sqp", "spd", "sqq", "spp", "sdd")
+    )
+    a_qp = n * sqp - sq * sp
+    a_pd = n * spd - sp * sd
+    b_q = n * sqq - sq * sq
+    b_p = n * spp - sp * sp
+    b_d = n * sdd - sd * sd
+    nn1 = n * (n - F.lit(1.0))
+    return agg.select(
+        _roundz(a_qp / F.sqrt(b_q * b_p), 6).alias("q_price_corr"),
+        _roundz(a_pd / F.sqrt(b_p * b_d), 6).alias("price_disc_corr"),
+        _roundz(a_qp / nn1 / F.lit(1000000.0), 6).alias("q_price_cov"),
+        F.round(F.sqrt(b_q / nn1) / F.lit(100.0), 6).alias("sd_qty"),
+        F.round(F.sqrt(b_p / nn1) / F.lit(10000.0), 6).alias("sd_price"),
     )
 
 

@@ -36,7 +36,6 @@ from tests.oracle_harness import duck_connection
 # flip, so the band below is enforced. Decimal money paths (exact by
 # construction) and integer/ratio-of-small-ints outputs are excluded.
 NOISE_PRONE = (
-    "lineitem_correlations",
     "stats_moments",
     "zipf_fit",
     "categorical_mutual_info",
@@ -65,6 +64,9 @@ BIT_STABLE = {
     # sf1 measurement: raw mean gap 1.3e-8 (13× the band, one scale
     # step from a flip) — 1e-12 quantize, exact Σq/Σq², IEEE sqrt
     "embedding_dim_stats": "1e-12 quantize, exact sums, IEEE sqrt sd",
+    # sf1 measurement: raw q/price corr gap 9.9e-9 (10× the band) —
+    # per-column rint quantization, exact Σ stats, corr = A/√(B·C)
+    "lineitem_correlations": "rint-quantized cols, exact Σ, IEEE sqrt",
     # sf1 measurement (dev-tool run, 560k output docs): raw mean gap
     # 2.3e-10 — converted to integer nano-nat log-probs, exact per-doc
     # int64 sums, one double division
