@@ -68,20 +68,25 @@ def embedding_covariance(
             x = np.array(vecs.tolist(), dtype=np.float64)
             # quantize exactly like the oracle: nearest-even on the
             # double product (np.rint == IEEE roundTiesToEven ==
-            # DuckDB round_even(x, 0))
-            q = np.rint(x * _Q).astype(np.int64)
+            # DuckDB round_even(x, 0)) — keep the float result until
+            # AFTER the bound check: a double→int64 cast of an
+            # out-of-range value wraps (typically to INT64_MIN, whose
+            # np.abs is still negative), so a post-cast max() could
+            # miss the offending element and let corrupted q through
+            qf = np.rint(x * _Q)
             # enforce the module's input-domain contract LOUDLY:
             # numpy int64 matmul wraps silently on overflow, which
             # would diverge from the exact HUGEINT oracle
-            qmax = float(np.abs(q).max(initial=0))
-            if qmax * qmax * q.shape[0] >= 2.0**63:
+            qmax = float(np.abs(qf).max(initial=0.0))
+            if qmax * qmax * qf.shape[0] >= 2.0**63:
                 raise ValueError(
                     "embedding_covariance: |x| too large for the exact "
                     f"int64 Gram path (max|q|={qmax:.3g} over "
-                    f"{q.shape[0]} rows; need max|x| <= "
-                    f"{(2.0**63 / q.shape[0]) ** 0.5 / _Q:.3g}); rescale "
+                    f"{qf.shape[0]} rows; need max|x| <= "
+                    f"{(2.0**63 / qf.shape[0]) ** 0.5 / _Q:.3g}); rescale "
                     "the embeddings or lower the quantization scale"
                 )
+            q = qf.astype(np.int64)
             if iu is None:
                 iu, ju = np.triu_indices(q.shape[1])
             # one EXACT int64 partial per Arrow batch (~10k rows), not

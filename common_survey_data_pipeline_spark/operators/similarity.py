@@ -131,21 +131,22 @@ def _cosine_topk_matmul(
     a global window keeps the true top-k — partial top-k per partition
     bounds the shuffle at (partitions × queries × k) rows.
 
-    LONG-ID CONTRACT: this kernel emits BIGINT ids regardless of the
-    input id types (the mapInPandas schema below is fixed and the
-    kernel ``.astype('int64')``s), so the empty-query early return
-    uses the same fixed schema — empty and non-empty results of THIS
-    strategy always union cleanly. Callers with non-long ids get the
-    widened type on both paths (the expr strategy inherits input types
-    instead)."""
+    Id types are DERIVED from the inputs (string/UUID ids round-trip
+    unchanged): the mapInPandas schema and the empty-query early
+    return both use the query/corpus id columns' own Spark types, so
+    empty and non-empty results of this strategy always union cleanly
+    and match the expr strategy's schema."""
     import pandas as pd
 
+    qid_t = queries.schema[query_id].dataType.simpleString()
+    cid_t = corpus.schema[corpus_id].dataType.simpleString()
+    out_schema = f"query_id {qid_t}, vec_id {cid_t}, cosine_sim double"
     qpd = queries.select(
         F.col(query_id).alias("qid"), F.col(query_vec).alias("qv")
     ).toPandas()
     if len(qpd) == 0:  # np.stack cannot stack zero arrays
         return corpus.sparkSession.createDataFrame(
-            [], "query_id long, vec_id long, cosine_sim double, rank int"
+            [], out_schema + ", rank int"
         )
     q_ids = qpd["qid"].to_numpy()
     qm = np.stack(qpd["qv"].to_numpy()).astype("float64")
@@ -177,18 +178,17 @@ def _cosine_topk_matmul(
                     pd.DataFrame(
                         {
                             "query_id": qid,
-                            "vec_id": c_ids[order].astype("int64"),
+                            "vec_id": c_ids[order],
                             "cosine_sim": col[order],
                         }
                     )
                 )
-            yield pd.concat(out) if out else pd.DataFrame(
-                {"query_id": [], "vec_id": [], "cosine_sim": []}
-            ).astype({"query_id": "int64", "vec_id": "int64", "cosine_sim": "float64"})
+            if out:  # a batch with no survivors simply yields nothing
+                yield pd.concat(out)
 
     partial = corpus.select(
         F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cv")
-    ).mapInPandas(block, "query_id long, vec_id long, cosine_sim double")
+    ).mapInPandas(block, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc_nulls_last(), F.col("vec_id").asc()
     )

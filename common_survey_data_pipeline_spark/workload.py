@@ -5714,11 +5714,11 @@ def q_k_anonymity(spark, sf_dir):
              count(*) AS n_events,
              sum(CAST(xu AS DECIMAL(20,0))) AS sx,
              sum(CAST(yc AS DECIMAL(20,0))) AS sy,
-             sum(CAST(xu AS DECIMAL(19,0)) * CAST(yc AS DECIMAL(10,0)))
+             sum(CAST(xu AS DECIMAL(19,0)) * CAST(yc AS DECIMAL(19,0)))
                AS sxy,
              sum(CAST(xu AS DECIMAL(19,0)) * CAST(xu AS DECIMAL(19,0)))
                AS sxx,
-             sum(CAST(yc AS DECIMAL(10,0)) * CAST(yc AS DECIMAL(10,0)))
+             sum(CAST(yc AS DECIMAL(19,0)) * CAST(yc AS DECIMAL(19,0)))
                AS syy,
              max(xu) AS xmax, min(xu) AS xmin,
              max(yc) AS ymax, min(yc) AS ymin
@@ -5782,9 +5782,13 @@ def q_user_trend(spark, sf_dir):
     yc = F.expr("CAST(rint(value * 1000000.0) AS BIGINT)")
     # decimal(19,0) matches the oracle and holds any µs offset this
     # side of year ~33658; (19,0)² multiplies into (38,0) with scale 0,
-    # so Spark's precision-loss path never rounds
+    # so Spark's precision-loss path never rounds. y gets the SAME
+    # width: a narrower cast (the old (10,0)) silently NULLs in
+    # non-ANSI Spark but raises in DuckDB once |value| >= 1e4 — a
+    # cross-engine divergence surface — and (19,0) operands force
+    # DuckDB's hugeint-backed multiply
     xd = F.col("xu").cast("decimal(19,0)")
-    yd = F.col("yc").cast("decimal(10,0)")
+    yd = F.col("yc").cast("decimal(19,0)")
     s = ev.select(
         "user_id", xu.alias("xu"), yc.alias("yc")
     ).groupBy("user_id").agg(
@@ -6547,7 +6551,7 @@ def q_embedding_cov(spark, sf_dir):
       SELECT user_id, event_id, rn,
              sum(CAST(xu AS DECIMAL(20,0))) OVER w AS sx,
              sum(CAST(yc AS DECIMAL(20,0))) OVER w AS sy,
-             sum(CAST(xu AS DECIMAL(19,0)) * CAST(yc AS DECIMAL(10,0)))
+             sum(CAST(xu AS DECIMAL(19,0)) * CAST(yc AS DECIMAL(19,0)))
                OVER w AS sxy,
              sum(CAST(xu AS DECIMAL(19,0)) * CAST(xu AS DECIMAL(19,0)))
                OVER w AS sxx,
@@ -6596,7 +6600,7 @@ def q_user_trend_rolling(spark, sf_dir):
     )
     yc = F.expr("CAST(rint(value * 1000000.0) AS BIGINT)")
     xd19 = F.col("xu").cast("decimal(19,0)")
-    yd10 = F.col("yc").cast("decimal(10,0)")
+    yd19 = F.col("yc").cast("decimal(19,0)")
     w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
     base = ev.select(
         "user_id",
@@ -6613,7 +6617,7 @@ def q_user_trend_rolling(spark, sf_dir):
         "rn",
         F.sum(F.col("xu").cast("decimal(20,0)")).over(w_frame).alias("sx"),
         F.sum(F.col("yc").cast("decimal(20,0)")).over(w_frame).alias("sy"),
-        F.sum(xd19 * yd10).over(w_frame).alias("sxy"),
+        F.sum(xd19 * yd19).over(w_frame).alias("sxy"),
         F.sum(xd19 * xd19).over(w_frame).alias("sxx"),
         F.max("xu").over(w_frame).alias("xmax"),
         F.min("xu").over(w_frame).alias("xmin"),

@@ -19,6 +19,7 @@ local OK ⇔ driver green, and a −0.0/+0.0 pair fails loudly
 from __future__ import annotations
 
 import os
+from collections import Counter
 from datetime import date, datetime
 
 import duckdb
@@ -139,14 +140,20 @@ def compare(sdf, con, sql: str) -> dict:
     if a == b:
         out["match"] = True
         return out
+    # Diff as MULTISETS, not positional zip: with equal counts, one
+    # extra/missing row early in sort order would misalign every
+    # subsequent zip pair and print rows that are not each other's
+    # counterpart. Rows unique to each side are the real divergence.
     cols = sorted(spark_pd.columns)
-    diffs = [(ra, rb) for ra, rb in zip(a, b) if ra != rb]
+    ca, cb = Counter(a), Counter(b)
+    only_spark = list((ca - cb).elements())
+    only_oracle = list((cb - ca).elements())
     shown = "\n".join(
-        f"spark : {dict(zip(cols, ra))}\noracle: {dict(zip(cols, rb))}"
-        for ra, rb in diffs[:3]
+        [f"spark-only : {dict(zip(cols, r))}" for r in only_spark[:3]]
+        + [f"oracle-only: {dict(zip(cols, r))}" for r in only_oracle[:3]]
     )
     out["detail"] = (
-        f"{len(diffs)} differing canonical rows (of {len(a)}); first:\n"
-        + shown
+        f"{len(only_spark)} spark-only / {len(only_oracle)} oracle-only "
+        f"canonical rows (of {len(a)}); first:\n" + shown
     )
     return out
