@@ -204,8 +204,27 @@ def main() -> None:
             },
         }
 
-    # full breakdown to a file (unbounded size there)
+    # regression gate: compare each query to the PREVIOUS committed
+    # local record (read before overwriting) so every bench run —
+    # including the driver's — self-reports drift. >1.5× on a ≥0.05s
+    # query is "regressed"; sub-50ms timings are pure noise. Worst 5
+    # by ratio keep the compact line inside its budget; the full map
+    # is in BENCH_LOCAL.json.
     here = os.path.dirname(os.path.abspath(__file__))
+    prev_times: dict[str, float] = {}
+    try:
+        with open(os.path.join(here, "BENCH_LOCAL.json")) as f:
+            prev_times = json.load(f).get("queries", {})
+    except (OSError, ValueError):
+        pass
+    regressed = {
+        name: {"prev": prev_times[name], "now": t}
+        for name, t in times.items()
+        if prev_times.get(name, 0) >= 0.05 and t > 1.5 * prev_times[name]
+    }
+    out["regressions"] = regressed
+
+    # full breakdown to a file (unbounded size there)
     with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
         json.dump(out, f, indent=1)
 
@@ -223,6 +242,12 @@ def main() -> None:
     }
     if "sf1_top10" in out:
         compact["sf1_total"] = out["sf1_top10"]["total"]
+    compact["regressions"] = dict(
+        sorted(
+            regressed.items(),
+            key=lambda kv: -(kv[1]["now"] / kv[1]["prev"]),
+        )[:5]
+    )
     for name, t in sorted(times.items(), key=lambda kv: -kv[1]):
         trial = dict(compact)
         trial["queries"] = {**compact["queries"], name: t}

@@ -770,3 +770,136 @@ def minhash_band_keys(
     return _band_keys(sh, "doc_id", "__shingles", num_hashes, bands).select(
         F.col("__id").alias("doc_id"), "band_key"
     )
+
+
+def substring_dup_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 6,
+) -> DataFrame:
+    """Substring-level exact dedup: per-document MAXIMAL token spans
+    whose every k-token window appears verbatim in at least one OTHER
+    document — the "repeated 50-token run" class of Lee et al.
+    (Deduplicating Training Data Makes Language Models Better), i.e.
+    duplicated *passages* inside otherwise-unique documents, which
+    doc-level dedup (exact / MinHash) cannot see. This generalizes
+    ``decontam.ngram_decontaminate`` from cross-corpus to intra-corpus.
+
+    Output one row per maximal run: ``(id_col, span_start, span_end,
+    span_tokens, n_dup_grams)`` with 1-based inclusive token indices;
+    ``span_tokens = span_end - span_start + 1 = n_dup_grams + k - 1``.
+
+    100 TB shape — equi-joins on hashed shingles, NEVER suffix arrays
+    in memory and never an all-pairs stage:
+
+    1. positional k-gram table ``(doc, pos, xxhash64(gram))`` — one
+       explode, O(corpus tokens) rows, 8-byte keys on the wire;
+    2. cross-document duplicate grams via one hash-keyed groupBy; the
+       ≥2-distinct-docs test is ``min(doc) != max(doc)`` (two longs of
+       map-side-combinable state — no count-distinct);
+    3. hash-keyed equi-join of positions against the duplicate-gram
+       set (AQE broadcasts it when small, skew-splits when not);
+    4. gaps-and-islands run merge: hit positions within one document
+       collapse to maximal runs via ``pos - row_number()`` over a
+       per-document window — per-partition state is bounded by max
+       DOCUMENT length, not corpus size.
+
+    The 64-bit hash keeps shuffle rows narrow; a collision would need
+    ~2³² distinct grams per Birthday bound to appear at all and is
+    shared with the prefix-filter/minhash operators' key design.
+    """
+    from common_survey_data_pipeline_spark.functions.text import word_ngrams
+
+    g = docs.select(
+        F.col(id_col),
+        F.posexplode(word_ngrams(F.col(text_col), k)).alias("pos0", "gram"),
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).alias("pos"),
+        F.xxhash64("gram").alias("gh"),
+    )
+    dup = (
+        g.groupBy("gh")
+        .agg(F.min(id_col).alias("__mn"), F.max(id_col).alias("__mx"))
+        .where(F.col("__mn") != F.col("__mx"))
+        .select("gh")
+    )
+    hits = g.join(dup, "gh").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return runs.groupBy(id_col, "grp").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+        (F.max("pos") + F.lit(k - 1) - F.min("pos") + F.lit(1))
+        .cast("long")
+        .alias("span_tokens"),
+        F.count(F.lit(1)).alias("n_dup_grams"),
+    ).drop("grp")
+
+
+def incremental_pairs_vs_band_table(
+    spark,
+    band_table: str,
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_words: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Incremental near-dup pairs of a fresh ``batch`` against a corpus
+    whose band-key table was ALREADY PERSISTED (bucketed on
+    ``band_key`` via :func:`minhash_band_keys` +
+    ``sources.bucketing.write_bucketed``) — the continuous-ingestion
+    fast path :func:`minhash_incremental_pairs` documents: corpus
+    signatures are NOT recomputed; candidate generation reads the
+    stored table, and because it is bucketed on the join key the
+    corpus side joins with NO Exchange (the corpus paid its one
+    shuffle at write time). Per-increment cost is O(batch) + the
+    candidate verification — never O(corpus).
+
+    ``corpus`` is still needed for the exact-Jaccard VERIFY step, but
+    only candidate corpus docs are touched there (id-keyed equi-join),
+    so the full corpus text is never re-shingled for candidates.
+    Output ``(batch_id, corpus_id, jaccard_sim)`` — identical to
+    :func:`minhash_incremental_pairs` by construction.
+    """
+    from common_survey_data_pipeline_spark.sources.bucketing import read_bucketed
+
+    corpus_bands = read_bucketed(spark, band_table)
+    sh_b = batch.select(
+        F.col(id_col).alias("__id"),
+        word_shingles(F.col(text_col), shingle_words).alias("__shingles"),
+    ).where(F.size("__shingles") > 0).cache()
+    bands_b = _band_keys(sh_b, "__id", "__shingles", num_hashes, bands)
+    cand = (
+        bands_b.select(F.col("__id").alias("batch_id"), "band_key")
+        .join(
+            corpus_bands.select(
+                F.col("doc_id").alias("corpus_id"), "band_key"
+            ),
+            "band_key",
+        )
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    sh_c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        word_shingles(F.col(text_col), shingle_words).alias("__sh_b"),
+    )
+    a = sh_b.select(
+        F.col("__id").alias("batch_id"), F.col("__shingles").alias("__sh_a")
+    )
+    return (
+        cand.join(a, "batch_id")
+        .join(sh_c, "corpus_id")
+        .withColumn(
+            "jaccard_sim",
+            F.round(jaccard(F.col("__sh_a"), F.col("__sh_b")), 6),
+        )
+        .where(F.col("jaccard_sim") >= threshold)
+        .select("batch_id", "corpus_id", "jaccard_sim")
+    )

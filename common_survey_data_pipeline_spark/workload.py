@@ -34,6 +34,7 @@ from common_survey_data_pipeline_spark.operators.decontam import (
 )
 from common_survey_data_pipeline_spark.operators.dedup import (
     minhash_incremental_pairs,
+    substring_dup_spans,
     exact_dedup_groups,
     minhash_dedup_pairs,
     neardup_clusters,
@@ -7645,6 +7646,119 @@ def q_rolling_median(spark, sf_dir):
             F.round("value", 4).alias("value"),
             F.round((lo + hi) / 2.0, 6).alias("rolling_median"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: substring-level exact dedup + persisted-band incremental dedup
+# ---------------------------------------------------------------------------
+
+def _sql_pos_grams(k: int) -> str:
+    """DuckDB positional word k-grams of the ``documents`` table:
+    ``(doc_id, pos, gram)`` with 1-based pos — the SQL twin of the
+    ``posexplode(word_ngrams(...))`` step in
+    ``operators/dedup.py::substring_dup_spans``."""
+    cat = " || ' ' || ".join(f"toks[pos+{j}]" for j in range(k))
+    return f"""
+      SELECT doc_id, pos, {cat} AS gram
+      FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+           unnest(generate_series(1, len(toks) - {k - 1})) AS u(pos)
+    """
+
+
+@register(
+    "substring_dup_spans",
+    f"""
+    WITH g AS ({_sql_pos_grams(6)}),
+    d AS (SELECT gram FROM g GROUP BY gram
+          HAVING min(doc_id) <> max(doc_id)),
+    hits AS (SELECT doc_id, pos FROM g JOIN d USING (gram)),
+    runs AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM hits
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 5 AS BIGINT) AS span_end,
+           CAST(max(pos) + 5 - min(pos) + 1 AS BIGINT) AS span_tokens,
+           count(*) AS n_dup_grams
+    FROM runs GROUP BY doc_id, grp
+    """,
+)
+def q_substring_dup_spans(spark, sf_dir):
+    """Substring-level exact dedup: maximal token runs whose every
+    6-gram window recurs verbatim in another document — the repeated-
+    passage class doc-level dedup cannot see (license headers pasted
+    mid-document, templated paragraphs). Spans, not booleans: the
+    output localizes WHICH tokens to cut from each doc.
+
+    ``operators/dedup.py::substring_dup_spans`` — hashed-shingle
+    equi-joins + a per-document gaps-and-islands window; no suffix
+    structures, no all-pairs stage (plan-pinned in
+    ``tests/test_plan_quality.py``). Oracle: the identical span
+    algebra on gram STRINGS (DuckDB has no xxhash64 — equality on the
+    string key is the same relation the 64-bit hash key induces,
+    collision-free at any realistic gram count)."""
+    docs = _t(spark, sf_dir, "documents")
+    return substring_dup_spans(docs, "text", "doc_id", k=6)
+
+
+@register(
+    "dedup_incremental_persisted",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS shingles
+      FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    )
+    SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+           round(len(list_intersect(b.shingles, c.shingles))::DOUBLE
+                 / NULLIF(len(list_distinct(b.shingles || c.shingles)), 0),
+                 6) AS jaccard_sim
+    FROM sh b JOIN sh c
+      ON (b.doc_id % 10 = 0) AND (c.doc_id % 10 <> 0)
+    WHERE len(b.shingles) > 0 AND len(c.shingles) > 0
+      AND round(len(list_intersect(b.shingles, c.shingles))::DOUBLE
+                / NULLIF(len(list_distinct(b.shingles || c.shingles)), 0),
+                6) >= 0.5
+    """,
+)
+def q_dedup_incremental_persisted(spark, sf_dir):
+    """The PERSISTED form of ``dedup_incremental``: the corpus band-key
+    table is written ONCE as a bucketed table
+    (``operators/dedup.py::minhash_band_keys`` +
+    ``sources/bucketing.py::write_bucketed``, bucketed on ``band_key``)
+    and the fresh batch joins against the STORED table —
+    ``incremental_pairs_vs_band_table`` recomputes zero corpus
+    signatures and the corpus side of the candidate join runs with no
+    Exchange (bucket metadata carries the partitioning; locked by
+    ``tests/test_dedup_incremental_persisted.py``). Same split and
+    same exact-Jaccard oracle as ``dedup_incremental`` — identical
+    output through a different (write-once) physical path; the
+    O(batch)-not-O(corpus) increment cost is measured in SCALING.md.
+    """
+    import re as _re
+
+    from common_survey_data_pipeline_spark.operators.dedup import (
+        incremental_pairs_vs_band_table,
+        minhash_band_keys,
+    )
+    from common_survey_data_pipeline_spark.sources.bucketing import (
+        write_bucketed,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    table = "band_corpus_" + _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    # one-time corpus-side cost (at 100 TB this is the ingest job that
+    # ran yesterday); idempotent overwrite keeps the query re-runnable
+    write_bucketed(
+        minhash_band_keys(corpus, "text", "doc_id"), table, 8, "band_key"
+    )
+    return incremental_pairs_vs_band_table(
+        spark, table, corpus, batch, "text", "doc_id", threshold=0.5
     )
 
 

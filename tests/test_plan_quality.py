@@ -487,3 +487,15 @@ def test_text_fingerprints_is_shuffle_free(run):
     assert len(exchanges) <= 1
     for line in exchanges:
         assert "RoundRobinPartitioning" in line, line
+
+
+def test_substring_dup_spans_has_no_quadratic_stage(run):
+    # hashed-shingle equi-joins + per-doc window; never all-pairs,
+    # never a suffix structure materialized driver-side
+    plan = plan_of(run("substring_dup_spans"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the duplicate-gram detector must be a hash aggregate on the
+    # 64-bit gram hash with map-side partials, not a count-distinct
+    assert "xxhash64" in plan
+    assert "partial_min" in plan or "HashAggregate" in plan
