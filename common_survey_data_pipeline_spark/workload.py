@@ -7763,6 +7763,141 @@ def q_dedup_incremental_persisted(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round 6: URL canonicalization + host-level rollup (web-corpus ETL)
+# ---------------------------------------------------------------------------
+
+# The synthetic tables carry no URL column, so both engines BUILD the
+# same messy URL from (doc_id, source) with this SHARED SQL fragment —
+# valid Spark SQL and DuckDB SQL verbatim (same CASE/||/CAST AS STRING
+# semantics), so the normalization operators on each side see
+# bit-identical inputs. Mixed-case scheme/host, www. prefixes, default
+# and non-default ports, tracking params, and fragments are all
+# exercised.
+_SQL_MESSY_URL = """
+CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END || '://' ||
+CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+source || '.Example.COM' ||
+CASE WHEN doc_id % 5 = 0 THEN ':8080'
+     WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END ||
+'/Docs/' || CAST(doc_id % 7 AS STRING) || '/page' ||
+'?utm_source=feed&id=' || CAST(doc_id AS STRING) ||
+CASE WHEN doc_id % 4 = 0 THEN '&ref=abc' ELSE '' END ||
+'&utm_campaign=x#sec' || CAST(doc_id % 3 AS STRING)
+"""
+
+# DuckDB twin of functions/url.py (no parse_url there): regexp parse +
+# the identical canonicalization rules.
+_SQL_URL_CANON = f"""
+  WITH u AS (SELECT doc_id, lang, n_chars, {_SQL_MESSY_URL} AS url
+             FROM documents),
+  p AS (
+    SELECT doc_id, lang, n_chars, url,
+      lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+      regexp_replace(
+        lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1)),
+        '^www\\.', '') AS host,
+      regexp_extract(url, '^[A-Za-z]+://[^/:?#]+:([0-9]+)', 1) AS port,
+      regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+      array_to_string(
+        list_filter(
+          string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+          pp -> pp <> ''
+                AND NOT regexp_matches(pp, '^(utm_[a-z]+|gclid|fbclid)=')),
+        '&') AS kept
+    FROM u
+  ),
+  canon AS (
+    SELECT doc_id, lang, n_chars, host,
+      scheme || '://' || host ||
+      CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                OR (scheme = 'https' AND port = '443') THEN ''
+           ELSE ':' || port END ||
+      path ||
+      CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canon_url
+    FROM p
+  )
+"""
+
+
+@register(
+    "url_normalize",
+    _SQL_URL_CANON + "SELECT doc_id, canon_url, host FROM canon",
+)
+def q_url_normalize(spark, sf_dir):
+    """URL canonicalization — the normalize-before-anything step of a
+    crawl pipeline (URL-level dedup, host grouping, politeness all key
+    on its output): lowercase scheme/host, strip www. and default
+    ports, drop fragments and utm_*/gclid/fbclid tracking params, keep
+    surviving params in order.
+
+    ``functions/url.py::canonicalize_url`` — ``F.parse_url`` + JVM
+    regex/HOF expressions, zero UDFs: a free codegen map at 100 TB.
+    """
+    from common_survey_data_pipeline_spark.functions.url import (
+        canonicalize_url,
+        url_host,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    u = docs.select("doc_id", F.expr(_SQL_MESSY_URL.strip()).alias("url"))
+    return u.select(
+        "doc_id",
+        canonicalize_url(F.col("url")).alias("canon_url"),
+        url_host(F.col("url")).alias("host"),
+    )
+
+
+@register(
+    "host_rollup",
+    _SQL_URL_CANON
+    + """
+    SELECT host,
+           count(*) AS n_docs,
+           count(DISTINCT lang) AS n_langs,
+           count(DISTINCT canon_url) AS n_urls,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS first_doc
+    FROM canon GROUP BY host
+    """,
+)
+def q_host_rollup(spark, sf_dir):
+    """Host-level corpus rollup over canonical hosts — the per-site
+    quality/quota table every crawl curator keeps (how many docs and
+    distinct pages per host, how much text, which languages). All
+    metrics are EXACT integers (hash-stable by construction; no
+    ratio-rounding surface). One host-keyed shuffle with map-side
+    partials; count-distincts expand per host, bounded by per-host
+    cardinality — the expensive corpus never moves twice.
+    """
+    from common_survey_data_pipeline_spark.functions.url import (
+        canonicalize_url,
+        url_host,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    u = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.expr(_SQL_MESSY_URL.strip()).alias("url"),
+    )
+    c = u.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        url_host(F.col("url")).alias("host"),
+        canonicalize_url(F.col("url")).alias("canon_url"),
+    )
+    return c.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("canon_url").alias("n_urls"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Flagship entry query
 # ---------------------------------------------------------------------------
 
