@@ -14,7 +14,7 @@ gaps-and-islands construction.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -353,3 +353,60 @@ def run_stream_to_memory(
     q.awaitTermination(timeout_s)
     if q.isActive:
         q.stop()
+
+
+def late_data_accounting(
+    events: DataFrame,
+    delay: str = "30 minutes",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    shards: int = 8,
+    arrival_col: str | None = None,
+) -> DataFrame:
+    """Batch REPLAY of watermark late-data semantics: per tumbling hour
+    of EVENT time, how many rows a watermarked streaming aggregation
+    would have accepted vs dropped as too late.
+
+    The replay pins the semantics exactly (Structured Streaming's own
+    drop count depends on nondeterministic micro-batch boundaries, so
+    parity needs a deterministic definition): rows arrive in
+    ``arrival_col`` order (default ``seq_col``) on ``shards`` ingest
+    shards (``seq % shards`` —
+    the per-Kafka-partition arrival model); each shard maintains its
+    running watermark ``max(event time over STRICTLY EARLIER arrivals)
+    − delay``; a row is late-dropped iff its event time is below its
+    shard's watermark at arrival. This is the upper-bound accounting a
+    pipeline operator actually wants ("what would a 30-minute
+    watermark cost me in dropped rows, per hour?") and every metric is
+    an exact integer — hash-stable by construction.
+
+    Scale shape: ONE shard-keyed running-max window (per-shard state =
+    one timestamp; arrival order within a shard is how the data
+    already lands at ingest), then one hour-keyed aggregation with
+    map-side partials. No global-order window anywhere.
+    """
+    arrival = arrival_col or seq_col
+    shard = (F.col(seq_col) % shards).alias("__shard")
+    w = (
+        Window.partitionBy("__shard")
+        .orderBy(arrival, seq_col)  # seq tiebreak keeps replay total
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wm_src = F.max(ts_col).over(w)
+    late = wm_src.isNotNull() & (
+        F.col(ts_col) < wm_src - F.expr(f"INTERVAL {delay}")
+    )
+    cols = [F.col(ts_col), F.col(seq_col), shard]
+    if arrival_col:
+        cols.append(F.col(arrival_col))
+    flagged = events.select(*cols).withColumn("__late", late)
+    return (
+        flagged.groupBy(
+            F.date_trunc("hour", F.col(ts_col)).alias("window_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("__late").cast("long")).alias("n_late_dropped"),
+            F.sum((~F.col("__late")).cast("long")).alias("n_on_time"),
+        )
+    )

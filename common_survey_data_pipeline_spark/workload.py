@@ -7898,6 +7898,149 @@ def q_host_rollup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round 6: watermark late-data accounting (streaming parity, batch form)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_late_data_accounting",
+    """
+    WITH a AS (
+      SELECT event_id, ts,
+             event_id + CASE WHEN event_id % 13 = 0 THEN 997
+                             WHEN event_id % 5 = 0 THEN 7
+                             ELSE 0 END AS arr
+      FROM events
+    ),
+    o AS (
+      SELECT event_id, ts,
+             max(ts) OVER (PARTITION BY event_id % 8
+                           ORDER BY arr, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS wm_src
+      FROM a
+    ),
+    f AS (
+      SELECT ts,
+             (wm_src IS NOT NULL
+              AND ts < wm_src - INTERVAL 30 MINUTE) AS late
+      FROM o
+    )
+    SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start,
+           count(*) AS n_events,
+           CAST(sum(late::BIGINT) AS BIGINT) AS n_late_dropped,
+           CAST(sum((NOT late)::BIGINT) AS BIGINT) AS n_on_time
+    FROM f GROUP BY 1
+    """,
+)
+def q_late_data_accounting(spark, sf_dir):
+    """Watermark late-data ACCOUNTING in batch-checkable form — per
+    event-time hour, the rows a 30-minute-watermark streaming
+    aggregation accepts vs drops, under a pinned deterministic arrival
+    model: 8 ingest shards (event_id % 8), arrival order jittered so
+    every 13th event arrives ~50 event-hours late (beyond the
+    watermark -> dropped) and every 5th ~21 minutes late (inside it ->
+    kept), per-shard running watermark over strictly earlier arrivals. The driver-visible
+    correctness row for the streaming module's watermark semantics;
+    the Structured Streaming execution of the same aggregation is
+    exercised in tests/test_streaming.py.
+
+    ``streaming/events.py::late_data_accounting`` — one shard-keyed
+    running-max window (constant per-shard state) + one hour-keyed
+    exact-integer aggregation. Oracled by identical event-time
+    arithmetic in DuckDB.
+    """
+    from common_survey_data_pipeline_spark.streaming.events import (
+        late_data_accounting,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "arr",
+        F.col("event_id")
+        + F.when(F.col("event_id") % 13 == 0, 997)
+        .when(F.col("event_id") % 5 == 0, 7)
+        .otherwise(0),
+    )
+    return late_data_accounting(ev, "30 minutes", arrival_col="arr")
+
+
+# ---------------------------------------------------------------------------
+# Round 6: grouped approx-quantile error certificate
+# ---------------------------------------------------------------------------
+
+_CERT_PS = (0.25, 0.5, 0.75, 0.875, 0.9375)
+
+
+@register(
+    "quantile_error_certificate",
+    f"""
+    WITH e AS (SELECT event_type,
+                      CAST(round_even(value * 100.0, 0) AS BIGINT) AS cents
+               FROM events WHERE value IS NOT NULL),
+    a AS (
+      SELECT event_type,
+             quantile_cont(cents, {list(_CERT_PS)}) AS ex,
+             approx_quantile(cents, {list(_CERT_PS)}) AS ap
+      FROM e GROUP BY event_type
+    )
+    SELECT event_type, p,
+           ex[i] / 100.0 AS exact_q,
+           (abs(ap[i] / ex[i] - 1) < 0.02) AS approx_ok
+    FROM a, (VALUES {", ".join(f"({i + 1}, {p})" for i, p in enumerate(_CERT_PS))})
+           AS t(i, p)
+    """,
+)
+def q_quantile_cert(spark, sf_dir):
+    """Grouped approx-quantile ERROR CERTIFICATE — `a8`'s sketch
+    contract extended across a quantile ladder per group: for each
+    event type and each of five quantiles, the exact value plus each
+    engine's own boolean that its single-pass sketch (Spark
+    Greenwald-Khanna @ accuracy 10000, DuckDB t-digest) lands within 2%
+    relative error. At 100 TB the sketch column is the only affordable
+    quantile; this is the standing regression test that certifies its
+    error bound per group AND per tail position (measured headroom
+    ≥2×: worst observed sketch error 0.95% at sf0.01, 0.72% at sf0.1).
+
+    HASH-STABLE BY CONSTRUCTION: inputs quantize to integer cents
+    (rint ≡ round_even on the identical double product) and every
+    certificate quantile is DYADIC (.25 .5 .75 .875 .9375), so the
+    type-7 interpolation index (n−1)·p and the interpolated value are
+    EXACT dyadic rationals both engines compute bit-identically in
+    double — no rounding step needed at all; /100.0 is one shared IEEE
+    op on identical inputs. A non-dyadic p (0.99) would reintroduce
+    the cross-engine interpolation noise this module's playbook bans.
+
+    Scale shape: ONE group-keyed aggregation; GK partials merge
+    map-side with fixed memory; the 5-way unnest is per-group constant
+    fan-out.
+    """
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.expr("CAST(rint(value * 100.0) AS BIGINT)").alias("cents"),
+        )
+    )
+    arr = ", ".join(str(p) for p in _CERT_PS)
+    agg = ev.groupBy("event_type").agg(
+        F.expr(f"percentile(cents, array({arr}))").alias("ex"),
+        F.expr(f"approx_percentile(cents, array({arr}), 10000)").alias("ap"),
+    )
+    p_lit = F.array(*[F.lit(float(x)) for x in _CERT_PS])
+    z = agg.select(
+        "event_type",
+        F.posexplode(F.arrays_zip("ex", "ap")).alias("i0", "z"),
+        p_lit.alias("ps"),
+    )
+    return z.select(
+        "event_type",
+        F.element_at("ps", F.col("i0") + 1).alias("p"),
+        (F.col("z.ex") / F.lit(100.0)).alias("exact_q"),
+        (F.abs(F.col("z.ap") / F.col("z.ex") - 1) < 0.02).alias("approx_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Flagship entry query
 # ---------------------------------------------------------------------------
 

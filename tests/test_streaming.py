@@ -590,3 +590,43 @@ def test_dedup_events_streaming_without_watermark_is_loud(spark, event_stream_di
     # argument form and upstream form both pass the guard
     dedup_events(stream, keys=("user_id",), watermark="1 hour")
     dedup_events(stream.withWatermark("ts", "1 hour"), keys=("user_id",))
+
+
+def test_late_data_accounting_replay_invariants(spark):
+    """Batch watermark replay: totals partition exactly into on-time +
+    late; only jittered-arrival rows can be late; no jitter -> no late
+    rows (monotonic arrivals never regress the shard watermark)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from common_survey_data_pipeline_spark.streaming.events import (
+        late_data_accounting,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=10 * i), 100.0) for i in range(64)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, value double"
+    )
+    # monotonic arrival == event time order: nothing can be late
+    out = late_data_accounting(ev, "30 minutes").collect()
+    assert sum(r["n_late_dropped"] for r in out) == 0
+    assert sum(r["n_events"] for r in out) == 64
+    # delay event 8 by 16 arrival slots (=160 min event-time gap on its
+    # shard-free ordering) -> beyond a 30-min watermark, dropped
+    jit = ev.withColumn(
+        "arr",
+        F.col("event_id")
+        + F.when(F.col("event_id") == 8, F.lit(16)).otherwise(F.lit(0)),
+    )
+    out2 = late_data_accounting(
+        jit, "30 minutes", shards=1, arrival_col="arr"
+    ).collect()
+    assert sum(r["n_late_dropped"] for r in out2) == 1
+    assert sum(r["n_on_time"] for r in out2) == 63
+    assert all(
+        r["n_events"] == r["n_late_dropped"] + r["n_on_time"] for r in out2
+    )
