@@ -7341,28 +7341,35 @@ def q_jl_projection(spark, sf_dir):
     to-right fold order matches the oracle's `list_aggregate` so the
     doubles agree bit-for-bit before the round(…, 4).
     """
-    from functools import reduce
-    from operator import add
-
     emb = _t(spark, sf_dir, "embeddings")
 
-    def proj_sq(j: int):
+    def proj(j: int):
         signs = F.array(*[F.lit(s) for s in _JL_SIGNS[j]])
-        p = F.aggregate(
+        return F.aggregate(
             F.zip_with(F.col("embedding"), signs, lambda x, s: x * s),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        return p * p
 
+    # materialize the 16 projections in ONE array, then square via
+    # transform: writing `p * p` directly duplicates each whole
+    # zip_with-fold in the Project (Spark does not CSE inside the
+    # expression tree — the r5->r6 regression was exactly this 2x),
+    # while an array element is computed once. The transform+aggregate
+    # fold stays left-to-right, matching the oracle's `+` chain
+    # bit-for-bit.
+    proj_arr = F.array(*[proj(j) for j in range(_JL_K)])
+    sum_sq = F.aggregate(
+        F.transform(proj_arr, lambda v: v * v),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     norm_sq = F.aggregate(
         F.transform(F.col("embedding"), lambda x: x * x),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    ratio = F.sqrt(
-        reduce(add, [proj_sq(j) for j in range(_JL_K)]) / float(_JL_K)
-    ) / F.sqrt(norm_sq)
+    ratio = F.sqrt(sum_sq / float(_JL_K)) / F.sqrt(norm_sq)
     return (
         emb.select("label", ratio.alias("ratio"))
         .groupBy("label")
