@@ -862,8 +862,10 @@ def incremental_pairs_vs_band_table(
     candidate verification — never O(corpus).
 
     ``corpus`` is still needed for the exact-Jaccard VERIFY step, but
-    only candidate corpus docs are touched there (id-keyed equi-join),
-    so the full corpus text is never re-shingled for candidates.
+    a semi-join on candidate ids filters it BEFORE the shingle
+    projection, so per-increment compute is O(candidates) — the corpus
+    is scanned (unavoidable without an id index) but never re-shingled
+    wholesale.
     Output ``(batch_id, corpus_id, jaccard_sim)`` — identical to
     :func:`minhash_incremental_pairs` by construction.
     """
@@ -885,10 +887,21 @@ def incremental_pairs_vs_band_table(
         )
         .select("batch_id", "corpus_id")
         .distinct()
+        .cache()  # consumed twice (semi-filter + pair join); O(candidates)
     )
-    sh_c = corpus.select(
-        F.col(id_col).alias("corpus_id"),
-        word_shingles(F.col(text_col), shingle_words).alias("__sh_b"),
+    # O(candidates) VERIFY, not O(corpus): semi-join the corpus down to
+    # candidate ids BEFORE shingling, so the expensive shingle/array
+    # projection runs only for docs a band actually matched (the 64×
+    # probe in SCALING.md measured the pre-filter form re-shingling the
+    # whole corpus and growing with it)
+    cand_ids = cand.select("corpus_id").distinct()
+    sh_c = (
+        corpus.select(F.col(id_col).alias("corpus_id"), F.col(text_col))
+        .join(cand_ids, "corpus_id", "left_semi")
+        .select(
+            "corpus_id",
+            word_shingles(F.col(text_col), shingle_words).alias("__sh_b"),
+        )
     )
     a = sh_b.select(
         F.col("__id").alias("batch_id"), F.col("__shingles").alias("__sh_a")

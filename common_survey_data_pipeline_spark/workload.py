@@ -7760,7 +7760,17 @@ def q_dedup_incremental_persisted(spark, sf_dir):
     corpus = docs.where(F.col("doc_id") % 10 != 0)
     table = "band_corpus_" + _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
     # one-time corpus-side cost (at 100 TB this is the ingest job that
-    # ran yesterday); idempotent overwrite keeps the query re-runnable
+    # ran yesterday). Idempotent across SESSIONS too: a fresh session's
+    # in-memory catalog does not know the table, but the warehouse
+    # directory persists on disk and saveAsTable then refuses with
+    # LOCATION_ALREADY_EXISTS — drop the catalog entry AND remove any
+    # stale location before writing.
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
     write_bucketed(
         minhash_band_keys(corpus, "text", "doc_id"), table, 8, "band_key"
     )
