@@ -88,6 +88,12 @@ BENCH_QUERIES = (
     "multitouch_attribution",
     "embedding_random_projection",
     "j13_jw_blocked_pairs",
+    # round 6 additions
+    "substring_dup_spans",
+    "url_normalize",
+    "host_rollup",
+    "quantile_error_certificate",
+    "events_late_data_accounting",
 )
 
 # the 10 heaviest headline queries by the r3/r4 sf0.1 records — the

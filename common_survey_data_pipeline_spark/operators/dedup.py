@@ -772,6 +772,99 @@ def minhash_band_keys(
     )
 
 
+def _dup_gram_hits(
+    docs: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, pos) of every k-gram window that recurs verbatim in at
+    least one OTHER document — the shared candidate stage of
+    :func:`substring_dup_spans` and :func:`substring_dedup_clean`.
+    Hashed 64-bit gram keys on the wire; duplicate detection is one
+    hash-keyed groupBy with two-long state (min≠max id)."""
+    from common_survey_data_pipeline_spark.functions.text import word_ngrams
+
+    g = docs.select(
+        F.col(id_col),
+        F.posexplode(word_ngrams(F.col(text_col), k)).alias("pos0", "gram"),
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).alias("pos"),
+        F.xxhash64("gram").alias("gh"),
+    )
+    dup = (
+        g.groupBy("gh")
+        .agg(F.min(id_col).alias("__mn"), F.max(id_col).alias("__mx"))
+        .where(F.col("__mn") != F.col("__mx"))
+        .select("gh")
+    )
+    return g.join(dup, "gh").select(id_col, "pos")
+
+
+def substring_dedup_clean(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 6,
+) -> DataFrame:
+    """The ACTIONABLE form of :func:`substring_dup_spans`: remove every
+    token covered by a cross-document duplicate k-gram window (the
+    aggressive cut-all-occurrences policy of Lee et al.) and re-emit
+    the cleaned text. Output ``(id_col, n_tokens, n_removed,
+    cleaned_text)`` for every document; untouched docs round-trip with
+    ``n_removed = 0``.
+
+    Scale shape: the duplicate-window stage is the shared hashed-
+    shingle pipeline (:func:`_dup_gram_hits`); the cut set explodes
+    each hit to its k covered positions (O(hits·k), distinct on
+    (doc, pos)); the rebuild anti-joins the token table against the
+    cut set and reassembles per document with a bounded
+    ``array_sort(collect_list(struct(pos, token)))`` — per-doc state
+    is the document's own length, and the only corpus-wide shuffles
+    are doc-keyed. Reconstruction necessarily moves the text once; at
+    100 TB you run it only over docs with hits (the span report
+    prunes the rest).
+    """
+    from common_survey_data_pipeline_spark.functions.text import tokens
+
+    hits = _dup_gram_hits(docs, text_col, id_col, k)
+    cut = hits.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+        ).alias("tpos"),
+    ).distinct()
+    base = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    tok = base.select(
+        id_col, F.posexplode(F.col("__toks")).alias("pos0", "token")
+    ).select(id_col, (F.col("pos0") + 1).alias("tpos"), "token")
+    kept = tok.join(cut, [id_col, "tpos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("tpos", "token"))
+                ),
+                lambda x: x["token"],
+            ),
+            " ",
+        ).alias("__cleaned"),
+    )
+    return (
+        base.select(id_col, F.size("__toks").cast("long").alias("n_tokens"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            (
+                F.col("n_tokens") - F.coalesce(F.col("__n_kept"), F.lit(0))
+            ).cast("long").alias("n_removed"),
+            F.coalesce(F.col("__cleaned"), F.lit("")).alias("cleaned_text"),
+        )
+    )
+
+
 def substring_dup_spans(
     docs: DataFrame,
     text_col: str = "text",
@@ -809,23 +902,7 @@ def substring_dup_spans(
     ~2³² distinct grams per Birthday bound to appear at all and is
     shared with the prefix-filter/minhash operators' key design.
     """
-    from common_survey_data_pipeline_spark.functions.text import word_ngrams
-
-    g = docs.select(
-        F.col(id_col),
-        F.posexplode(word_ngrams(F.col(text_col), k)).alias("pos0", "gram"),
-    ).select(
-        id_col,
-        (F.col("pos0") + 1).alias("pos"),
-        F.xxhash64("gram").alias("gh"),
-    )
-    dup = (
-        g.groupBy("gh")
-        .agg(F.min(id_col).alias("__mn"), F.max(id_col).alias("__mx"))
-        .where(F.col("__mn") != F.col("__mx"))
-        .select("gh")
-    )
-    hits = g.join(dup, "gh").select(id_col, "pos")
+    hits = _dup_gram_hits(docs, text_col, id_col, k)
     w = Window.partitionBy(id_col).orderBy("pos")
     runs = hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
     return runs.groupBy(id_col, "grp").agg(

@@ -7779,6 +7779,56 @@ def q_dedup_incremental_persisted(spark, sf_dir):
     )
 
 
+@register(
+    "substring_dedup_clean",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    g AS ({_sql_pos_grams(6)}),
+    d AS (SELECT gram FROM g GROUP BY gram
+          HAVING min(doc_id) <> max(doc_id)),
+    hits AS (SELECT doc_id, pos FROM g JOIN d USING (gram)),
+    cut AS (SELECT DISTINCT doc_id, pos + off AS tpos
+            FROM hits, unnest(generate_series(0, 5)) AS o(off)),
+    tok AS (SELECT doc_id, tpos, toks[tpos] AS token
+            FROM t, unnest(generate_series(1, len(toks))) AS u(tpos)),
+    kept AS (
+      SELECT tok.doc_id, tok.tpos, tok.token
+      FROM tok ANTI JOIN cut
+        ON tok.doc_id = cut.doc_id AND tok.tpos = cut.tpos
+    )
+    SELECT t.doc_id,
+           len(t.toks)::BIGINT AS n_tokens,
+           (len(t.toks) - coalesce(k.n_kept, 0))::BIGINT AS n_removed,
+           coalesce(k.cleaned, '') AS cleaned_text
+    FROM t LEFT JOIN (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(token, ' ' ORDER BY tpos) AS cleaned
+      FROM kept GROUP BY doc_id
+    ) k USING (doc_id)
+    """,
+)
+def q_substring_dedup_clean(spark, sf_dir):
+    """The actionable companion of ``substring_dup_spans``: CUT every
+    token covered by a cross-document duplicate 6-gram window and
+    re-emit the cleaned text per document (Lee et al.'s aggressive
+    remove-all-occurrences policy). Untouched docs round-trip
+    verbatim-tokenized with ``n_removed = 0`` — the full-corpus
+    transform a curation pipeline actually applies after the span
+    report localizes the damage.
+
+    ``operators/dedup.py::substring_dedup_clean`` — shared hashed-
+    shingle hit stage, O(hits·k) cut-set explode, anti-join rebuild
+    with per-doc-bounded ``array_sort(collect_list)``. Oracle: the
+    identical cut algebra in DuckDB (string_agg ORDER BY position).
+    """
+    from common_survey_data_pipeline_spark.operators.dedup import (
+        substring_dedup_clean,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return substring_dedup_clean(docs, "text", "doc_id", k=6)
+
+
 # ---------------------------------------------------------------------------
 # Round 6: URL canonicalization + host-level rollup (web-corpus ETL)
 # ---------------------------------------------------------------------------

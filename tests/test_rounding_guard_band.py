@@ -71,6 +71,11 @@ BIT_STABLE = {
     # 2.3e-10 — converted to integer nano-nat log-probs, exact per-doc
     # int64 sums, one double division
     "text_unigram_logprob": "1e-9 nearest-even log quantize, int sums",
+    # round 6: integer-cent inputs + DYADIC quantiles (.25 … .9375) —
+    # the type-7 interpolation index (n−1)·p and the interpolated value
+    # are exact dyadic rationals in double on both engines; output has
+    # no round() at all, just one shared /100.0
+    "quantile_error_certificate": "int cents, dyadic ps, exact interp",
 }
 
 GUARD_BAND = 1e-9  # original-unit distance to the half-boundary
