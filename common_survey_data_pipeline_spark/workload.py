@@ -1756,8 +1756,8 @@ def q_w4(spark, sf_dir):
     "w5_rank_family",
     """
     SELECT p_partkey, p_brand,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist() OVER w, 6) AS cume,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
            dense_rank() OVER w::INTEGER AS drank,
            round(first_value(p_retailprice) OVER w, 2) AS cheapest,
            round(last_value(p_retailprice)
@@ -1776,8 +1776,15 @@ def q_w5(spark, sf_dir):
     return p.select(
         "p_partkey",
         "p_brand",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        # RAW doubles, deliberately un-rounded (round-6 sf1 finding):
+        # both are divisions of identical exact integers ((r-1)/(n-1),
+        # k/n) so the doubles are bit-identical across engines, while
+        # round(…, 6) DIVERGES exactly on decimal repr ties — at sf1
+        # the 6400-row brand groups put cume on 0.xxxxxx5 (41/640),
+        # where Spark's BigDecimal half-up and DuckDB's binary round
+        # disagree (the shortest-repr tie class of the r5 playbook).
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
         F.dense_rank().over(w).cast("int").alias("drank"),
         F.round(F.first("p_retailprice").over(w), 2).alias("cheapest"),
         F.round(F.last("p_retailprice").over(w_full), 2).alias("priciest"),
