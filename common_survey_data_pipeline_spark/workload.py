@@ -8055,12 +8055,21 @@ _CERT_PS = (0.25, 0.5, 0.75, 0.875, 0.9375)
              quantile_cont(cents, {list(_CERT_PS)}) AS ex,
              approx_quantile(cents, {list(_CERT_PS)}) AS ap
       FROM e GROUP BY event_type
+    ),
+    r AS (
+      SELECT event_type, p, ex[i] AS exq, ap[i] AS apv
+      FROM a, (VALUES {", ".join(f"({i + 1}, {p})" for i, p in enumerate(_CERT_PS))})
+             AS t(i, p)
+    ),
+    cdf AS (
+      SELECT r.event_type, r.p, r.exq,
+             sum((e.cents <= r.apv)::BIGINT)::DOUBLE / count(*) AS cdf_at_ap
+      FROM r JOIN e USING (event_type)
+      GROUP BY r.event_type, r.p, r.exq
     )
-    SELECT event_type, p,
-           ex[i] / 100.0 AS exact_q,
-           (abs(ap[i] / ex[i] - 1) < 0.02) AS approx_ok
-    FROM a, (VALUES {", ".join(f"({i + 1}, {p})" for i, p in enumerate(_CERT_PS))})
-           AS t(i, p)
+    SELECT event_type, p, exq / 100.0 AS exact_q,
+           (abs(cdf_at_ap - p) < 0.02) AS approx_ok
+    FROM cdf
     """,
 )
 def q_quantile_cert(spark, sf_dir):
@@ -8068,24 +8077,29 @@ def q_quantile_cert(spark, sf_dir):
     contract extended across a quantile ladder per group: for each
     event type and each of five quantiles, the exact value plus each
     engine's own boolean that its single-pass sketch (Spark
-    Greenwald-Khanna @ accuracy 10000, DuckDB t-digest) lands within 2%
-    relative error. At 100 TB the sketch column is the only affordable
-    quantile; this is the standing regression test that certifies its
-    error bound per group AND per tail position (measured headroom
-    ≥2×: worst observed sketch error 0.95% at sf0.01, 0.72% at sf0.1).
+    Greenwald-Khanna @ accuracy 10000, DuckDB t-digest) lands within
+    2% RANK error — the empirical CDF at the sketch's answer is
+    within 0.02 of the requested p. Rank error is what the sketches
+    actually bound (GK guarantees 1e-4 here), so the certificate is
+    scale-robust: measured worst rank error is 0.62% at sf0.001 and
+    SHRINKS with n (0.13% at sf0.1), where a VALUE-error contract
+    measured 5.6% at sf0.001 on both engines and straddled any fixed
+    threshold — tiny groups made the boolean an engine coin flip.
 
     HASH-STABLE BY CONSTRUCTION: inputs quantize to integer cents
     (rint ≡ round_even on the identical double product) and every
     certificate quantile is DYADIC (.25 .5 .75 .875 .9375), so the
-    type-7 interpolation index (n−1)·p and the interpolated value are
-    EXACT dyadic rationals both engines compute bit-identically in
-    double — no rounding step needed at all; /100.0 is one shared IEEE
-    op on identical inputs. A non-dyadic p (0.99) would reintroduce
-    the cross-engine interpolation noise this module's playbook bans.
+    type-7 interpolation index (n−1)·p and the interpolated exact_q
+    are EXACT dyadic rationals both engines compute bit-identically in
+    double — no rounding step at all; /100.0 is one shared IEEE op.
+    The CDF ratio is an exact-integer count over an exact-integer
+    count — identical division both sides — and enters only the
+    boolean.
 
-    Scale shape: ONE group-keyed aggregation; GK partials merge
-    map-side with fixed memory; the 5-way unnest is per-group constant
-    fan-out.
+    Scale shape: one group-keyed sketch aggregation (GK partials merge
+    map-side, fixed memory) + one broadcast-joined CDF probe pass over
+    the |groups|×5 sketch answers; the corpus is scanned twice, never
+    shuffled beyond the group key.
     """
     ev = (
         _t(spark, sf_dir, "events")
@@ -8101,16 +8115,33 @@ def q_quantile_cert(spark, sf_dir):
         F.expr(f"approx_percentile(cents, array({arr}), 10000)").alias("ap"),
     )
     p_lit = F.array(*[F.lit(float(x)) for x in _CERT_PS])
-    z = agg.select(
+    r = agg.select(
         "event_type",
         F.posexplode(F.arrays_zip("ex", "ap")).alias("i0", "z"),
         p_lit.alias("ps"),
-    )
-    return z.select(
+    ).select(
         "event_type",
         F.element_at("ps", F.col("i0") + 1).alias("p"),
-        (F.col("z.ex") / F.lit(100.0)).alias("exact_q"),
-        (F.abs(F.col("z.ap") / F.col("z.ex") - 1) < 0.02).alias("approx_ok"),
+        F.col("z.ex").alias("exq"),
+        F.col("z.ap").alias("apv"),
+    )
+    cdf = (
+        r.join(ev, "event_type")
+        .groupBy("event_type", "p", "exq")
+        .agg(
+            (
+                F.sum((F.col("cents") <= F.col("apv")).cast("long")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("cdf_at_ap")
+        )
+    )
+    return cdf.select(
+        "event_type",
+        "p",
+        (F.col("exq") / F.lit(100.0)).alias("exact_q"),
+        (F.abs(F.col("cdf_at_ap") - F.col("p")) < 0.02).alias("approx_ok"),
     )
 
 
