@@ -4499,7 +4499,7 @@ def q_skew_report(spark, sf_dir):
     WITH q AS (SELECT doc_id, {_SQL_QUALITY_EXPR} AS quality FROM documents)
     SELECT doc_id, quality
     FROM q
-    WHERE ((doc_id * 2654435761) % 4294967296) / 4294967296.0
+    WHERE ((doc_id::HUGEINT * 2654435761) % 4294967296) / 4294967296.0
           < quality * quality
     """,
 )
@@ -4518,9 +4518,15 @@ def q_quality_weighted_sample(spark, sf_dir):
     q = docs.select(
         "doc_id", T.quality_score(F.col("text")).alias("quality")
     )
-    u = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) / F.lit(
-        4294967296.0
-    )
+    # WIDE multiply (round-6 sf1 finding): amplified doc_ids reach
+    # ~4e10, and doc_id * 2654435761 then exceeds int64 — ANSI Spark
+    # throws ARITHMETIC_OVERFLOW (non-ANSI would silently wrap, worse).
+    # decimal(20,0) on the Spark side ≡ HUGEINT in the oracle: exact
+    # integer product/mod at any id scale, identical uniform.
+    u = (
+        (F.col("doc_id").cast("decimal(20,0)") * F.lit(2654435761))
+        % F.lit(4294967296)
+    ).cast("double") / F.lit(4294967296.0)
     return q.where(u < F.col("quality") * F.col("quality"))
 
 
@@ -4965,16 +4971,16 @@ def q_incremental_agg(spark, sf_dir):
     "events_threshold_alerts",
     """
     WITH cum AS (
-      SELECT user_id, ts, event_id, value,
-             sum(value) OVER (PARTITION BY user_id
-                              ORDER BY ts, event_id) AS c
+      SELECT user_id, ts, event_id,
+             sum(CAST(round_even(value * 100.0, 0) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS c
       FROM events
     ),
     lv AS (
       SELECT user_id, c,
-             floor(c / 100.0)::BIGINT AS level,
+             floor(c / 10000.0)::BIGINT AS level,
              greatest(coalesce(
-               max(floor(c / 100.0)::BIGINT) OVER (
+               max(floor(c / 10000.0)::BIGINT) OVER (
                  PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 0)
                AS emitted
@@ -4982,7 +4988,7 @@ def q_incremental_agg(spark, sf_dir):
     )
     SELECT user_id,
            unnest(generate_series(emitted + 1, level)) AS alert_no,
-           round(c, 6) AS total_at_alert
+           c / 100.0 AS total_at_alert
     FROM lv WHERE level > emitted
     """,
 )
@@ -4997,11 +5003,25 @@ def q_threshold_alerts(spark, sf_dir):
     that dips below a threshold and re-crosses it (negative values)
     never re-emits an alert level on either side
     (tests/test_pydatasource_stateful.py proves the stream/batch
-    equivalence)."""
-    ev = _t(spark, sf_dir, "events")
-    alerts = threshold_alerts_batch(ev, threshold=100.0)
+    equivalence).
+
+    HASH-STABLE BY CONSTRUCTION (round-6 sf1 finding: 14 of 491k
+    running totals landed on exact 100-multiples where the engines'
+    float window sums differ by ulps — DuckDB evaluates running sums
+    with a segment tree, Spark left-to-right): the running total is
+    an EXACT integer-cent sum (rint ≡ round_even on the identical
+    double product; threshold = 10000 cents), so every level/crossing
+    decision is integer arithmetic identical under any window
+    evaluation strategy, and total_at_alert is one shared /100.0 of
+    the same exact integer."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value", F.expr("CAST(rint(value * 100.0) AS BIGINT)")
+    )
+    alerts = threshold_alerts_batch(ev, threshold=10000)
     return alerts.select(
-        "user_id", "alert_no", F.round("total_at_alert", 6).alias("total_at_alert")
+        "user_id",
+        "alert_no",
+        (F.col("total_at_alert") / F.lit(100.0)).alias("total_at_alert"),
     )
 
 
