@@ -27,11 +27,10 @@ from common_survey_data_pipeline_spark.workload import REGISTRY, flagship  # noq
 # The correctness harness records queries in dict order and caps how many
 # it covers per round. Order the registry so queries WITHOUT a green
 # driver row in any committed CORRECTNESS_r*.json come first; queries the
-# driver has already verified green go last. ``similarity_signlsh`` /
-# ``similarity_ivf`` are pinned to the very front: their only driver rows
-# are stale r1/r2 ``no_oracle`` reds from before they grew their
-# recall-contract oracles, so they are effectively unrecorded.
-_PINNED_FIRST = ["similarity_signlsh", "similarity_ivf"]
+# driver has already verified green go last. (The r1/r2-era pin for the
+# two ANN queries retired in round 6: CORRECTNESS_r05 recorded both
+# green, so the green-row scan now orders them correctly by itself.)
+_PINNED_FIRST: list[str] = []
 
 
 def _green_driver_rows() -> set[str]:
