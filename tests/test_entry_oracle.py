@@ -48,15 +48,14 @@ def test_driver_order_surfaces_unrecorded_queries_first():
     """The driver's correctness harness records queries in dict order
     under a per-round cap, so ``_driver_order()`` must yield every
     query WITHOUT a green committed CORRECTNESS row before any query
-    that already has one — with the two historically stale-red ANN
-    queries pinned to the very front (VERDICT r3 item 1)."""
+    that already has one. (The r3-era hand pin for the two ANN queries
+    retired in round 6 once CORRECTNESS_r05 recorded them green.)"""
     import __spark_entry__ as e
 
     order = e._driver_order()
     assert sorted(order) == sorted(REGISTRY)  # a permutation, no loss
-    assert order[:2] == ["similarity_signlsh", "similarity_ivf"]
     green = e._green_driver_rows()
-    rest = order[2:]
+    rest = order
     seen_green = False
     for name in rest:
         if name in green:
