@@ -499,3 +499,36 @@ def test_substring_dup_spans_has_no_quadratic_stage(run):
     # 64-bit gram hash with map-side partials, not a count-distinct
     assert "xxhash64" in plan
     assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_substring_dedup_clean_has_no_quadratic_stage(run):
+    plan = plan_of(run("substring_dedup_clean"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_host_rollup_prunes_text_column(run):
+    # the rollup keys on URL parts built from (doc_id, source) and
+    # aggregates lang/n_chars — the wide text column must never be read
+    plan = plan_of(run("host_rollup"))
+    scans = [l for l in plan.splitlines() if "Scan parquet" in l or "ReadSchema" in l]
+    assert scans
+    assert not any("text" in l for l in scans), scans
+
+
+def test_late_data_accounting_window_is_shard_keyed(run):
+    # the running watermark must be a shard-partitioned window —
+    # a global-order window would single-thread the corpus
+    plan = plan_of(run("events_late_data_accounting"))
+    assert partitionless_windows(plan) == []
+    assert "__shard" in plan
+
+
+def test_quantile_certificate_probe_is_broadcast(run):
+    # the CDF probe joins |groups|x5 sketch answers back to the corpus:
+    # the tiny side must broadcast; a sort-merge join would shuffle the
+    # corpus a second time
+    plan = plan_of(run("quantile_error_certificate"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
