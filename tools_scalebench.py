@@ -37,6 +37,7 @@ from common_survey_data_pipeline_spark.operators.dedup import (
     minhash_dedup_pairs,
     prefix_filter_jaccard_pairs,
     simhash_dedup_pairs,
+    substring_dup_spans,
 )
 from common_survey_data_pipeline_spark.operators.graph import pagerank
 from common_survey_data_pipeline_spark.operators.fuzzy_join import (
@@ -405,6 +406,9 @@ def main() -> None:
         ).count(),
         "dedup_prefix_filter": lambda d, e: prefix_filter_jaccard_pairs(
             d(), "text", "doc_id", 0.5
+        ).count(),
+        "substring_dup_spans": lambda d, e: substring_dup_spans(
+            d(), "text", "doc_id", k=6
         ).count(),
         "similarity_topk": lambda d, e: cosine_topk(
             e(),
