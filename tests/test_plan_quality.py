@@ -524,11 +524,17 @@ def test_late_data_accounting_window_is_shard_keyed(run):
     assert "__shard" in plan
 
 
-def test_quantile_certificate_probe_is_broadcast(run):
+def test_quantile_certificate_probe_is_broadcast(run, spark):
     # the CDF probe joins |groups|x5 sketch answers back to the corpus:
     # the tiny side must broadcast; a sort-merge join would shuffle the
-    # corpus a second time
-    plan = plan_of(run("quantile_error_certificate"))
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
-    assert "CartesianProduct" not in plan
+    # corpus a second time. Pin the default broadcast threshold — the
+    # shared suite session may arrive with it disabled by an earlier
+    # test's leaked conf, which is not this plan's property.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try:
+        plan = plan_of(run("quantile_error_certificate"))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
