@@ -8166,6 +8166,118 @@ def q_quantile_cert(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round 6: LM-prep statistics — KN continuation counts + BPE pair counts
+# ---------------------------------------------------------------------------
+
+@register(
+    "ngram_lm_counts",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, toks[pos] AS w
+            FROM t, unnest(generate_series(1, len(toks))) AS u(pos)),
+    bg AS (SELECT toks[pos] AS w1, toks[pos + 1] AS w2
+           FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(pos)),
+    occ AS (SELECT w, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+            FROM tok GROUP BY w),
+    lt AS (SELECT w2 AS w, count(DISTINCT w1) AS n_left_types
+           FROM bg GROUP BY w2),
+    rt AS (SELECT w1 AS w, count(DISTINCT w2) AS n_right_types
+           FROM bg GROUP BY w1)
+    SELECT occ.w AS word, occ.n_occ, occ.n_docs,
+           coalesce(lt.n_left_types, 0) AS n_left_types,
+           coalesce(rt.n_right_types, 0) AS n_right_types
+    FROM occ LEFT JOIN lt ON occ.w = lt.w LEFT JOIN rt ON occ.w = rt.w
+    """,
+)
+def q_ngram_lm_counts(spark, sf_dir):
+    """Kneser-Ney continuation statistics per word — the sufficient
+    counts an n-gram language model (or a KN-smoothed data-quality
+    perplexity filter) trains from: raw occurrences, document
+    frequency, and the LEFT/RIGHT context-type counts (N1+(•w) /
+    N1+(w•)) whose ratio is the KN continuation probability.
+
+    Scale shape: one token explode + one bigram explode, then three
+    word-keyed aggregations (count-distincts expand per word, bounded
+    by context-type cardinality, never corpus size) and two word-keyed
+    left joins — every metric an exact integer, hash-stable by
+    construction. At 100 TB this is the canonical explode-aggregate
+    pipeline: map-side partials absorb hot words before the shuffle.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("w")
+    )
+    bg = docs.select(
+        F.explode(T.word_ngrams(F.col("text"), 2)).alias("g")
+    ).select(
+        F.split(F.col("g"), " ").getItem(0).alias("w1"),
+        F.split(F.col("g"), " ").getItem(1).alias("w2"),
+    )
+    occ = tok.groupBy("w").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    lt = bg.groupBy(F.col("w2").alias("w")).agg(
+        F.countDistinct("w1").alias("n_left_types")
+    )
+    rt = bg.groupBy(F.col("w1").alias("w")).agg(
+        F.countDistinct("w2").alias("n_right_types")
+    )
+    return (
+        occ.join(lt, "w", "left")
+        .join(rt, "w", "left")
+        .select(
+            F.col("w").alias("word"),
+            "n_occ",
+            "n_docs",
+            F.coalesce("n_left_types", F.lit(0)).alias("n_left_types"),
+            F.coalesce("n_right_types", F.lit(0)).alias("n_right_types"),
+        )
+    )
+
+
+@register(
+    "bpe_pair_counts",
+    f"""
+    WITH tok AS (
+      SELECT unnest({_SQL_TOKS}) AS w FROM documents
+    ),
+    pr AS (
+      SELECT substring(w, i, 2) AS pair
+      FROM tok, unnest(generate_series(1, length(w) - 1)) AS u(i)
+    )
+    SELECT pair, count(*) AS n FROM pr GROUP BY pair
+    """,
+)
+def q_bpe_pair_counts(spark, sf_dir):
+    """The first merge step of BPE tokenizer training: frequency of
+    every adjacent character pair WITHIN words across the corpus — the
+    table whose argmax becomes merge rule #1. Exact integer counts.
+
+    Implementation guard: Spark's ``sequence(1, 0)`` counts DOWN
+    ([1, 0]) where DuckDB's ``generate_series(1, 0)`` is empty, so
+    single-character tokens gate behind a ``when`` instead of relying
+    on the sequence bounds. One explode + one pair-keyed count with
+    map-side partials; pair vocabulary is alphabet², tiny at any
+    corpus scale.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+    pairs_arr = F.when(
+        F.length("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length("w") - 1),
+            lambda i: F.col("w").substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        tok.select(F.explode(pairs_arr).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Flagship entry query
 # ---------------------------------------------------------------------------
 
