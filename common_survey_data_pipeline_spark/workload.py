@@ -8278,6 +8278,90 @@ def q_bpe_pair_counts(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round 6: linear quality-classifier inference (fastText-style) as a join
+# ---------------------------------------------------------------------------
+
+# Literal lexicon (token -> integer MICRO-weight) shared verbatim by the
+# Spark plan and the oracle — model inference for a linear classifier IS
+# a broadcast map-join + per-doc sum, and integer micro-weights keep the
+# whole score path exact (no libm, no float accumulation order).
+_QUALITY_LEXICON = (
+    ("fast", 180_000),
+    ("merge", 120_000),
+    ("join", 90_000),
+    ("vector", 80_000),
+    ("stream", 60_000),
+    ("window", 50_000),
+    ("query", 40_000),
+    ("dup", -400_000),
+    ("slow", -220_000),
+    ("small", -60_000),
+    ("row", -40_000),
+    ("the", -10_000),
+)
+_QUALITY_BIAS = -50_000
+
+
+@register(
+    "quality_logit_score",
+    f"""
+    WITH lex(w, wt) AS (VALUES
+      {", ".join(f"('{w}', {wt})" for w, wt in _QUALITY_LEXICON)}
+    ),
+    t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+    hit AS (
+      SELECT tok.doc_id, CAST(sum(lex.wt) AS BIGINT) AS wsum
+      FROM tok JOIN lex USING (w) GROUP BY tok.doc_id
+    )
+    SELECT t.doc_id,
+           len(t.toks)::BIGINT AS n_tokens,
+           ({_QUALITY_BIAS} + coalesce(hit.wsum, 0))::BIGINT AS logit_micro,
+           ({_QUALITY_BIAS} + coalesce(hit.wsum, 0) > 0) AS kept
+    FROM t LEFT JOIN hit USING (doc_id)
+    """,
+)
+def q_quality_logit_score(spark, sf_dir):
+    """Linear quality-classifier INFERENCE over the corpus — the
+    fastText/CCNet-style keep-or-drop scorer, expressed the way a
+    linear model actually runs at 100 TB: the weight table is a tiny
+    broadcast join against the exploded token stream, the logit is one
+    map-side-combinable per-doc sum, and the keep decision is a
+    threshold on it. No UDF, no per-row model call.
+
+    HASH-STABLE BY CONSTRUCTION: weights are integer MICRO-units in a
+    literal lexicon shared verbatim with the oracle, so the logit is
+    exact integer arithmetic; the sigmoid is deliberately NOT applied
+    (libm exp is not correctly rounded and diverges cross-engine — the
+    playbook ban) and isn't needed: sigmoid is monotone, so the
+    logit>0 decision and any downstream ranking are identical.
+
+    Scale shape: explode + broadcast hash join on the lexicon + one
+    doc-keyed sum + one doc-keyed left join back for zero-hit docs.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    lex = F.broadcast(
+        spark.createDataFrame(list(_QUALITY_LEXICON), "w string, wt long")
+    )
+    t = docs.select("doc_id", T.tokens(F.col("text")).alias("__toks"))
+    tok = t.select("doc_id", F.explode("__toks").alias("w"))
+    hit = tok.join(lex, "w").groupBy("doc_id").agg(
+        F.sum("wt").alias("wsum")
+    )
+    logit = F.lit(_QUALITY_BIAS) + F.coalesce(F.col("wsum"), F.lit(0))
+    return (
+        t.select("doc_id", F.size("__toks").cast("long").alias("n_tokens"))
+        .join(hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            logit.cast("long").alias("logit_micro"),
+            (logit > 0).alias("kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Flagship entry query
 # ---------------------------------------------------------------------------
 

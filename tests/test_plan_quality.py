@@ -538,3 +538,11 @@ def test_quantile_certificate_probe_is_broadcast(run, spark):
         assert "CartesianProduct" not in plan
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_quality_logit_lexicon_is_broadcast(run):
+    # linear-model inference = tiny weight table broadcast against the
+    # exploded token stream; the corpus must never shuffle on the join
+    plan = plan_of(run("quality_logit_score"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
