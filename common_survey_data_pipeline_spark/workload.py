@@ -8340,8 +8340,13 @@ def q_quality_logit_score(spark, sf_dir):
     doc-keyed sum + one doc-keyed left join back for zero-hit docs.
     """
     docs = _t(spark, sf_dir, "documents")
+    # literal VALUES relation, not createDataFrame: a LocalRelation is
+    # provably bounded in-plan (createDataFrame ships an opaque
+    # ExistingRDD, which the fact-side-broadcast guard rightly treats
+    # as unproven — tests/test_plan_quality.py:218)
+    lex_rows = ", ".join(f"('{w}', {wt}L)" for w, wt in _QUALITY_LEXICON)
     lex = F.broadcast(
-        spark.createDataFrame(list(_QUALITY_LEXICON), "w string, wt long")
+        spark.sql(f"SELECT * FROM VALUES {lex_rows} AS t(w, wt)")
     )
     t = docs.select("doc_id", T.tokens(F.col("text")).alias("__toks"))
     tok = t.select("doc_id", F.explode("__toks").alias("w"))
