@@ -94,6 +94,9 @@ BENCH_QUERIES = (
     "host_rollup",
     "quantile_error_certificate",
     "events_late_data_accounting",
+    "ngram_lm_counts",
+    "bpe_pair_counts",
+    "quality_logit_score",
 )
 
 # the 10 heaviest headline queries by the r3/r4 sf0.1 records — the
