@@ -106,6 +106,21 @@ COMMENT = {
         "whole-stage codegen; the only exchange is the |label|-group\n"
         "rollup of the distortion ratios."
     ),
+    "substring_dup_spans": (
+        "Substring-level exact dedup (round 6): positional 6-gram hashes\n"
+        "explode once, the cross-doc duplicate set is a hash-keyed\n"
+        "aggregate (min!=max doc — two longs of map-combinable state), hits\n"
+        "equi-join back on the 64-bit key, and the maximal-run merge is a\n"
+        "doc-partitioned gaps-and-islands window. No suffix structures, no\n"
+        "all-pairs stage at any corpus size."
+    ),
+    "quality_logit_score": (
+        "Linear quality-classifier inference (round 6): the literal\n"
+        "micro-weight lexicon is a LocalRelation under a BroadcastExchange\n"
+        "(provably bounded in-plan), joined against the exploded token\n"
+        "stream; the logit is one doc-keyed exact-integer sum. Model\n"
+        "inference without a UDF — the corpus never shuffles on the join."
+    ),
     "text_fingerprints": (
         "Winnowing fingerprints: scan -> narrow hash/window-min map ->\n"
         "explode, with NO keyed exchange ((doc_id, fp) pairs are unique\n"
