@@ -448,3 +448,105 @@ def test_threshold_alerts_batch_equals_streaming_model(spark, rows):
         for r in threshold_alerts(df, threshold=100.0).collect()
     )
     assert got == _alerts_model(rows)
+
+
+# ---------------------------------------------------------------------------
+# Round 6: substring-dup spans ≡ brute-force model; URL canon idempotence
+# ---------------------------------------------------------------------------
+
+def _brute_dup_spans(docs: list[str], k: int) -> set[tuple[int, int, int]]:
+    """Reference model: (doc_idx, span_start, span_end) of maximal runs
+    of positions whose k-gram recurs in at least one OTHER document."""
+    grams = []
+    for text in docs:
+        toks = text.split()
+        grams.append([tuple(toks[i : i + k]) for i in range(len(toks) - k + 1)])
+    out = set()
+    for d, gs in enumerate(grams):
+        hits = [
+            p + 1  # 1-based, like the operator
+            for p, g in enumerate(gs)
+            if any(o != d and g in og for o, og in enumerate(grams))
+        ]
+        run: list[int] = []
+        for p in hits + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                out.add((d, run[0], run[-1] + k - 1))
+                run = []
+            if p is not None:
+                run.append(p)
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=8).map(" ".join),
+        min_size=2,
+        max_size=5,
+    ),
+    k=st.integers(min_value=2, max_value=3),
+)
+@settings(**SETTINGS)
+def test_substring_dup_spans_matches_reference_model(spark, docs, k):
+    from common_survey_data_pipeline_spark.operators.dedup import (
+        substring_dup_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in substring_dup_spans(df, "text", "doc_id", k=k).collect()
+    }
+    assert got == _brute_dup_spans(docs, k)
+
+
+_url_hosts = st.sampled_from(
+    ["Example.COM", "www.Example.com", "a.b.ORG", "WWW.X.io"]
+)
+_url_schemes = st.sampled_from(["http", "HTTPS", "https", "HTTP"])
+_url_ports = st.sampled_from(["", ":80", ":443", ":8080"])
+_url_params = st.lists(
+    st.sampled_from(["a=1", "utm_source=x", "b=2", "gclid=z", "fbclid=q"]),
+    max_size=4,
+)
+_url_frags = st.sampled_from(["", "#top", "#sec2"])
+
+
+@given(
+    scheme=_url_schemes,
+    host=_url_hosts,
+    port=_url_ports,
+    params=_url_params,
+    frag=_url_frags,
+)
+@settings(**SETTINGS)
+def test_url_canonicalization_idempotent_and_clean(
+    spark, scheme, host, port, params, frag
+):
+    """canon(canon(u)) == canon(u), and every canonical URL is already
+    clean: lowercase scheme/host, no www., no default port, no
+    fragment, no tracking params."""
+    from common_survey_data_pipeline_spark.functions.url import (
+        canonicalize_url,
+    )
+
+    url = f"{scheme}://{host}{port}/P/q"
+    if params:
+        url += "?" + "&".join(params)
+    url += frag
+    df = spark.createDataFrame([(url,)], "url string")
+    once = df.select(canonicalize_url(F.col("url")).alias("c"))
+    c1 = once.first()["c"]
+    c2 = once.select(canonicalize_url(F.col("c")).alias("c2")).first()["c2"]
+    assert c1 == c2
+    assert c1.split("://")[0] in ("http", "https")
+    rest = c1.split("://", 1)[1]
+    hostpart = rest.split("/", 1)[0]
+    assert hostpart == hostpart.lower()
+    assert not hostpart.startswith("www.")
+    assert not hostpart.endswith(":80") or c1.startswith("https")
+    assert not hostpart.endswith(":443") or c1.startswith("http://")
+    assert "#" not in c1
+    assert "utm_" not in c1 and "gclid" not in c1 and "fbclid" not in c1
