@@ -27,7 +27,10 @@ from pyspark.sql import functions as F
 
 __all__ = ["url_parts", "canonicalize_url", "url_host"]
 
-_TRACKING_RE = "^(utm_[a-z]+|gclid|fbclid)="
+# (?i): trackers arrive in the wild as UTM_Source=/Gclid= too — match
+# case-insensitively (the inline flag is shared Java-regex/RE2 syntax,
+# so the DuckDB oracle twin in workload.py uses the same pattern).
+_TRACKING_RE = "(?i)^(utm_[a-z]+|gclid|fbclid)="
 
 
 def _part(url: Column, what: str) -> Column:

@@ -754,6 +754,7 @@ def minhash_band_keys(
     id_col: str,
     num_hashes: int = 64,
     bands: int = 16,
+    shingle_words: int = 3,
 ) -> DataFrame:
     """Public band-key table for a corpus: ``(doc_id, band_key)`` rows,
     one 64-bit LSH band key per band per document — the thing you
@@ -762,10 +763,15 @@ def minhash_band_keys(
     joins its own band keys against the corpus table with NO exchange
     on the corpus side (locked by ``tests/test_bucketing.py``); the
     corpus pays its shuffle once, at write time.
+
+    Band keys are only comparable across calls made with the SAME
+    ``(shingle_words, num_hashes, bands)`` — persist them alongside the
+    table (:func:`write_band_table` records them as table properties
+    and :func:`incremental_pairs_vs_band_table` validates against them).
     """
     sh = df.select(
         F.col(id_col).alias("doc_id"),
-        word_shingles(F.col(text_col), 3).alias("__shingles"),
+        word_shingles(F.col(text_col), shingle_words).alias("__shingles"),
     ).where(F.size("__shingles") > 0)
     return _band_keys(sh, "doc_id", "__shingles", num_hashes, bands).select(
         F.col("__id").alias("doc_id"), "band_key"
@@ -945,8 +951,40 @@ def incremental_pairs_vs_band_table(
     wholesale.
     Output ``(batch_id, corpus_id, jaccard_sim)`` — identical to
     :func:`minhash_incremental_pairs` by construction.
+
+    ``shingle_words``/``num_hashes``/``bands`` MUST equal the values the
+    persisted table was built with — batch band keys computed under any
+    other parameters are incompatible with the stored corpus keys and
+    would silently miss every pair. Tables written by
+    :func:`write_band_table` carry the build parameters as table
+    properties and a mismatch raises ``ValueError`` here; for tables
+    written another way the caller owns the invariant.
+
+    Caching contract: two intermediates (the batch shingles and the
+    candidate-pair set) are ``.cache()``-d because each is consumed
+    twice in this one plan; both are O(batch)/O(candidates), never
+    O(corpus). As with :func:`minhash_incremental_pairs`, a long-lived
+    session that calls this repeatedly should
+    ``spark.catalog.clearCache()`` after consuming the result.
     """
     from common_survey_data_pipeline_spark.sources.bucketing import read_bucketed
+
+    stored = band_table_props(spark, band_table)
+    if stored:
+        asked = {
+            "shingle_words": shingle_words,
+            "num_hashes": num_hashes,
+            "bands": bands,
+        }
+        diff = {k: (asked[k], stored[k]) for k in stored if asked[k] != stored[k]}
+        if diff:
+            raise ValueError(
+                f"band table {band_table!r} was built with {stored}; "
+                "incompatible call parameters: "
+                + ", ".join(
+                    f"{k}={a} (table has {s})" for k, (a, s) in sorted(diff.items())
+                )
+            )
 
     corpus_bands = read_bucketed(spark, band_table)
     sh_b = batch.select(
@@ -993,3 +1031,164 @@ def incremental_pairs_vs_band_table(
         .where(F.col("jaccard_sim") >= threshold)
         .select("batch_id", "corpus_id", "jaccard_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Band-table lifecycle: write once, append per ingest batch, compact
+# periodically — continuous ingestion for the persisted incremental-
+# dedup index. At 100 TB the band table is the only state the dedup
+# service keeps; these three functions are its entire storage contract.
+# ---------------------------------------------------------------------------
+
+_BAND_PROP_KEYS = ("shingle_words", "num_hashes", "bands")
+
+
+def write_band_table(
+    spark,
+    corpus: DataFrame,
+    table: str,
+    buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> None:
+    """Build the corpus band-key table and persist it bucketed on
+    ``band_key``, recording the LSH build parameters as table
+    properties so appends and queries can never drift: band keys are
+    only comparable under identical ``(shingle_words, num_hashes,
+    bands)``, and :func:`append_band_table` /
+    :func:`incremental_pairs_vs_band_table` read the stored values
+    back instead of trusting caller-passed knobs.
+    """
+    from common_survey_data_pipeline_spark.sources.bucketing import (
+        write_bucketed,
+    )
+
+    write_bucketed(
+        minhash_band_keys(
+            corpus, text_col, id_col, num_hashes, bands, shingle_words
+        ),
+        table,
+        buckets,
+        "band_key",
+    )
+    props = ", ".join(
+        f"'dedup.{k}'='{v}'"
+        for k, v in (
+            ("shingle_words", shingle_words),
+            ("num_hashes", num_hashes),
+            ("bands", bands),
+        )
+    )
+    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({props})")
+
+
+def band_table_props(spark, table: str) -> dict:
+    """The LSH build parameters stored on a band table by
+    :func:`write_band_table` (``{}`` for tables that carry none —
+    pre-lifecycle tables stay readable, the caller owns the invariant
+    then)."""
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    raw = {r["key"]: r["value"] for r in rows}
+    return {
+        k: int(raw[f"dedup.{k}"]) for k in _BAND_PROP_KEYS if f"dedup.{k}" in raw
+    }
+
+
+def _band_table_buckets(spark, table: str) -> int:
+    """Bucket count from the catalog (DESCRIBE FORMATTED)."""
+    for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        if r["col_name"].strip() == "Num Buckets":
+            return int(r["data_type"].strip())
+    raise ValueError(f"table {table!r} is not bucketed")
+
+
+def append_band_table(
+    spark,
+    batch: DataFrame,
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Append one ingest batch's band keys to the persisted table.
+
+    The batch's keys are computed with the table's OWN stored build
+    parameters (read back from table properties — there is no caller
+    knob to get wrong), and written through the same
+    ``bucketBy(band_key)`` spec, so the bucketed layout — and with it
+    the no-corpus-Exchange join property — survives every append. Cost
+    is O(batch): the existing table is not read, only its catalog
+    metadata. Each append adds up to ``tasks × buckets`` small files;
+    run :func:`compact_band_table` when file counts accumulate.
+    """
+    props = band_table_props(spark, table)
+    if not props:
+        raise ValueError(
+            f"band table {table!r} carries no dedup.* build properties; "
+            "append requires a table written by write_band_table"
+        )
+    buckets = _band_table_buckets(spark, table)
+    df = minhash_band_keys(
+        batch,
+        text_col,
+        id_col,
+        props["num_hashes"],
+        props["bands"],
+        props["shingle_words"],
+    )
+    (
+        df.write.mode("append")
+        .bucketBy(buckets, "band_key")
+        .sortBy("band_key")
+        .saveAsTable(table)
+    )
+
+
+def compact_band_table(spark, table: str) -> None:
+    """Rewrite the band table in place, collapsing the small files N
+    appends accumulated into exactly ONE file per bucket, preserving
+    the bucket spec and the stored build properties.
+
+    Mechanics — a shuffle-FREE per-bucket file merge: with
+    ``autoBucketedScan`` pinned off for the read, the scan yields one
+    task per bucket (each reading that bucket's accumulated files),
+    every task's rows belong to a single bucket by the write-side
+    invariant, so the bucketed re-write emits one file per bucket with
+    no Exchange anywhere. (A plain read would let the planner pack
+    small files across buckets into mixed tasks and fan back out to
+    file-per-(task, bucket) — measured 14 files for 8 buckets; an
+    explicit ``repartition(buckets, key)`` gets silently elided by the
+    planner because the bucketed scan already satisfies the
+    partitioning, then auto-bucketed-scan turns the bucketed scan OFF,
+    which is how that 14 happens.) The rewrite lands in a shadow table
+    and swaps in via catalog rename. The no-corpus-Exchange JOIN
+    property is untouched afterwards (test-locked in
+    ``tests/test_band_table_lifecycle.py``).
+    """
+    props = band_table_props(spark, table)
+    buckets = _band_table_buckets(spark, table)
+    tmp = f"{table}__compacting"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(auto_key, None)
+    spark.conf.set(auto_key, "false")
+    try:
+        (
+            spark.table(table)
+            .write.mode("overwrite")
+            .bucketBy(buckets, "band_key")
+            .sortBy("band_key")
+            .saveAsTable(tmp)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(auto_key)
+        else:
+            spark.conf.set(auto_key, prev)
+    if props:
+        kv = ", ".join(f"'dedup.{k}'='{v}'" for k, v in sorted(props.items()))
+        spark.sql(f"ALTER TABLE {tmp} SET TBLPROPERTIES ({kv})")
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")

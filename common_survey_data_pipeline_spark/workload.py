@@ -33,8 +33,12 @@ from common_survey_data_pipeline_spark.operators.decontam import (
     repetition_metrics,
 )
 from common_survey_data_pipeline_spark.operators.dedup import (
+    append_band_table,
+    compact_band_table,
+    incremental_pairs_vs_band_table,
     minhash_incremental_pairs,
     substring_dup_spans,
+    write_band_table,
     exact_dedup_groups,
     minhash_dedup_pairs,
     neardup_clusters,
@@ -7739,6 +7743,36 @@ def q_substring_dup_spans(spark, sf_dir):
     return substring_dup_spans(docs, "text", "doc_id", k=6)
 
 
+def _scoped_band_table(spark, sf_dir: str, prefix: str) -> str:
+    """Session-scoped managed-table name: the sf-dir leaf plus the
+    Spark application id, so two sessions running the same registered
+    query against one shared warehouse can never collide on (or
+    delete) each other's table."""
+    import re as _re
+
+    leaf = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    app = spark.sparkContext.applicationId
+    return _re.sub(r"[^0-9a-zA-Z_]+", "_", f"{prefix}_{leaf}_{app}")
+
+
+def _reset_managed_table(spark, table: str) -> None:
+    """Idempotent pre-write reset. A fresh session's in-memory catalog
+    does not know a table whose directory persists in the warehouse,
+    and saveAsTable then refuses with LOCATION_ALREADY_EXISTS — drop
+    the catalog entry AND remove a stale LOCAL location. The rmtree
+    only fires for file:// warehouses (the per-run local sandbox);
+    against a remote warehouse we never delete storage we can't prove
+    is ours — the app-id-scoped name already guarantees no collision.
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    if wh.scheme in ("", "file"):
+        shutil.rmtree(f"{wh.path}/{table}", ignore_errors=True)
+
+
 @register(
     "dedup_incremental_persisted",
     f"""
@@ -7771,36 +7805,75 @@ def q_dedup_incremental_persisted(spark, sf_dir):
     same exact-Jaccard oracle as ``dedup_incremental`` — identical
     output through a different (write-once) physical path; the
     O(batch)-not-O(corpus) increment cost is measured in SCALING.md.
+
+    Recall caveat (shared with ``dedup_incremental``): the Spark path
+    is banded LSH (r=4, b=16) while the oracle is exact all-pairs
+    Jaccard ≥ 0.5, so a true pair sitting exactly AT the threshold is
+    banded-candidate with probability 1-(1-0.5⁴)¹⁶ ≈ 0.645 — oracle
+    greenness relies on the synthetic near-dup pairs' Jaccard being
+    high (j=0.8 → 0.9992, j=0.9 → ~1-3.5e-8), which TESTDATA.md's
+    mutated-copy generator guarantees. A production corpus with
+    borderline pairs needs more bands / shorter rows, not this default.
     """
-    import re as _re
-
-    from common_survey_data_pipeline_spark.operators.dedup import (
-        incremental_pairs_vs_band_table,
-        minhash_band_keys,
-    )
-    from common_survey_data_pipeline_spark.sources.bucketing import (
-        write_bucketed,
-    )
-
     docs = _t(spark, sf_dir, "documents")
     batch = docs.where(F.col("doc_id") % 10 == 0)
     corpus = docs.where(F.col("doc_id") % 10 != 0)
-    table = "band_corpus_" + _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
-    # one-time corpus-side cost (at 100 TB this is the ingest job that
-    # ran yesterday). Idempotent across SESSIONS too: a fresh session's
-    # in-memory catalog does not know the table, but the warehouse
-    # directory persists on disk and saveAsTable then refuses with
-    # LOCATION_ALREADY_EXISTS — drop the catalog entry AND remove any
-    # stale location before writing.
-    import shutil
-    from urllib.parse import urlparse
-
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
-    write_bucketed(
-        minhash_band_keys(corpus, "text", "doc_id"), table, 8, "band_key"
+    table = _scoped_band_table(spark, sf_dir, "band_corpus")
+    _reset_managed_table(spark, table)
+    write_band_table(spark, corpus, table, 8, "text", "doc_id")
+    return incremental_pairs_vs_band_table(
+        spark, table, corpus, batch, "text", "doc_id", threshold=0.5
     )
+
+
+@register(
+    "dedup_band_table_appended",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS shingles
+      FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    )
+    SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+           round(len(list_intersect(b.shingles, c.shingles))::DOUBLE
+                 / NULLIF(len(list_distinct(b.shingles || c.shingles)), 0),
+                 6) AS jaccard_sim
+    FROM sh b JOIN sh c
+      ON (b.doc_id % 10 = 0) AND (c.doc_id % 10 <> 0)
+    WHERE len(b.shingles) > 0 AND len(c.shingles) > 0
+      AND round(len(list_intersect(b.shingles, c.shingles))::DOUBLE
+                / NULLIF(len(list_distinct(b.shingles || c.shingles)), 0),
+                6) >= 0.5
+    """,
+)
+def q_dedup_band_table_appended(spark, sf_dir):
+    """Full band-table LIFECYCLE under the same pair contract as
+    ``dedup_incremental_persisted``: the corpus index is built from
+    the first half of the corpus, the second half arrives later as an
+    ingest batch APPENDED through the stored bucket spec
+    (``operators/dedup.py::append_band_table`` — O(batch), computed
+    with the table's own persisted LSH parameters, never a caller
+    knob), the accumulated small files are then COMPACTED to one file
+    per bucket with zero shuffle
+    (``compact_band_table`` — bucketed-scan read, per-bucket merge,
+    shadow-table swap), and the increment query runs against the
+    appended-then-compacted table. Output must be IDENTICAL to
+    querying a fresh-built full-corpus table — that equivalence is
+    what makes append+compact a safe continuous-ingestion design, and
+    the no-corpus-Exchange join property surviving the lifecycle is
+    plan-locked in ``tests/test_band_table_lifecycle.py``. Oracle:
+    the exact all-pairs Jaccard relation (same recall caveat as
+    ``dedup_incremental_persisted``).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    first = corpus.where(F.col("doc_id") % 10 <= 5)
+    later = corpus.where(F.col("doc_id") % 10 > 5)
+    table = _scoped_band_table(spark, sf_dir, "band_lifecycle")
+    _reset_managed_table(spark, table)
+    write_band_table(spark, first, table, 8, "text", "doc_id")
+    append_band_table(spark, later, table, "text", "doc_id")
+    compact_band_table(spark, table)
     return incremental_pairs_vs_band_table(
         spark, table, corpus, batch, "text", "doc_id", threshold=0.5
     )
@@ -7876,6 +7949,7 @@ CASE WHEN doc_id % 5 = 0 THEN ':8080'
 '/Docs/' || CAST(doc_id % 7 AS STRING) || '/page' ||
 '?utm_source=feed&id=' || CAST(doc_id AS STRING) ||
 CASE WHEN doc_id % 4 = 0 THEN '&ref=abc' ELSE '' END ||
+CASE WHEN doc_id % 6 = 0 THEN '&UTM_Medium=rss&Gclid=z9' ELSE '' END ||
 '&utm_campaign=x#sec' || CAST(doc_id % 3 AS STRING)
 """
 
@@ -7896,7 +7970,7 @@ _SQL_URL_CANON = f"""
         list_filter(
           string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
           pp -> pp <> ''
-                AND NOT regexp_matches(pp, '^(utm_[a-z]+|gclid|fbclid)=')),
+                AND NOT regexp_matches(pp, '(?i)^(utm_[a-z]+|gclid|fbclid)=')),
         '&') AS kept
     FROM u
   ),
