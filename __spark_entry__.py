@@ -33,15 +33,19 @@ from common_survey_data_pipeline_spark.workload import REGISTRY, flagship  # noq
 _PINNED_FIRST: list[str] = []
 
 
-def _green_driver_rows() -> set[str]:
-    """Query names with at least one green (hash-matched, error-free) row
-    in the committed driver correctness records."""
+def _green_driver_rounds() -> dict[str, int]:
+    """Per query name, the LATEST round number with a green
+    (hash-matched, error-free) row in the committed driver correctness
+    records. Absence from the dict = never verified green."""
     import glob
     import json
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    green: set[str] = set()
+    last_green: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -57,16 +61,30 @@ def _green_driver_rows() -> set[str]:
                 and row.get("hash_match")
                 and row.get("err") is None
             ):
-                green.add(name)
-    return green
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    return last_green
 
 
-def _driver_order() -> list[str]:
-    green = _green_driver_rows()
+def _driver_order(last_green: dict[str, int] | None = None) -> list[str]:
+    """Registry order for the driver's capped correctness run: pinned
+    first, then never-green queries (in registry order), then the green
+    tail ORDERED OLDEST-GREEN-ROUND FIRST (LRU) — so with a ~50-row
+    driver cap every query's driver row is refreshed at worst every
+    ⌈registry/cap⌉ rounds instead of the same early-registry names
+    re-verifying forever (VERDICT r6 watch item 2). Ties (same round)
+    keep registry order, which is what rotates: this round's freshly
+    re-verified block records the CURRENT round and moves to the back
+    of the queue next round."""
+    if last_green is None:
+        last_green = _green_driver_rounds()
     pinned = [n for n in _PINNED_FIRST if n in REGISTRY]
     rest = [n for n in REGISTRY if n not in pinned]
-    fresh = [n for n in rest if n not in green]
-    done = [n for n in rest if n in green]
+    fresh = [n for n in rest if n not in last_green]
+    reg_pos = {n: i for i, n in enumerate(REGISTRY)}
+    done = sorted(
+        (n for n in rest if n in last_green),
+        key=lambda n: (last_green[n], reg_pos[n]),
+    )
     return pinned + fresh + done
 
 
