@@ -340,21 +340,44 @@ def simhash_dedup_pairs(
     # docs with zero tokens have no exploded rows, hence no signature —
     # they cannot pair (matching the oracle, where they vanish the same way)
     sigs, bits = simhash_signatures(df, text_col, id_col, hash_fn)
-    chunk_w = bits // 4
+    return hamming_band_pairs(sigs, "__id", "__sim", bits, max_hamming)
+
+
+def hamming_band_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bits: int = 64,
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Near-duplicate id pairs over ANY integer bit-signature column by
+    Hamming distance ≤ ``max_hamming``, banded over ``n_chunks``
+    equal-width chunks: a pair within Hamming ``n_chunks - 1`` must
+    agree on at least one chunk by pigeonhole, so candidate generation
+    is an equi-join on (chunk, chunk_val) — never all-pairs (larger
+    thresholds are best-effort with the same bands). Shared by text
+    SimHash (:func:`simhash_dedup_pairs`) and image pHash
+    (``operators/multimodal.py::phash_images``) — one banding engine
+    for every Hamming-space signature.
+
+    Output: ``(id_a, id_b, hamming INT)`` with ``id_a < id_b``.
+    """
+    chunk_w = bits // n_chunks
     mask = (1 << chunk_w) - 1
     chunks = sigs.select(
-        "__id",
-        "__sim",
+        F.col(id_col).alias("__id"),
+        F.col(sig_col).alias("__sim"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftright("__sim", i * chunk_w)
+                        F.shiftright(F.col(sig_col), i * chunk_w)
                         .bitwiseAND(F.lit(mask))
                         .alias("chunk_val"),
                     )
-                    for i in range(4)
+                    for i in range(n_chunks)
                 ]
             )
         ).alias("c"),

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     FloatType,
     IntegerType,
@@ -469,3 +470,196 @@ def decode_audio(
     return media.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         batches, AUDIO_STATS_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (pHash) — the bridge between the multimodal stack
+# (pixels) and the dedup stack (Hamming-banded signatures).
+# ---------------------------------------------------------------------------
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("phash", LongType(), False),
+    ]
+)
+
+_PHASH_GRID = 32
+_PHASH_KEEP = 8
+
+
+def _dct_matrix(n: int):
+    """Orthonormal DCT-II basis matrix (float64): row u, column x is
+    ``c(u) * cos(pi * (2x + 1) * u / (2n))`` — the classic pHash
+    transform, as a plain matmul so a whole Arrow batch of luma grids
+    transforms in one BLAS call (``D @ X @ D.T`` per image, batched
+    via einsum)."""
+    import numpy as np
+
+    x = np.arange(n, dtype=np.float64)
+    u = x.reshape(-1, 1)
+    d = np.cos(np.pi * (2.0 * x + 1.0) * u / (2.0 * n))
+    d[0, :] *= 1.0 / np.sqrt(2.0)
+    return d * np.sqrt(2.0 / n)
+
+
+def _luma_grid(payload: bytes, grid: int):
+    """Deterministic fake luma plane for a payload: bytes tiled
+    row-major into a ``grid × grid`` float array (the pixel profile of
+    the fake decoder — a REAL pipeline feeds decoded+downscaled luma
+    from the PNG/BMP/JPEG codecs here instead; the pHash math is
+    identical either way)."""
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size == 0:
+        arr = np.zeros(1, dtype=np.uint8)
+    need = grid * grid
+    reps = -(-need // arr.size)
+    return (
+        np.tile(arr, reps)[:need].reshape(grid, grid).astype(np.float64)
+    )
+
+
+def phash64_bytes(payload: bytes, grid: int = _PHASH_GRID, keep: int = _PHASH_KEEP) -> int:
+    """Reference single-image pHash (driver-side oracle twin of the
+    distributed kernel — ``tests/test_phash.py`` recomputes pairs with
+    this and asserts parity with the Spark path): luma grid → 2-D DCT →
+    top-left ``keep × keep`` coefficient block → drop the DC term →
+    each bit = coefficient > median of the block. 63 information bits
+    in a 64-bit long (bit 63 is always 0)."""
+    import numpy as np
+
+    d = _dct_matrix(grid)
+    coeffs = d @ _luma_grid(payload, grid) @ d.T
+    block = coeffs[:keep, :keep].ravel()[1:]  # drop DC: it only encodes brightness
+    med = float(np.median(block))
+    bits = block > med
+    out = 0
+    for i, b in enumerate(bits):
+        if b:
+            out |= 1 << i
+    return out
+
+
+def phash_images(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    grid: int = _PHASH_GRID,
+    keep: int = _PHASH_KEEP,
+) -> DataFrame:
+    """Per-image 64-bit perceptual hash (DCT pHash) as an Arrow-batched
+    ``mapInPandas`` stage: the whole batch's luma grids stack into one
+    ``(B, grid, grid)`` tensor and transform with two batched matmuls
+    (``einsum`` over a shared DCT basis), so the Python cost per image
+    is two BLAS-backed multiplies plus a median — not a per-pixel
+    Python loop. Output ``(doc_id, phash LONG)`` feeds
+    ``operators/dedup.py::hamming_band_pairs`` — the same banded
+    equi-join engine text SimHash uses, so image near-dup candidate
+    generation is never all-pairs.
+
+    Near-duplicate IMAGES (small crops/noise/brightness shifts — here,
+    small byte edits of the fake luma profile) agree on most low-
+    frequency DCT signs, landing within a few bits of Hamming distance.
+    """
+    import numpy as np
+
+    d = _dct_matrix(grid)
+    media = media.where(
+        F.col(payload_col).isNotNull() & F.col(id_col).isNotNull()
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            lumas = np.stack(
+                [_luma_grid(p, grid) for p in pdf[payload_col]]
+            )
+            # (B,g,g) -> (B,g,g): D @ X @ D.T batched over B
+            coeffs = np.einsum("ux,bxy,vy->buv", d, lumas, d, optimize=True)
+            block = coeffs[:, :keep, :keep].reshape(len(pdf), -1)[:, 1:]
+            med = np.median(block, axis=1, keepdims=True)
+            bits = block > med
+            weights = (1 << np.arange(bits.shape[1], dtype=np.uint64))
+            hashes = (bits.astype(np.uint64) * weights).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "phash": hashes.astype("int64"),
+                }
+            )
+
+    return media.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, PHASH_SCHEMA
+    )
+
+
+def synthetic_luma_payloads(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    group_size: int = 5,
+    grid: int = _PHASH_GRID,
+) -> DataFrame:
+    """Deterministic synthetic image corpus for the pHash pipeline:
+    one raw 8-bit luma plane (``grid × grid`` bytes) per row, where
+    rows sharing ``id // group_size`` are near-duplicate VARIANTS of a
+    group base image — tiny pixel jitter for most variants (pHash
+    Hamming ≈ 0-3, the near-dup class) and a heavy overlay for the
+    last variant in each group (far, must NOT pair). The container
+    ships no image corpus or codecs, so this generator is the honest
+    stand-in: payloads really are images (raw luma planes), the pHash
+    kernel really runs on pixels, and only the pixels' origin is
+    synthetic. Pure function of the id (seeded generators), so the
+    driver-side oracle in ``tests/test_phash.py`` regenerates payloads
+    bit-identically.
+
+    Base images are built from random LOW-FREQUENCY DCT coefficients
+    (inverse-transformed to pixels), giving every group a strong
+    low-frequency sign pattern — like real photographs, and unlike
+    white noise, whose near-zero coefficients flip sign under any
+    perturbation.
+    """
+    import numpy as np
+
+    d = _dct_matrix(grid)
+
+    def _payload(ident: int) -> bytes:
+        group, variant = divmod(int(ident), group_size)
+        rng = np.random.default_rng(group)
+        coeffs = np.zeros((grid, grid))
+        coeffs[:8, :8] = rng.normal(0.0, 60.0, (8, 8))
+        coeffs[0, 0] = 900.0  # positive DC: keep pixel range sane
+        base = d.T @ coeffs @ d  # inverse of the orthonormal DCT
+        img = np.clip(base * 4.0 + 128.0, 0, 255)
+        vrng = np.random.default_rng(group * 100_003 + variant)
+        if variant == group_size - 1:
+            # the far variant: heavy structured overlay, new low-freq content
+            over = np.zeros((grid, grid))
+            over[:8, :8] = vrng.normal(0.0, 60.0, (8, 8))
+            img = np.clip(img + (d.T @ over @ d) * 4.0, 0, 255)
+        else:
+            # near-dup variant: jitter a spread of pixels by ±8 — lands
+            # the pair at Hamming 0-3 WITH occasional boundary cases
+            idx = vrng.integers(0, grid * grid, 96)
+            flat = img.ravel()
+            flat[idx] = np.clip(flat[idx] + vrng.integers(-8, 9, 96), 0, 255)
+        return img.astype(np.uint8).tobytes()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": [_payload(i) for i in pdf[id_col]],
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+    return df.select(F.col(id_col)).mapInPandas(batches, schema)

@@ -35,6 +35,7 @@ from common_survey_data_pipeline_spark.operators.decontam import (
 from common_survey_data_pipeline_spark.operators.dedup import (
     append_band_table,
     compact_band_table,
+    hamming_band_pairs,
     incremental_pairs_vs_band_table,
     minhash_incremental_pairs,
     substring_dup_spans,
@@ -76,8 +77,10 @@ from common_survey_data_pipeline_spark.operators.multimodal import (
     attach_binary_payload,
     decode_audio,
     decode_images,
+    phash_images,
     resize_images,
     sample_frames,
+    synthetic_luma_payloads,
 )
 from common_survey_data_pipeline_spark.operators.sketches import (
     heavy_hitter_tokens,
@@ -1540,6 +1543,72 @@ def q_mm_frames(spark, sf_dir):
         "doc_id",
         F.col("frame_idx").cast("int").alias("frame_idx"),
         F.col("byte_offset").cast("long").alias("byte_offset"),
+    )
+
+
+@register(
+    "multimodal_phash_neardup",
+    "SELECT doc_id, TRUE AS banded_matches_exact FROM documents",
+)
+def q_mm_phash_neardup(spark, sf_dir):
+    """Image perceptual near-dup — the bridge between the multimodal
+    stack (pixels) and the dedup stack (Hamming banding): per-image
+    DCT pHash (``operators/multimodal.py::phash_images`` — Arrow-
+    batched mapInPandas, the whole batch's luma planes DCT'd in two
+    batched matmuls) feeds ``operators/dedup.py::hamming_band_pairs``,
+    the SAME 4-chunk pigeonhole banding engine text SimHash uses, so
+    image near-dup candidates come from an equi-join, never all-pairs
+    (plan-pinned in ``tests/test_phash.py``).
+
+    The corpus: deterministic synthetic 32×32 raw-luma planes
+    (``synthetic_luma_payloads`` — the container ships no image corpus
+    or codecs) where each 5-image group holds jittered near-dup
+    variants (Hamming 0-3ish) of a base image plus one far variant
+    (Hamming ≥ 10, must not pair).
+
+    Oracle = an engine-independent COMPLETENESS CONTRACT, the
+    ``similarity_signlsh`` pattern: DuckDB cannot DCT, so the Spark
+    side computes BOTH the banded pairs and the exact all-pairs
+    Hamming ≤ 3 relation (the quadratic branch exists only inside this
+    contract at driver scale — one long XOR+popcount per pair; the
+    production operator is the banded path) and emits per doc whether
+    the two pair sets agree on every pair touching that doc. The
+    oracle pins TRUE for every document, so a banding regression
+    (lost candidates, broken chunking) breaks the value hash instead
+    of hiding behind a rows-only check. Driver-side hash parity — the
+    identical pHash recomputed in pure numpy on collected payloads —
+    is asserted in ``tests/test_phash.py``.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    hashes = phash_images(synthetic_luma_payloads(docs)).cache()
+    banded = hamming_band_pairs(hashes, "doc_id", "phash", 64, 3)
+    a = hashes.select(F.col("doc_id").alias("id_a"), F.col("phash").alias("__pa"))
+    b = hashes.select(F.col("doc_id").alias("id_b"), F.col("phash").alias("__pb"))
+    exact = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("__pa").bitwiseXOR(F.col("__pb"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+    )
+    mismatch = banded.exceptAll(exact).unionAll(exact.exceptAll(banded))
+    bad = (
+        mismatch.select(F.col("id_a").alias("doc_id"))
+        .unionAll(mismatch.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("__bad", F.lit(True))
+    )
+    return (
+        docs.select("doc_id")
+        .join(bad, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(~F.col("__bad"), F.lit(True)).alias(
+                "banded_matches_exact"
+            ),
+        )
     )
 
 
