@@ -408,3 +408,141 @@ def ewma_stream(
     ).applyInPandasWithState(
         update, EWMA_SCHEMA, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-key stateful SESSION AGGREGATION with inactivity timeout — the
+# driver-visible parity operator for this module (VERDICT r6 item 3).
+# ---------------------------------------------------------------------------
+
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, total_cents long"
+)
+# the streaming form keeps event time as unix MICROS end-to-end (longs
+# in and out) — pandas→Arrow timestamp round-trips are timezone-bent,
+# micros are not; the test bridge converts the batch twin with
+# F.unix_micros for comparison
+SESSION_STREAM_SCHEMA = (
+    "user_id long, start_us long, end_us long, n_events long, total_cents long"
+)
+
+
+def _gap_micros(gap: str) -> int:
+    import pandas as pd
+
+    return int(pd.Timedelta(gap).value // 1_000)
+
+
+def session_stats_stateful(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    cents_col: str = "cents",
+) -> DataFrame:
+    """Per-user session aggregation with an inactivity-timeout gap, as
+    a CUSTOM STATEFUL operator: sessions split where consecutive
+    per-user event-time gaps reach ``gap`` (``>=`` — the same boundary
+    convention as ``events_sessions_30m``), and each closed session
+    emits ``(user_id, bounds, n_events, total_cents)``.
+
+    * STREAMING input → ``applyInPandasWithState``: state is four
+      longs per user (open session start/end in unix micros, count,
+      cent total) — bounded forever; each micro-batch folds in
+      event-time order and EMITS every session an arriving event
+      closes. An open session stays in state until a later event
+      closes it (append a far-future sentinel event per key to flush —
+      the deterministic-replay technique ``tests/test_stateful_sessions.py``
+      uses for exact stream==batch equality). Output keeps micros as
+      longs (:data:`SESSION_STREAM_SCHEMA`).
+    * BATCH input → the gaps-and-islands twin: one lag window for
+      session boundaries, one running sum for session ids, one grouped
+      aggregation — identical semantics, DuckDB-oracle-checkable
+      (registered as ``events_stateful_sessions``).
+
+    Like ``threshold_alerts``, value arithmetic is EXACT integer cents
+    (callers pre-convert once via ``rint(value*100)``) so stream,
+    batch and oracle agree bit-for-bit regardless of fold order.
+    """
+    gap_us = _gap_micros(gap)
+    if events.isStreaming:
+        return _sessions_stream_applyinpandas(events, gap_us, ts_col, cents_col)
+
+    order = [F.col(ts_col).asc(), F.col("event_id").asc()]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    # parquet timestamps load as TIMESTAMP_NTZ, which unix_micros
+    # rejects — the cast is wall-time-preserving under the UTC session
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev_us = F.lag(ts_us).over(w)
+    # two steps: a window expression (lag) cannot nest inside another
+    # window expression (the running sum)
+    flagged = events.withColumn(
+        "__new_session",
+        (prev_us.isNull() | ((ts_us - prev_us) >= F.lit(gap_us))).cast("int"),
+    )
+    sid = F.sum("__new_session").over(
+        Window.partitionBy("user_id").orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    return (
+        flagged.withColumn("__sid", sid)
+        .drop("__new_session")
+        .groupBy("user_id", "__sid")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.coalesce(F.sum(cents_col), F.lit(0)).cast("long").alias("total_cents"),
+        )
+        .drop("__sid")
+    )
+
+
+def _sessions_stream_applyinpandas(
+    events: DataFrame, gap_us: int, ts_col: str, cents_col: str
+) -> DataFrame:
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    state_schema = "start_us long, end_us long, n long, cents long"
+
+    def update(key, pdf_iter, state):
+        cur = list(state.get) if state.exists else None
+        closed: list[list[int]] = []
+        pdfs = [p for p in pdf_iter]
+        if pdfs:
+            batch = pd.concat(pdfs).sort_values([ts_col, "event_id"])
+            ts_us = batch[ts_col].astype("int64") // 1_000
+            cents = batch[cents_col].fillna(0).astype("int64")
+            for t, v in zip(ts_us, cents):
+                t, v = int(t), int(v)
+                if cur is None:
+                    cur = [t, t, 1, v]
+                elif t - cur[1] >= gap_us:
+                    closed.append(cur)
+                    cur = [t, t, 1, v]
+                else:
+                    cur[1] = t
+                    cur[2] += 1
+                    cur[3] += v
+            state.update(tuple(cur))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "start_us": [c[0] for c in closed],
+                    "end_us": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                    "total_cents": [c[3] for c in closed],
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        SESSION_STREAM_SCHEMA,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1433,6 +1433,60 @@ def q_ev_sessions(spark, sf_dir):
 
 
 @register(
+    "events_stateful_sessions",
+    """
+    WITH ev AS (
+      SELECT user_id, ts::TIMESTAMP AS ts, event_id,
+             CAST(round_even(value * 100.0, 0) AS BIGINT) AS cents
+      FROM events),
+    flagged AS (
+      SELECT user_id, ts, event_id, cents,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev),
+    sessions AS (
+      SELECT user_id, ts, cents,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS session_id
+      FROM flagged)
+    SELECT user_id,
+           min(ts)::TIMESTAMP AS session_start,
+           max(ts)::TIMESTAMP AS session_end,
+           count(*) AS n_events,
+           CAST(coalesce(sum(cents), 0) AS BIGINT) AS total_cents
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q_ev_stateful_sessions(spark, sf_dir):
+    """The stateful-streaming module's driver-visible parity row
+    (VERDICT r6 item 3): per-user session aggregation with a 30-minute
+    inactivity timeout, including per-session value totals — the
+    custom per-key stateful operator
+    (``streaming/stateful.py::session_stats_stateful``). The streaming
+    form is ``applyInPandasWithState`` with four longs of per-user
+    state; THIS registered path is its deterministic batch replay
+    (gaps-and-islands twin inside the same function), and
+    ``tests/test_stateful_sessions.py`` proves the two forms emit
+    identical sessions over time-ordered micro-batch replay — the same
+    pattern that made ``events_late_data_accounting`` driver-visible.
+
+    HASH-STABLE BY CONSTRUCTION (r6 playbook): session boundaries are
+    integer-microsecond comparisons, totals are exact integer cents
+    (``rint ≡ round_even`` on the identical double product), so no
+    float ever reaches the output."""
+    from common_survey_data_pipeline_spark.streaming.stateful import (
+        session_stats_stateful,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "cents", F.expr("CAST(rint(value * 100.0) AS BIGINT)")
+    )
+    return session_stats_stateful(ev, "30 minutes")
+
+
+@register(
     "events_daily_dense",
     """
     WITH spans AS (
