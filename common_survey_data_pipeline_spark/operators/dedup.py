@@ -801,19 +801,49 @@ def minhash_band_keys(
     )
 
 
+def _norm_token(t: Column) -> Column:
+    """Near-verbatim token normalization: lowercase, ASCII
+    alphanumerics only (punctuation/symbols stripped). ASCII classes
+    on purpose — the DuckDB oracle twin uses the identical pattern and
+    Java/RE2 unicode classes do not agree."""
+    return F.regexp_replace(F.lower(t), "[^a-z0-9]", "")
+
+
 def _dup_gram_hits(
-    docs: DataFrame, text_col: str, id_col: str, k: int
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    normalize: bool = False,
 ) -> DataFrame:
-    """(id, pos) of every k-gram window that recurs verbatim in at
-    least one OTHER document — the shared candidate stage of
+    """(id, pos) of every k-gram window that recurs in at least one
+    OTHER document — the shared candidate stage of
     :func:`substring_dup_spans` and :func:`substring_dedup_clean`.
     Hashed 64-bit gram keys on the wire; duplicate detection is one
-    hash-keyed groupBy with two-long state (min≠max id)."""
-    from common_survey_data_pipeline_spark.functions.text import word_ngrams
+    hash-keyed groupBy with two-long state (min≠max id).
 
+    ``normalize=True`` switches from exact-verbatim to NEAR-VERBATIM
+    windows: tokens are case-folded and punctuation-stripped in place
+    (positions preserved) before gram construction, so windows that
+    differ only in case/punctuation collide. Every verbatim duplicate
+    window is a normalized duplicate window, hence verbatim hits ⊆
+    normalized hits (property-tested)."""
+    from common_survey_data_pipeline_spark.functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    if normalize:
+        toks = F.transform(toks, _norm_token)
+    grams = F.when(
+        F.size(toks) < k, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
     g = docs.select(
         F.col(id_col),
-        F.posexplode(word_ngrams(F.col(text_col), k)).alias("pos0", "gram"),
+        F.posexplode(grams).alias("pos0", "gram"),
     ).select(
         id_col,
         (F.col("pos0") + 1).alias("pos"),
@@ -899,6 +929,7 @@ def substring_dup_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 6,
+    normalize: bool = False,
 ) -> DataFrame:
     """Substring-level exact dedup: per-document MAXIMAL token spans
     whose every k-token window appears verbatim in at least one OTHER
@@ -931,7 +962,7 @@ def substring_dup_spans(
     ~2³² distinct grams per Birthday bound to appear at all and is
     shared with the prefix-filter/minhash operators' key design.
     """
-    hits = _dup_gram_hits(docs, text_col, id_col, k)
+    hits = _dup_gram_hits(docs, text_col, id_col, k, normalize)
     w = Window.partitionBy(id_col).orderBy("pos")
     runs = hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
     return runs.groupBy(id_col, "grp").agg(

@@ -7814,23 +7814,34 @@ def q_rolling_median(spark, sf_dir):
 # Round 6: substring-level exact dedup + persisted-band incremental dedup
 # ---------------------------------------------------------------------------
 
-def _sql_pos_grams(k: int) -> str:
+def _sql_pos_grams(k: int, normalize: bool = False) -> str:
     """DuckDB positional word k-grams of the ``documents`` table:
     ``(doc_id, pos, gram)`` with 1-based pos — the SQL twin of the
     ``posexplode(word_ngrams(...))`` step in
-    ``operators/dedup.py::substring_dup_spans``."""
+    ``operators/dedup.py::substring_dup_spans``. ``normalize=True``
+    mirrors the operator's near-verbatim profile: tokens case-folded
+    and stripped to ASCII alphanumerics in place (same ASCII class as
+    the Spark side — Java/RE2 unicode classes do not agree)."""
+    toks = _SQL_TOKS
+    if normalize:
+        toks = (
+            f"list_transform({toks}, "
+            "t -> regexp_replace(lower(t), '[^a-z0-9]', '', 'g'))"
+        )
     cat = " || ' ' || ".join(f"toks[pos+{j}]" for j in range(k))
     return f"""
       SELECT doc_id, pos, {cat} AS gram
-      FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+      FROM (SELECT doc_id, {toks} AS toks FROM documents),
            unnest(generate_series(1, len(toks) - {k - 1})) AS u(pos)
     """
 
 
-@register(
-    "substring_dup_spans",
-    f"""
-    WITH g AS ({_sql_pos_grams(6)}),
+def _sql_span_query(k: int, normalize: bool = False) -> str:
+    """The full span-report oracle for any (k, normalize) profile —
+    shared by the fixed-k, variable-k and near-verbatim registrations
+    so the algebra can never drift between them."""
+    return f"""
+    WITH g AS ({_sql_pos_grams(k, normalize)}),
     d AS (SELECT gram FROM g GROUP BY gram
           HAVING min(doc_id) <> max(doc_id)),
     hits AS (SELECT doc_id, pos FROM g JOIN d USING (gram)),
@@ -7842,12 +7853,14 @@ def _sql_pos_grams(k: int) -> str:
     )
     SELECT doc_id,
            CAST(min(pos) AS BIGINT) AS span_start,
-           CAST(max(pos) + 5 AS BIGINT) AS span_end,
-           CAST(max(pos) + 5 - min(pos) + 1 AS BIGINT) AS span_tokens,
+           CAST(max(pos) + {k - 1} AS BIGINT) AS span_end,
+           CAST(max(pos) + {k - 1} - min(pos) + 1 AS BIGINT) AS span_tokens,
            count(*) AS n_dup_grams
     FROM runs GROUP BY doc_id, grp
-    """,
-)
+    """
+
+
+@register("substring_dup_spans", _sql_span_query(6))
 def q_substring_dup_spans(spark, sf_dir):
     """Substring-level exact dedup: maximal token runs whose every
     6-gram window recurs verbatim in another document — the repeated-
@@ -7864,6 +7877,37 @@ def q_substring_dup_spans(spark, sf_dir):
     collision-free at any realistic gram count)."""
     docs = _t(spark, sf_dir, "documents")
     return substring_dup_spans(docs, "text", "doc_id", k=6)
+
+
+@register("substring_dup_spans_k12", _sql_span_query(12))
+def q_substring_dup_spans_k12(spark, sf_dir):
+    """The VARIABLE-k form of ``substring_dup_spans`` (VERDICT r6 item
+    4): k = 12 demands a 12-token verbatim window before a position
+    counts, so only LONGER duplicated passages survive — the tokens a
+    k=12 span covers are provably a subset of the k=6 coverage
+    (every duplicate 12-gram window contains only duplicate 6-gram
+    windows; property-tested in ``tests/test_substring_spans.py``).
+    Same operator, same oracle algebra via the shared
+    ``_sql_span_query`` template — only the parameter moves."""
+    docs = _t(spark, sf_dir, "documents")
+    return substring_dup_spans(docs, "text", "doc_id", k=12)
+
+
+@register("substring_dup_spans_norm", _sql_span_query(6, normalize=True))
+def q_substring_dup_spans_norm(spark, sf_dir):
+    """The NEAR-VERBATIM form of ``substring_dup_spans``: tokens are
+    case-folded and punctuation-stripped in place (positions
+    preserved) before gram hashing, so passages that differ only by
+    casing or punctuation — the classic templated-boilerplate evasion
+    of exact substring dedup — still collide. Verbatim hits are a
+    subset of normalized hits by construction (normalization only
+    merges gram classes; property-tested). Spark:
+    ``substring_dup_spans(..., normalize=True)`` — one extra
+    ``transform`` over the token array, everything else identical;
+    oracle: the same algebra over identically-normalized tokens
+    (shared ASCII regex — Java and RE2 unicode classes diverge)."""
+    docs = _t(spark, sf_dir, "documents")
+    return substring_dup_spans(docs, "text", "doc_id", k=6, normalize=True)
 
 
 def _scoped_band_table(spark, sf_dir: str, prefix: str) -> str:
