@@ -8580,7 +8580,13 @@ def q_quality_logit_score(spark, sf_dir):
     Scale shape: explode + broadcast hash join on the lexicon + one
     doc-keyed sum + one doc-keyed left join back for zero-hit docs.
     """
-    docs = _t(spark, sf_dir, "documents")
+    return _quality_doc_scores(spark, _t(spark, sf_dir, "documents"))
+
+
+def _quality_doc_scores(spark, docs) -> DataFrame:
+    """Per-doc linear-classifier scores ``(doc_id, n_tokens,
+    logit_micro, kept)`` — the shared scoring stage of
+    ``quality_logit_score`` and ``host_quality_rollup``."""
     # literal VALUES relation, not createDataFrame: a LocalRelation is
     # provably bounded in-plan (createDataFrame ships an opaque
     # ExistingRDD, which the fact-side-broadcast guard rightly treats
@@ -8604,6 +8610,113 @@ def q_quality_logit_score(spark, sf_dir):
             logit.cast("long").alias("logit_micro"),
             (logit > 0).alias("kept"),
         )
+    )
+
+
+@register(
+    "host_quality_rollup",
+    _SQL_URL_CANON
+    + f""",
+    lex(w, wt) AS (VALUES
+      {", ".join(f"('{w}', {wt})" for w, wt in _QUALITY_LEXICON)}
+    ),
+    t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+    hit AS (
+      SELECT tok.doc_id, CAST(sum(lex.wt) AS BIGINT) AS wsum
+      FROM tok JOIN lex USING (w) GROUP BY tok.doc_id
+    ),
+    score AS (
+      SELECT t.doc_id,
+             ({_QUALITY_BIAS} + coalesce(hit.wsum, 0))::BIGINT AS logit,
+             ({_QUALITY_BIAS} + coalesce(hit.wsum, 0) > 0) AS kept
+      FROM t LEFT JOIN hit USING (doc_id)
+    ),
+    h AS (
+      SELECT c.host, s.logit, s.kept
+      FROM canon c JOIN score s USING (doc_id)
+    ),
+    agg AS (
+      SELECT host,
+             count(*) AS n_docs,
+             CAST(sum(kept::BIGINT) AS BIGINT) AS n_kept,
+             quantile_cont(logit, 0.25) AS logit_p25,
+             quantile_cont(logit, 0.5) AS logit_p50,
+             quantile_cont(logit, 0.75) AS logit_p75,
+             approx_quantile(logit, 0.5) AS ap50
+      FROM h GROUP BY host
+    ),
+    cdf AS (
+      SELECT a.host,
+             sum((h.logit <= a.ap50)::BIGINT)::DOUBLE / count(*) AS cdf50
+      FROM agg a JOIN h USING (host) GROUP BY a.host
+    )
+    SELECT a.host, a.n_docs, a.n_kept,
+           CAST(a.n_kept AS DOUBLE) / a.n_docs AS keep_rate,
+           a.logit_p25, a.logit_p50, a.logit_p75,
+           (abs(c.cdf50 - 0.5) < 0.02) AS approx_ok_p50
+    FROM agg a JOIN cdf c USING (host)
+    """,
+)
+def q_host_quality_rollup(spark, sf_dir):
+    """The standard crawl-curation rollup (VERDICT r6 item 8):
+    ``host_rollup`` × ``quality_logit_score`` — per canonical host,
+    how much of the crawl the quality classifier keeps and where the
+    host's score distribution sits. Columns: doc volume, kept count,
+    keep rate, exact logit quartiles, and a certified-sketch boolean
+    (each engine's own single-pass approx-median lands within 2% RANK
+    error of p=0.5 — the ``quantile_error_certificate`` pattern, the
+    scale path for quantiles over millions of hosts where exact
+    per-host sorts are the fallback this query cross-checks them with).
+
+    HASH-STABLE BY CONSTRUCTION: logits are exact integer micro-units,
+    keep_rate is one shared division of identical integers, and the
+    quartiles interpolate integers at DYADIC p (.25/.5/.75) — exact
+    type-7 arithmetic both engines compute bit-identically.
+
+    Scale shape: the scoring stage is the broadcast-lexicon join; the
+    rollup is ONE host-keyed shuffle with map-side partials; the
+    certificate re-joins per-host medians back through the same
+    host-keyed partitioning (no second corpus shuffle shape).
+    """
+    from common_survey_data_pipeline_spark.functions.url import url_host
+
+    docs = _t(spark, sf_dir, "documents")
+    host = docs.select(
+        "doc_id",
+        url_host(F.expr(_SQL_MESSY_URL.strip())).alias("host"),
+    )
+    scores = _quality_doc_scores(spark, docs).select(
+        "doc_id", F.col("logit_micro").alias("logit"), "kept"
+    )
+    d = host.join(scores, "doc_id")
+    agg = d.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.expr("percentile(logit, array(0.25D, 0.5D, 0.75D))").alias("__ex"),
+        F.expr("approx_percentile(logit, 0.5D, 10000)").alias("__ap50"),
+    )
+    cdf = (
+        d.join(agg.select("host", "__ap50"), "host")
+        .groupBy("host")
+        .agg(
+            (
+                F.sum((F.col("logit") <= F.col("__ap50")).cast("long")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("__cdf50")
+        )
+    )
+    return agg.join(cdf, "host").select(
+        "host",
+        "n_docs",
+        "n_kept",
+        (F.col("n_kept").cast("double") / F.col("n_docs")).alias("keep_rate"),
+        F.element_at("__ex", 1).alias("logit_p25"),
+        F.element_at("__ex", 2).alias("logit_p50"),
+        F.element_at("__ex", 3).alias("logit_p75"),
+        (F.abs(F.col("__cdf50") - F.lit(0.5)) < 0.02).alias("approx_ok_p50"),
     )
 
 
