@@ -1152,9 +1152,12 @@ def q_dedup_clusters_star(spark, sf_dir):
     return connected_components_star(pairs)
 
 
-@register(
-    "curate_corpus",
-    f"""
+# The curation-funnel CTEs (quality filter → language filter → exact
+# dedup → MinHash near-dup cluster representatives), factored so the
+# standalone `curate_corpus` oracle and the end-to-end
+# `corpus_e2e_curation` chain share one copy of the algebra. Ends with
+# `curated(doc_id, text, quality)` — the surviving corpus.
+_SQL_CURATE_CTES = f"""
     WITH RECURSIVE scored AS (
       SELECT doc_id, text, {_SQL_QUALITY_EXPR} AS quality,
              CASE WHEN best = 0 THEN 'unknown'
@@ -1181,11 +1184,17 @@ def q_dedup_clusters_star(spark, sf_dir):
           UNION SELECT id_b, id_a FROM pairs),
     r AS (SELECT a, b FROM e
           UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
-    labels AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM r GROUP BY a)
-    SELECT u.doc_id, u.quality
-    FROM uniq u LEFT JOIN labels l ON u.doc_id = l.doc_id
-    WHERE l.cluster_id IS NULL OR l.cluster_id = u.doc_id
-    """,
+    labels AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM r GROUP BY a),
+    curated AS (
+      SELECT u.doc_id, u.text, u.quality
+      FROM uniq u LEFT JOIN labels l ON u.doc_id = l.doc_id
+      WHERE l.cluster_id IS NULL OR l.cluster_id = u.doc_id)
+"""
+
+
+@register(
+    "curate_corpus",
+    _SQL_CURATE_CTES + "SELECT doc_id, quality FROM curated",
 )
 def q_curate(spark, sf_dir):
     """The composed LLM corpus-curation pipeline: quality filter →
@@ -8717,6 +8726,132 @@ def q_host_quality_rollup(spark, sf_dir):
         F.element_at("__ex", 2).alias("logit_p50"),
         F.element_at("__ex", 3).alias("logit_p75"),
         (F.abs(F.col("__cdf50") - F.lit(0.5)) < 0.02).alias("approx_ok_p50"),
+    )
+
+
+_E2E_CAT6 = " || ' ' || ".join(f"toks[pos+{j}]" for j in range(6))
+
+@register(
+    "corpus_e2e_curation",
+    _SQL_CURATE_CTES
+    + f""",
+    ct AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM curated),
+    cg AS (SELECT doc_id, pos, {_E2E_CAT6} AS gram
+           FROM ct, unnest(generate_series(1, len(toks) - 5)) AS u(pos)),
+    cd AS (SELECT gram FROM cg GROUP BY gram
+           HAVING min(doc_id) <> max(doc_id)),
+    chits AS (SELECT doc_id, pos FROM cg JOIN cd USING (gram)),
+    ccut AS (SELECT DISTINCT doc_id, pos + off AS tpos
+             FROM chits, unnest(generate_series(0, 5)) AS o(off)),
+    ctok AS (SELECT doc_id, tpos, toks[tpos] AS token
+             FROM ct, unnest(generate_series(1, len(toks))) AS u(tpos)),
+    ckept AS (SELECT ctok.doc_id, ctok.tpos, ctok.token
+              FROM ctok ANTI JOIN ccut
+                ON ctok.doc_id = ccut.doc_id AND ctok.tpos = ccut.tpos),
+    cleaned AS (
+      SELECT ct.doc_id, coalesce(k.cleaned, '') AS text
+      FROM ct LEFT JOIN (
+        SELECT doc_id, string_agg(token, ' ' ORDER BY tpos) AS cleaned
+        FROM ckept GROUP BY doc_id) k USING (doc_id)),
+    ctoks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM cleaned),
+    tg AS (SELECT doc_id, unnest({_sql_word_grams(4)}) AS gram
+           FROM ctoks WHERE doc_id % 37 <> 0),
+    ev AS (SELECT DISTINCT gram FROM (
+             SELECT unnest({_sql_word_grams(4)}) AS gram
+             FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+                   WHERE doc_id % 37 = 0))),
+    contaminated AS (SELECT DISTINCT tg.doc_id FROM tg JOIN ev USING (gram)),
+    surv AS (SELECT c.doc_id, c.toks FROM ctoks c
+             ANTI JOIN contaminated x ON c.doc_id = x.doc_id
+             WHERE c.doc_id % 37 <> 0),
+    lex(w, wt) AS (VALUES
+      {", ".join(f"('{w}', {wt})" for w, wt in _QUALITY_LEXICON)}
+    ),
+    stok AS (SELECT doc_id, unnest(toks) AS w FROM surv),
+    shit AS (SELECT stok.doc_id, CAST(sum(lex.wt) AS BIGINT) AS wsum
+             FROM stok JOIN lex USING (w) GROUP BY stok.doc_id),
+    sq AS (SELECT surv.doc_id, len(surv.toks)::BIGINT AS n_tokens,
+                  ({_QUALITY_BIAS} + coalesce(shit.wsum, 0))::BIGINT
+                    AS logit_micro
+           FROM surv LEFT JOIN shit USING (doc_id)
+           WHERE {_QUALITY_BIAS} + coalesce(shit.wsum, 0) > 0)
+    SELECT doc_id, n_tokens, logit_micro,
+           cum_tokens::BIGINT AS cum_tokens,
+           ((cum_tokens - n_tokens) // 2048)::BIGINT AS pack_id
+    FROM (SELECT doc_id, n_tokens, logit_micro,
+                 sum(n_tokens) OVER (ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum_tokens
+          FROM sq)
+    """,
+)
+def q_corpus_e2e_curation(spark, sf_dir):
+    """The WHOLE curation pipeline as ONE plan (VERDICT r6 item 5):
+    curate (quality + language + exact/near dedup) →
+    ``substring_dedup_clean`` (cut cross-doc duplicate passages) →
+    ``decontaminate_ngrams`` (drop docs sharing 4-grams with the
+    held-out split, checked on the CLEANED text) →
+    ``quality_logit_score`` (classifier keep on the cleaned text) →
+    sequence packing (2048-token shards via the distributed
+    prefix-sum). Output: one row per document that survives the whole
+    funnel, with its token count, classifier logit, running token
+    offset and pack id. Proves the operators COMPOSE — same functions
+    the registry exposes individually, no inline re-implementations.
+
+    CACHE/CHECKPOINT POLICY (the two reuse points): (1) the raw
+    (doc_id, text) projection is cached — curation and the eval-split
+    branch both read it, so the parquet source is scanned ONCE
+    (plan-locked in ``tests/test_e2e_curation.py``; at 100 TB the eval
+    split lives in its own tiny store — the cache here is what proves
+    compose-without-recompute); (2) the cleaned text is cached — the
+    decontamination grams, the classifier scoring and the packing all
+    consume it, and without the cut the whole curate+clean prefix
+    (incl. its shuffles) re-executes three times. ``curate_corpus``
+    additionally localCheckpoints its own scored corpus internally
+    (its documented contract). Call ``spark.catalog.clearCache()``
+    after consuming the result in long-lived sessions.
+
+    HASH-STABLE: every stage is integer/string algebra (shingle hash
+    joins, integer-cent-free — no floats anywhere in the output).
+    """
+    from common_survey_data_pipeline_spark.operators.dedup import (
+        substring_dedup_clean,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text").cache()  # reuse point 1
+    curated_ids = curate_corpus(
+        base, min_quality=0.3, lang="en", neardup_threshold=0.5
+    ).select("doc_id")
+    cur = base.join(curated_ids, "doc_id")
+    cleaned = (
+        substring_dedup_clean(cur, "text", "doc_id", k=6)
+        .select("doc_id", F.col("cleaned_text").alias("text"))
+        .cache()  # reuse point 2: decontam grams + scoring + packing
+    )
+    # EAGER materialization: the three consumers below run as parallel
+    # branches of one job, and the packing stage's distributed
+    # prefix-sum adds a second action — without forcing the cache
+    # here, racing branches each recompute the whole curate+clean
+    # prefix (measured 120s → 55s at sf0.01)
+    cleaned.count()
+    eval_set = base.where(F.col("doc_id") % 37 == 0)
+    train = cleaned.where(F.col("doc_id") % 37 != 0)
+    contaminated = ngram_decontaminate(
+        train, eval_set, "text", "doc_id", n=4
+    ).select("doc_id")
+    survivors = train.join(contaminated, "doc_id", "left_anti")
+    scored = _quality_doc_scores(spark, survivors).where(F.col("kept"))
+    final = scored.select("doc_id", "n_tokens", "logit_micro")
+    packed = global_cumsum(final, ["doc_id"], "n_tokens", "cum_tokens")
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        "logit_micro",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / 2048)
+        .cast("long")
+        .alias("pack_id"),
     )
 
 
