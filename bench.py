@@ -97,22 +97,20 @@ BENCH_QUERIES = (
     "ngram_lm_counts",
     "bpe_pair_counts",
     "quality_logit_score",
+    # round 7 additions
+    "substring_dup_spans_k12",
+    "substring_dup_spans_norm",
+    "events_stateful_sessions",
+    "multimodal_phash_neardup",
+    "host_quality_rollup",
 )
 
-# the 10 heaviest headline queries by the r3/r4 sf0.1 records — the
-# sf1 spot-check set (see the sf1_top10 section below)
-SF1_TOP10 = (
-    "dedup_prefix_filter",
-    "text_fingerprints",
-    "pagerank_parts_2iter",
-    "inverted_index_postings",
-    "dedup_minhash",
-    "j10_fuzzy_bigjoin",
-    "text_repetition",
-    "q3_top_revenue_orders",
-    "q5_region_nation_revenue",
-    "embedding_random_projection",
-)
+# sf1 (10×) leg: the FULL headline set (VERDICT r6 item 6 — the top-10
+# spot-check could not separate env drift from growth), minus queries
+# whose registered form embeds a deliberately quadratic CONTRACT branch
+# (the production operator is banded; the all-pairs twin exists only to
+# oracle it and is O(n²) by design — 1.25B pairs at sf1).
+SF1_EXCLUDE = frozenset({"multimodal_phash_neardup"})
 
 
 def main() -> None:
@@ -183,33 +181,34 @@ def main() -> None:
         "sf": sf,
     }
 
-    # sf1 (10×) spot-check of the heaviest queries: one measured point
-    # beyond sf0.1 to back the 100×-design claims. The sf1 parquet is
-    # built once (duplicate-structure-preserving 10× amplification of
-    # sf0.1 — see tools_gen_sf1.py) under /tmp; single timed run per
-    # query (plans are already codegen-warm from the sf0.1 loop above).
-    # A query whose sf1/sf0.1 ratio materially exceeds the 10× data
-    # ratio has a super-linear stage. Disable with SPARK_GRAFT_SF1=0.
+    # sf1 (10×) leg: one measured point beyond sf0.1 to back the
+    # 100×-design claims, now over the FULL headline set. The sf1
+    # parquet is built once (duplicate-structure-preserving 10×
+    # amplification of sf0.1 — see tools_gen_sf1.py) under /tmp;
+    # variance-adaptive best-of-2/3 per query (single-shot sf1 samples
+    # vary up to 3× on GC/page-cache luck, which would read as a fake
+    # super-linear stage in the ratio column). A query whose
+    # sf1/sf0.1 ratio materially exceeds the 10× data ratio has a
+    # super-linear stage. Disable with SPARK_GRAFT_SF1=0.
     if sf == 0.1 and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
         from tools_gen_sf1 import ensure_sf1
 
         sf1_dir = ensure_sf1(spark, src_dir=sf_dir)
+        sf1_names = [n for n in BENCH_QUERIES if n not in SF1_EXCLUDE]
         sf1_times: dict[str, float] = {}
-        for name in SF1_TOP10:
-            # variance-adaptive best-of-2/3 here too: single-shot sf1
-            # samples vary up to 3× on GC/page-cache luck at 10× data,
-            # which would read as a fake super-linear stage in the
-            # ratio column
+        for name in sf1_names:
             sf1_times[name] = round(
                 timed_best(REGISTRY[name].fn, sf1_dir), 3
             )
-        out["sf1_top10"] = {
+        out["sf1_full"] = {
             "sf": 1.0,
             "total": round(sum(sf1_times.values()), 3),
+            "n_queries": len(sf1_names),
+            "excluded": sorted(SF1_EXCLUDE),
             "queries": sf1_times,
             "ratio_vs_sf0.1": {
                 name: round(sf1_times[name] / max(times[name], 0.001), 1)
-                for name in SF1_TOP10
+                for name in sf1_names
             },
         }
 
@@ -249,8 +248,9 @@ def main() -> None:
         "detail": "BENCH_LOCAL.json",
         "queries": {},
     }
-    if "sf1_top10" in out:
-        compact["sf1_total"] = out["sf1_top10"]["total"]
+    if "sf1_full" in out:
+        compact["sf1_total"] = out["sf1_full"]["total"]
+        compact["sf1_n"] = out["sf1_full"]["n_queries"]
     compact["regressions"] = dict(
         sorted(
             regressed.items(),

@@ -123,7 +123,9 @@ def test_neardup_lsh_recall_vs_exact(emb):
     assert len(lsh_pairs) / len(exact_pairs) >= 0.8
 
 
-@pytest.mark.parametrize("name", ["similarity_signlsh", "similarity_ivf"])
+@pytest.mark.parametrize(
+    "name", ["similarity_signlsh", "similarity_ivf", "similarity_pq"]
+)
 def test_registry_ann_recall_contract(spark, name):
     """The registry's ANN queries export (query_id, found_k, recall_ok)
     and must report full k found and recall ≥ 0.9 for EVERY query — the
@@ -258,3 +260,52 @@ def test_cosine_topk_string_ids_round_trip(spark):
     empty = cosine_topk(corpus, empty_q, k=2, strategy="matmul")
     assert dict(empty.dtypes)["vec_id"] == "string"
     assert empty.count() == 0
+
+
+def test_pq_big_shortlist_contains_exact_topk(emb, queries):
+    """With the shortlist as large as the corpus, PQ's exact rerank
+    must reproduce the exact top-k (ADC only chooses the shortlist)."""
+    from common_survey_data_pipeline_spark.operators.similarity import pq_topk
+
+    n = emb.count()
+    got = sorted(
+        (r["query_id"], r["vec_id"], r["cosine_sim"], r["rank"])
+        for r in pq_topk(emb, queries, k=10, shortlist=n).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["vec_id"], r["cosine_sim"], r["rank"])
+        for r in cosine_topk(emb, queries, k=10).collect()
+    )
+    assert got == want
+
+
+def test_pq_string_ids_round_trip(spark):
+    from common_survey_data_pipeline_spark.operators.similarity import pq_topk
+
+    corpus = spark.createDataFrame(
+        [(f"doc-{i}", [float(i % 7), float((i * 3) % 5), 1.0, 0.5])
+         for i in range(40)],
+        "vec_id string, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [("q-1", [1.0, 0.0, 1.0, 0.5])],
+        "query_id string, query_vec array<double>",
+    )
+    out = pq_topk(corpus, q, k=3, m=2, ksub=4, shortlist=10, train_cap=40)
+    assert dict(out.dtypes)["query_id"] == "string"
+    assert dict(out.dtypes)["vec_id"] == "string"
+    rows = out.collect()
+    assert len(rows) == 3
+    assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3]
+
+
+def test_pq_deterministic_across_partitionings(emb, queries):
+    from common_survey_data_pipeline_spark.operators.similarity import pq_topk
+
+    a = sorted(
+        map(tuple, pq_topk(emb.repartition(1), queries, k=10).collect())
+    )
+    b = sorted(
+        map(tuple, pq_topk(emb.repartition(7), queries, k=10).collect())
+    )
+    assert a == b
