@@ -103,6 +103,8 @@ BENCH_QUERIES = (
     "events_stateful_sessions",
     "multimodal_phash_neardup",
     "host_quality_rollup",
+    "similarity_pq",
+    "decontaminate_spans_clean",
 )
 
 # sf1 (10×) leg: the FULL headline set (VERDICT r6 item 6 — the top-10

@@ -199,3 +199,41 @@ def crossdoc_duplication(
         F.sum("shared").alias("n_shared"),
         F.round(F.sum("shared") / F.count("*"), 6).alias("dup_share"),
     )
+
+
+def decontaminate_spans(
+    train: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+) -> DataFrame:
+    """SURGICAL decontamination: instead of dropping every training
+    document that shares an n-gram with the evaluation set
+    (:func:`ngram_decontaminate` — the GPT-3 policy, which discards
+    whole documents for one quoted benchmark sentence), cut ONLY the
+    tokens covered by a shared n-gram window and re-emit the cleaned
+    text. Output ``(id_col, n_tokens, n_removed, cleaned_text)`` for
+    every training document; uncontaminated docs round-trip with
+    ``n_removed = 0``.
+
+    Composition of two existing stages: the positional hashed-gram
+    table (``dedup._pos_gram_hashes`` — the substring-dedup candidate
+    stage) joined against the eval set's DISTINCT gram vocabulary
+    (tiny, AQE-broadcast — the ``ngram_decontaminate`` shape), then the
+    shared cut-and-rebuild (``dedup.cut_spans_rebuild``). No stage is
+    quadratic in either input; the corpus shuffles doc-keyed only.
+    """
+    from common_survey_data_pipeline_spark.operators.dedup import (
+        _pos_gram_hashes,
+        cut_spans_rebuild,
+    )
+
+    g = _pos_gram_hashes(train, text_col, id_col, n)
+    vocab = (
+        _pos_gram_hashes(eval_set, text_col, id_col, n)
+        .select("gh")
+        .distinct()
+    )
+    hits = g.join(vocab, "gh").select(id_col, "pos")
+    return cut_spans_rebuild(train, hits, text_col, id_col, n)

@@ -809,25 +809,23 @@ def _norm_token(t: Column) -> Column:
     return F.regexp_replace(F.lower(t), "[^a-z0-9]", "")
 
 
-def _dup_gram_hits(
+def _pos_gram_hashes(
     docs: DataFrame,
     text_col: str,
     id_col: str,
     k: int,
     normalize: bool = False,
 ) -> DataFrame:
-    """(id, pos) of every k-gram window that recurs in at least one
-    OTHER document — the shared candidate stage of
-    :func:`substring_dup_spans` and :func:`substring_dedup_clean`.
-    Hashed 64-bit gram keys on the wire; duplicate detection is one
-    hash-keyed groupBy with two-long state (min≠max id).
+    """Positional hashed k-gram table ``(id, pos, gh)`` — one row per
+    token window, 1-based positions, 8-byte xxhash64 keys on the wire.
+    The shared first stage of every substring-level operator
+    (:func:`substring_dup_spans`, :func:`substring_dedup_clean`,
+    ``decontam.decontaminate_spans``).
 
     ``normalize=True`` switches from exact-verbatim to NEAR-VERBATIM
     windows: tokens are case-folded and punctuation-stripped in place
     (positions preserved) before gram construction, so windows that
-    differ only in case/punctuation collide. Every verbatim duplicate
-    window is a normalized duplicate window, hence verbatim hits ⊆
-    normalized hits (property-tested)."""
+    differ only in case/punctuation collide."""
     from common_survey_data_pipeline_spark.functions.text import tokens
 
     toks = tokens(F.col(text_col))
@@ -841,7 +839,7 @@ def _dup_gram_hits(
             lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
         )
     )
-    g = docs.select(
+    return docs.select(
         F.col(id_col),
         F.posexplode(grams).alias("pos0", "gram"),
     ).select(
@@ -849,6 +847,23 @@ def _dup_gram_hits(
         (F.col("pos0") + 1).alias("pos"),
         F.xxhash64("gram").alias("gh"),
     )
+
+
+def _dup_gram_hits(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    normalize: bool = False,
+) -> DataFrame:
+    """(id, pos) of every k-gram window that recurs in at least one
+    OTHER document — the shared candidate stage of
+    :func:`substring_dup_spans` and :func:`substring_dedup_clean`.
+    Duplicate detection is one hash-keyed groupBy with two-long state
+    (min≠max id). Every verbatim duplicate window is a normalized
+    duplicate window, hence verbatim hits ⊆ normalized hits
+    (property-tested)."""
+    g = _pos_gram_hashes(docs, text_col, id_col, k, normalize)
     dup = (
         g.groupBy("gh")
         .agg(F.min(id_col).alias("__mn"), F.max(id_col).alias("__mx"))
@@ -882,9 +897,32 @@ def substring_dedup_clean(
     100 TB you run it only over docs with hits (the span report
     prunes the rest).
     """
+    hits = _dup_gram_hits(docs, text_col, id_col, k)
+    return cut_spans_rebuild(docs, hits, text_col, id_col, k)
+
+
+def cut_spans_rebuild(
+    docs: DataFrame,
+    hits: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Shared rebuild stage: remove every token covered by a hit
+    window ``(pos .. pos+k-1)`` and re-emit the cleaned text — used by
+    :func:`substring_dedup_clean` (hits = cross-document duplicate
+    windows) and ``decontam.decontaminate_spans`` (hits = windows
+    shared with an eval set). ``hits`` must be ``(id_col, pos)`` with
+    1-based window positions over the whitespace tokenization of
+    ``text_col``. Output ``(id_col, n_tokens, n_removed,
+    cleaned_text)`` for every document in ``docs``.
+
+    Scale shape: O(hits·k) cut-set explode (distinct on (doc, pos)),
+    anti-join rebuild, per-doc-bounded ``array_sort(collect_list)`` —
+    per-doc state is the document's own length, corpus-wide shuffles
+    are doc-keyed only."""
     from common_survey_data_pipeline_spark.functions.text import tokens
 
-    hits = _dup_gram_hits(docs, text_col, id_col, k)
     cut = hits.select(
         id_col,
         F.explode(

@@ -4296,6 +4296,65 @@ def q_decontaminate(spark, sf_dir):
     return ngram_decontaminate(train, eval_set, "text", "doc_id", n=4)
 
 
+_DECONTAM_CAT4 = " || ' ' || ".join(f"toks[pos+{j}]" for j in range(4))
+
+
+@register(
+    "decontaminate_spans_clean",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+               WHERE doc_id % 37 <> 0),
+    g AS (SELECT doc_id, pos, {_DECONTAM_CAT4} AS gram
+          FROM t, unnest(generate_series(1, len(toks) - 3)) AS u(pos)),
+    ev AS (SELECT DISTINCT gram FROM (
+             SELECT {_DECONTAM_CAT4} AS gram
+             FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+                   WHERE doc_id % 37 = 0),
+                  unnest(generate_series(1, len(toks) - 3)) AS u(pos))),
+    hits AS (SELECT doc_id, pos FROM g JOIN ev USING (gram)),
+    cut AS (SELECT DISTINCT doc_id, pos + off AS tpos
+            FROM hits, unnest(generate_series(0, 3)) AS o(off)),
+    tok AS (SELECT doc_id, tpos, toks[tpos] AS token
+            FROM t, unnest(generate_series(1, len(toks))) AS u(tpos)),
+    kept AS (
+      SELECT tok.doc_id, tok.tpos, tok.token
+      FROM tok ANTI JOIN cut
+        ON tok.doc_id = cut.doc_id AND tok.tpos = cut.tpos
+    )
+    SELECT t.doc_id,
+           len(t.toks)::BIGINT AS n_tokens,
+           (len(t.toks) - coalesce(k.n_kept, 0))::BIGINT AS n_removed,
+           coalesce(k.cleaned, '') AS cleaned_text
+    FROM t LEFT JOIN (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(token, ' ' ORDER BY tpos) AS cleaned
+      FROM kept GROUP BY doc_id
+    ) k USING (doc_id)
+    """,
+)
+def q_decontaminate_spans_clean(spark, sf_dir):
+    """SURGICAL train/eval decontamination: cut ONLY the tokens
+    covered by a word 4-gram shared with the held-out split and
+    re-emit the cleaned text — the modern alternative to
+    ``decontaminate_ngrams``'s drop-the-whole-document policy (one
+    quoted benchmark sentence should cost a sentence, not a document).
+    Uncontaminated docs round-trip with ``n_removed = 0``.
+
+    ``operators/decontam.py::decontaminate_spans`` — the substring-
+    dedup positional gram stage joined against the eval set's distinct
+    gram vocabulary (tiny, AQE-broadcast), then the shared
+    cut-and-rebuild (``dedup.cut_spans_rebuild``). Oracle: the
+    identical cut algebra in DuckDB."""
+    from common_survey_data_pipeline_spark.operators.decontam import (
+        decontaminate_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_set = docs.where(F.col("doc_id") % 37 == 0)
+    train = docs.where(F.col("doc_id") % 37 != 0)
+    return decontaminate_spans(train, eval_set, "text", "doc_id", n=4)
+
+
 @register(
     "text_repetition",
     f"""

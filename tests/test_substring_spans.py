@@ -72,3 +72,39 @@ def test_span_arithmetic_invariants(spark, docs):
         assert r["span_tokens"] == r["span_end"] - r["span_start"] + 1
         assert r["span_tokens"] == r["n_dup_grams"] + 11
         assert r["span_tokens"] >= 12
+
+
+def test_decontaminate_spans_surgical_vs_drop(spark):
+    """The span cut removes exactly the covered tokens; the rest of
+    the document survives (unlike the drop-the-document policy)."""
+    from common_survey_data_pipeline_spark.operators.decontam import (
+        decontaminate_spans,
+        ngram_decontaminate,
+    )
+
+    bench = "the quick brown fox jumps"
+    train_rows = [
+        (1, f"alpha beta {bench} gamma delta epsilon"),
+        (2, "totally unrelated text with no overlap at all"),
+    ]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    eval_set = spark.createDataFrame(
+        [(100, bench)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate_spans(train, eval_set, n=4).collect()
+    }
+    # doc 1: bench is 5 tokens at positions 3-7; 4-gram windows at 3,4
+    # cover positions 3-7 — exactly the benchmark text is cut
+    assert out[1]["n_removed"] == 5
+    assert out[1]["cleaned_text"] == "alpha beta gamma delta epsilon"
+    # doc 2 untouched
+    assert out[2]["n_removed"] == 0
+    assert out[2]["cleaned_text"] == train_rows[1][1]
+    # the drop policy would have discarded doc 1 wholesale
+    dropped = {
+        r["doc_id"]
+        for r in ngram_decontaminate(train, eval_set, n=4).collect()
+    }
+    assert dropped == {1}
