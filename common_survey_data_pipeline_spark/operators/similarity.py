@@ -840,3 +840,142 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index — the ANN counterpart of the dedup stack's
+# persisted band table: the coarse quantizer runs ONCE at ingest, the
+# corpus is laid out partitioned BY cell id, and every query reads only
+# its probed cells' files (partition pruning), never the corpus.
+# ---------------------------------------------------------------------------
+
+
+def write_ivf_index(
+    spark,
+    corpus: DataFrame,
+    table: str,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    nlist: int = 16,
+    seed: int = 42,
+) -> None:
+    """Build and persist an IVF index: train the KMeans coarse
+    quantizer (unit-normalized — euclidean ≡ cosine geometry), assign
+    every vector its cell, and write the corpus PARTITIONED BY the
+    cell id — the directory layout IS the inverted file, so a query
+    probing ``nprobe`` of ``nlist`` cells reads ``nprobe/nlist`` of
+    the files and the rest never leaves storage (plan-locked partition
+    pruning in ``tests/test_similarity_persisted.py``). Centroids land
+    in a tiny companion table ``{table}__centroids``; ``nlist``/
+    ``seed`` are recorded as table properties (the
+    ``write_band_table`` validation pattern).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus = corpus.where(
+        F.col(corpus_vec).isNotNull()
+        & F.col(corpus_id).isNotNull()
+        & (l2_norm(F.col(corpus_vec)) > 0)
+    )
+    c_norm = corpus.select(
+        F.col(corpus_id).alias("vec_id"),
+        F.col(corpus_vec).alias("embedding"),
+        _unit_normalize(F.col(corpus_vec)).alias("__cn"),
+    ).withColumn("__features", array_to_vector("__cn"))
+    model = KMeans(k=nlist, seed=seed, featuresCol="__features").fit(c_norm)
+    assigned = model.transform(c_norm).select(
+        "vec_id", "embedding", F.col("prediction").alias("cell")
+    )
+    (
+        assigned.write.mode("overwrite")
+        .partitionBy("cell")
+        .saveAsTable(table)
+    )
+    spark.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES "
+        f"('ivf.nlist'='{nlist}', 'ivf.seed'='{seed}')"
+    )
+    centroids = [
+        (i, [float(x) for x in ctr])
+        for i, ctr in enumerate(model.clusterCenters())
+    ]
+    spark.createDataFrame(
+        centroids, "cell int, centroid array<double>"
+    ).write.mode("overwrite").saveAsTable(f"{table}__centroids")
+
+
+def ivf_topk_from_index(
+    spark,
+    table: str,
+    queries: DataFrame,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    k: int = 10,
+    nprobe: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Query a persisted IVF index (:func:`write_ivf_index`): rank the
+    stored centroids per query (driver-side numpy over the nlist-row
+    centroid table — bounded by the index's own size, never the
+    corpus), then scan ONLY the probed cells via an IN-filter the
+    parquet source prunes partitions with, and rank candidates with
+    exact cosine. Same output contract as ``cosine_topk``; zero
+    training or assignment work at query time — the ingest job paid it
+    once.
+    """
+    import pandas as pd  # noqa: F401 — toPandas round-trip below
+
+    queries = queries.where(
+        F.col(query_vec).isNotNull()
+        & F.col(query_id).isNotNull()
+        & (l2_norm(F.col(query_vec)) > 0)
+    )
+    qpd = queries.select(
+        F.col(query_id).alias("qid"), F.col(query_vec).alias("qv")
+    ).toPandas()
+    cpd = spark.table(f"{table}__centroids").toPandas()
+    if len(qpd) == 0 or len(cpd) == 0:
+        qid_t = queries.schema[query_id].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"query_id {qid_t}, vec_id long, cosine_sim double, rank int"
+        )
+    qm = np.stack(qpd["qv"].to_numpy()).astype("float64")
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    cm = np.stack(cpd["centroid"].to_numpy()).astype("float64")
+    cells = cpd["cell"].to_numpy()
+    sims = qm @ cm.T  # (nq, nlist)
+    probe_rows = []
+    for qi, qid in enumerate(qpd["qid"]):
+        # nearest nprobe cells, ties by cell id (matches ivf_topk)
+        order = np.lexsort((cells, -sims[qi]))[:nprobe]
+        for c in cells[order]:
+            probe_rows.append((qid, int(c)))
+    probed_cells = sorted({c for _, c in probe_rows})
+    qid_t = queries.schema[query_id].dataType.simpleString()
+    probes = F.broadcast(
+        spark.createDataFrame(probe_rows, f"query_id {qid_t}, cell int")
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+    )
+    # the IN filter is what the source prunes partitions with — only
+    # the probed cells' directories are ever read
+    corpus = spark.table(table).where(F.col("cell").isin(probed_cells))
+    cand = (
+        corpus.join(probes, "cell")
+        .join(F.broadcast(q), "query_id")
+    )
+    if exclude_self:
+        cand = cand.where(F.col("vec_id") != F.col("query_id"))
+    scored = cand.withColumn(
+        "cosine_sim", _round6z(cosine(F.col("embedding"), F.col("__qv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc_nulls_last(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine_sim", "rank")
+    )

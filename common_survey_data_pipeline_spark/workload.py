@@ -1325,6 +1325,38 @@ def q_sim_pq(spark, sf_dir):
     return recall_vs_exact(ann, exact, k=10, min_recall=0.9)
 
 
+@register("similarity_ivf_persisted", _ANN_ORACLE)
+def q_sim_ivf_persisted(spark, sf_dir):
+    """The PERSISTED form of ``similarity_ivf`` — the ANN counterpart
+    of ``dedup_incremental_persisted``'s write-once design: the KMeans
+    coarse quantizer runs ONCE at ingest and the corpus lands
+    PARTITIONED BY cell id (``operators/similarity.py::write_ivf_index``
+    — the directory layout IS the inverted file; centroids in a tiny
+    companion table). Query time does zero training or assignment:
+    centroids rank driver-side (nlist rows), and the scan carries an
+    IN-filter on the partition column, so only the probed cells'
+    files are ever read — partition pruning is plan-locked in
+    ``tests/test_similarity_persisted.py``. Same recall contract as
+    the other ANN queries (nprobe=14/nlist=16 on this isotropic
+    worst-case corpus; the dial transfers, not the constant)."""
+    from common_survey_data_pipeline_spark.operators.similarity import (
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    table = _scoped_band_table(spark, sf_dir, "ivf_index")
+    _reset_managed_table(spark, table)
+    _reset_managed_table(spark, f"{table}__centroids")
+    write_ivf_index(spark, emb, table, nlist=16)
+    ann = ivf_topk_from_index(spark, table, queries, k=10, nprobe=14)
+    exact = cosine_topk(emb, queries, k=10)
+    return recall_vs_exact(ann, exact, k=10, min_recall=0.9)
+
+
 @register(
     "embedding_neardup",
     """

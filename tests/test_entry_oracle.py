@@ -48,13 +48,14 @@ def test_driver_order_surfaces_unrecorded_queries_first():
     """The driver's correctness harness records queries in dict order
     under a per-round cap, so ``_driver_order()`` must yield every
     query WITHOUT a green committed CORRECTNESS row before any query
-    that already has one. (The r3-era hand pin for the two ANN queries
-    retired in round 6 once CORRECTNESS_r05 recorded them green.)"""
+    that already has one. (Round 7 made the green tail LRU by
+    last-green round — tests/test_driver_order.py covers the rotation;
+    this test pins the fresh-before-green invariant.)"""
     import __spark_entry__ as e
 
     order = e._driver_order()
     assert sorted(order) == sorted(REGISTRY)  # a permutation, no loss
-    green = e._green_driver_rows()
+    green = e._green_driver_rounds()
     rest = order
     seen_green = False
     for name in rest:

@@ -1,0 +1,103 @@
+"""Persisted IVF index: query-time must read ONLY the probed cells'
+partitions (plan-locked partition pruning), reproduce the transient
+``ivf_topk`` at equal parameters, and do zero training at query time."""
+
+from __future__ import annotations
+
+import shutil
+from urllib.parse import urlparse
+
+import pytest
+from pyspark.sql import functions as F
+
+from common_survey_data_pipeline_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk_from_index,
+    write_ivf_index,
+)
+from common_survey_data_pipeline_spark.sources.tables import load_table
+
+TABLE = "ivf_index_test"
+NLIST = 8
+
+
+def _drop(spark, *tables):
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def index(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    _drop(spark, TABLE, f"{TABLE}__centroids")
+    write_ivf_index(spark, emb, TABLE, nlist=NLIST)
+    yield emb
+    _drop(spark, TABLE, f"{TABLE}__centroids")
+
+
+@pytest.fixture(scope="module")
+def queries(index):
+    return index.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+
+def test_full_probe_reproduces_exact(spark, index, queries):
+    got = sorted(
+        map(
+            tuple,
+            ivf_topk_from_index(
+                spark, TABLE, queries, k=10, nprobe=NLIST
+            ).collect(),
+        )
+    )
+    want = sorted(map(tuple, cosine_topk(index, queries, k=10).collect()))
+    assert got == want
+
+
+def test_partial_probe_recall(spark, index, queries):
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(index, queries, k=10).collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk_from_index(
+            spark, TABLE, queries, k=10, nprobe=6
+        ).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.7
+
+
+def test_scan_prunes_to_probed_partitions(spark, index, queries):
+    """The whole point of persisting: a query's scan must read only
+    the probed cells' directories. Locked on the scan node's partition
+    count, not just the filter string."""
+    import re
+
+    ann = ivf_topk_from_index(spark, TABLE, queries, k=10, nprobe=2)
+    plan = ann._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [
+        l for l in plan.splitlines() if TABLE in l and "FileScan" in l
+    ]
+    assert scan_lines, plan
+    # the IN filter on the partition column reached the plan…
+    assert re.search(r"cell#\d+ IN \(", plan), plan
+    # …and the scan's file index holds strictly fewer directories than
+    # nlist: unprobed cells' files are never read. (nprobe=2 over 5
+    # queries can probe at most 10 distinct cells, usually far fewer.)
+    m = re.search(r"InMemoryFileIndex\((\d+) paths\)", scan_lines[0])
+    assert m, scan_lines[0]
+    assert int(m.group(1)) < NLIST, scan_lines[0]
+
+
+def test_table_properties_recorded(spark, index):
+    rows = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {TABLE}").collect()
+    }
+    assert rows.get("ivf.nlist") == str(NLIST)
+    assert "ivf.seed" in rows
