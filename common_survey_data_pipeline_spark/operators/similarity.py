@@ -979,3 +979,61 @@ def ivf_topk_from_index(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine_sim", "rank")
     )
+
+
+def append_ivf_index(
+    spark,
+    batch: DataFrame,
+    table: str,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> None:
+    """Append an ingest batch to a persisted IVF index
+    (:func:`write_ivf_index`) WITHOUT retraining: each new vector is
+    assigned to its nearest STORED centroid (broadcast nlist×dim
+    matrix, one numpy argmin per Arrow batch) and written through the
+    same cell partitioning — the mirror of the dedup stack's
+    ``append_band_table``. Cost is O(batch); the existing index files
+    are never read or rewritten, and queries keep pruning to probed
+    cells across any number of appends (drifting centroids degrade
+    recall gracefully — the standard IVF trade; retrain with
+    :func:`write_ivf_index` when the corpus distribution moves).
+    """
+    import pandas as pd
+
+    cpd = spark.table(f"{table}__centroids").toPandas()
+    cm = np.stack(cpd["centroid"].to_numpy()).astype("float64")
+    cell_ids = cpd["cell"].to_numpy()
+    bc = spark.sparkContext.broadcast((cell_ids, cm))
+
+    batch = batch.where(
+        F.col(corpus_vec).isNotNull()
+        & F.col(corpus_id).isNotNull()
+        & (l2_norm(F.col(corpus_vec)) > 0)
+    )
+    cid_t = batch.schema[corpus_id].dataType.simpleString()
+    vec_t = batch.schema[corpus_vec].dataType.simpleString()
+    schema = f"vec_id {cid_t}, embedding {vec_t}, cell int"
+
+    def assign(it):
+        cells, cents = bc.value
+        for pdf in it:
+            vm = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+            d2 = (
+                (vm**2).sum(1, keepdims=True)
+                - 2.0 * vm @ cents.T
+                + (cents**2).sum(1)[None, :]
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "cell": cells[d2.argmin(1)].astype("int32"),
+                }
+            )
+
+    assigned = batch.select(
+        F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("embedding")
+    ).mapInPandas(assign, schema)
+    assigned.write.mode("append").partitionBy("cell").saveAsTable(table)

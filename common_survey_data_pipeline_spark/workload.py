@@ -1357,6 +1357,43 @@ def q_sim_ivf_persisted(spark, sf_dir):
     return recall_vs_exact(ann, exact, k=10, min_recall=0.9)
 
 
+@register("similarity_ivf_appended", _ANN_ORACLE)
+def q_sim_ivf_appended(spark, sf_dir):
+    """IVF index LIFECYCLE under the shared recall contract — the ANN
+    mirror of ``dedup_band_table_appended``: the index is built from
+    the first half of the corpus (quantizer trained once), the second
+    half arrives later and is APPENDED with
+    ``operators/similarity.py::append_ivf_index`` — assigned to the
+    nearest STORED centroids (broadcast matrix, one argmin per Arrow
+    batch; O(batch), the existing index files never read) and written
+    through the same cell partitioning, so queries keep pruning to
+    probed cells across appends. The recall contract then runs against
+    the full appended index vs the exact scan of the full corpus —
+    centroids trained on half the data must still clear 0.9 recall at
+    nprobe=14/16 (they do: probe breadth, not centroid quality,
+    dominates recall on this isotropic corpus)."""
+    from common_survey_data_pipeline_spark.operators.similarity import (
+        append_ivf_index,
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    first = emb.where(F.col("vec_id") % 2 == 0)
+    later = emb.where(F.col("vec_id") % 2 == 1)
+    table = _scoped_band_table(spark, sf_dir, "ivf_appended")
+    _reset_managed_table(spark, table)
+    _reset_managed_table(spark, f"{table}__centroids")
+    write_ivf_index(spark, first, table, nlist=16)
+    append_ivf_index(spark, later, table)
+    ann = ivf_topk_from_index(spark, table, queries, k=10, nprobe=14)
+    exact = cosine_topk(emb, queries, k=10)
+    return recall_vs_exact(ann, exact, k=10, min_recall=0.9)
+
+
 @register(
     "embedding_neardup",
     """

@@ -101,3 +101,46 @@ def test_table_properties_recorded(spark, index):
     }
     assert rows.get("ivf.nlist") == str(NLIST)
     assert "ivf.seed" in rows
+
+
+def test_append_assigns_to_nearest_stored_centroid(spark, sf_dir):
+    """Appended vectors must land in the cell of their nearest STORED
+    centroid (recomputed driver-side), and the original index files
+    stay byte-identical (append never rewrites)."""
+    import numpy as np
+
+    from common_survey_data_pipeline_spark.operators.similarity import (
+        append_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    first = emb.where(F.col("vec_id") % 2 == 0)
+    later = emb.where(F.col("vec_id") % 2 == 1)
+    t = "ivf_append_test"
+    _drop(spark, t, f"{t}__centroids")
+    try:
+        write_ivf_index(spark, first, t, nlist=NLIST)
+        before = {
+            r["vec_id"]: r["cell"]
+            for r in spark.table(t).select("vec_id", "cell").collect()
+        }
+        append_ivf_index(spark, later, t)
+        after = {
+            r["vec_id"]: r["cell"]
+            for r in spark.table(t).select("vec_id", "cell").collect()
+        }
+        # originals untouched, every later id present exactly once
+        assert {k: v for k, v in after.items() if k in before} == before
+        later_ids = {r["vec_id"] for r in later.select("vec_id").collect()}
+        assert set(after) == set(before) | later_ids
+        # driver-side recompute of the nearest stored centroid
+        cpd = spark.table(f"{t}__centroids").toPandas()
+        cm = np.stack(cpd["centroid"].to_numpy())
+        cells = cpd["cell"].to_numpy()
+        for r in later.select("vec_id", "embedding").collect():
+            v = np.asarray(r["embedding"], dtype="float64")
+            v /= np.linalg.norm(v)
+            want = cells[((v - cm) ** 2).sum(1).argmin()]
+            assert after[r["vec_id"]] == want, r["vec_id"]
+    finally:
+        _drop(spark, t, f"{t}__centroids")
