@@ -15,6 +15,19 @@ star; BASELINE.json):
 * **embedding cosine** — random-hyperplane (sign) LSH buckets then
   in-bucket exact cosine (see ``similarity.py`` for the kernels).
 
+Plus two cross-cutting layers:
+
+* **substring level** — positional hashed k-gram tables
+  (``_pos_gram_hashes``) feeding duplicate-span reports
+  (``substring_dup_spans``, variable k, optional near-verbatim
+  normalization) and the cut-and-rebuild cleaner
+  (``substring_dedup_clean`` / ``cut_spans_rebuild``, shared with
+  ``decontam.decontaminate_spans``).
+* **index lifecycle** — the persisted band-key table
+  (``write_band_table`` → ``append_band_table`` →
+  ``compact_band_table``) with build parameters as table properties,
+  bucketed so increments join the corpus side with no Exchange.
+
 Everything is built from JVM higher-order functions (``transform`` /
 ``aggregate`` / ``array_min``) — zero Python UDFs, full codegen.
 """

@@ -1,18 +1,31 @@
 """Embedding similarity search over ``array<float>`` columns.
 
-Two paths (SURVEY.md north star; BASELINE.json):
+Five paths (SURVEY.md north star; BASELINE.json):
 
 * ``cosine_topk`` — exact brute force: broadcast the (small) query set
   against the corpus, compute cosine with JVM higher-order functions
-  (``zip_with`` + ``aggregate``), rank per query. One pass over the
-  corpus, no shuffle of the corpus itself — the scalable exact baseline
-  when queries ≪ corpus.
+  (``zip_with`` + ``aggregate``) or one numpy matmul per partition
+  (``strategy='matmul'``), rank per query. One pass over the corpus,
+  no shuffle of the corpus itself — the scalable exact baseline when
+  queries ≪ corpus.
 * ``signlsh_topk`` — random-hyperplane (sign) LSH: h fixed hyperplanes
   (seeded numpy, embedded as literal arrays) give every vector an h-bit
   bucket; queries probe their own bucket plus all Hamming-1 neighbors
   (multi-probe), and only in-bucket candidates get exact cosine. Equi-
   join on the bucket id → shuffle-partitionable, approximate recall,
   corpus-scale friendly.
+* ``ivf_topk`` — inverted-file index: a KMeans coarse quantizer
+  partitions the corpus into cells; queries probe their nprobe nearest
+  cells. ``write_ivf_index``/``append_ivf_index``/
+  ``ivf_topk_from_index`` persist the same index partitioned BY cell
+  id, so query-time scans prune to the probed cells' files and appends
+  assign to stored centroids without retraining.
+* ``pq_topk`` — product quantization + asymmetric distance: the corpus
+  as m-byte codes (21-32× compression), queries scan codes with
+  per-subspace lookup tables and exactly rerank a small shortlist —
+  the storage-bound regime's operator.
+* ``embedding_neardup_pairs`` — all-pairs near-duplicate mining with
+  the LSH-bucketed candidate path (exact branch cost-gated).
 
 Norms/dots run in float64 regardless of input float32 storage.
 """
