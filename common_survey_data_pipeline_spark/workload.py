@@ -8881,6 +8881,70 @@ def q_host_quality_rollup(spark, sf_dir):
     )
 
 
+@register(
+    "profile_events_columns",
+    """
+    WITH base AS (
+      SELECT unnest(['event_id','ts','user_id','event_type','value','props'])
+               AS column_name
+    ),
+    stats AS (
+      SELECT 'event_id' AS column_name, count(*) AS n_rows,
+             sum((event_id IS NULL)::BIGINT) AS n_nulls,
+             count(DISTINCT event_id) AS n_distinct,
+             approx_count_distinct(event_id) AS approx_nd
+      FROM events
+      UNION ALL
+      SELECT 'ts', count(*), sum((ts IS NULL)::BIGINT),
+             count(DISTINCT ts), approx_count_distinct(ts) FROM events
+      UNION ALL
+      SELECT 'user_id', count(*), sum((user_id IS NULL)::BIGINT),
+             count(DISTINCT user_id), approx_count_distinct(user_id)
+      FROM events
+      UNION ALL
+      SELECT 'event_type', count(*), sum((event_type IS NULL)::BIGINT),
+             count(DISTINCT event_type), approx_count_distinct(event_type)
+      FROM events
+      UNION ALL
+      SELECT 'value', count(*), sum((value IS NULL)::BIGINT),
+             count(DISTINCT value), approx_count_distinct(value)
+      FROM events
+      UNION ALL
+      SELECT 'props', count(*), sum((props IS NULL)::BIGINT),
+             count(DISTINCT props), approx_count_distinct(props)
+      FROM events
+    )
+    SELECT b.column_name,
+           CAST(s.n_rows AS BIGINT) AS n_rows,
+           CAST(s.n_nulls AS BIGINT) AS n_nulls,
+           CAST(s.n_distinct AS BIGINT) AS n_distinct,
+           CASE WHEN s.n_distinct = 0 THEN TRUE
+                ELSE abs(s.approx_nd - s.n_distinct)::DOUBLE
+                       / s.n_distinct <= 0.05 END AS approx_distinct_ok
+    FROM base b JOIN stats s USING (column_name)
+    """,
+)
+def q_profile_events_columns(spark, sf_dir):
+    """Column profiling over the events stream — the ANALYZE-TABLE
+    report (null counts, exact distinct cardinality, self-certified
+    HLL sketch) every pipeline runs before trusting a new source.
+    ``operators/profile.py::profile_columns`` — ONE aggregation pass
+    emits all six columns' statistics as a wide row (map-side
+    combinable), unpivoted by ``stack``. The approx-distinct boolean is
+    the own-engine sketch certificate (≤5% relative error vs own exact
+    count — the ``quantile_error_certificate`` pattern), so the value
+    hash pins sketch health without demanding register-identical HLLs
+    across engines."""
+    from common_survey_data_pipeline_spark.operators.profile import (
+        profile_columns,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return profile_columns(
+        ev, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+
+
 _E2E_CAT6 = " || ' ' || ".join(f"toks[pos+{j}]" for j in range(6))
 
 @register(
