@@ -937,8 +937,6 @@ def ivf_topk_from_index(
     training or assignment work at query time — the ingest job paid it
     once.
     """
-    import pandas as pd  # noqa: F401 — toPandas round-trip below
-
     queries = queries.where(
         F.col(query_vec).isNotNull()
         & F.col(query_id).isNotNull()
