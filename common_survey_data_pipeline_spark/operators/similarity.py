@@ -891,6 +891,23 @@ def write_ivf_index(
         & F.col(corpus_id).isNotNull()
         & (l2_norm(F.col(corpus_vec)) > 0)
     )
+    cid_t = corpus.schema[corpus_id].dataType.simpleString()
+    vec_t = corpus.schema[corpus_vec].dataType.simpleString()
+    if corpus.first() is None:
+        # empty ingest: persist a schema-stable EMPTY index (KMeans
+        # cannot fit zero rows) — the query path then returns no rows
+        # instead of crashing, the repo-wide empty-input contract
+        spark.createDataFrame(
+            [], f"vec_id {cid_t}, embedding {vec_t}, cell int"
+        ).write.mode("overwrite").partitionBy("cell").saveAsTable(table)
+        spark.sql(
+            f"ALTER TABLE {table} SET TBLPROPERTIES "
+            f"('ivf.nlist'='{nlist}', 'ivf.seed'='{seed}')"
+        )
+        spark.createDataFrame(
+            [], "cell int, centroid array<double>"
+        ).write.mode("overwrite").saveAsTable(f"{table}__centroids")
+        return
     c_norm = corpus.select(
         F.col(corpus_id).alias("vec_id"),
         F.col(corpus_vec).alias("embedding"),
@@ -1012,16 +1029,22 @@ def append_ivf_index(
     """
     import pandas as pd
 
-    cpd = spark.table(f"{table}__centroids").toPandas()
-    cm = np.stack(cpd["centroid"].to_numpy()).astype("float64")
-    cell_ids = cpd["cell"].to_numpy()
-    bc = spark.sparkContext.broadcast((cell_ids, cm))
-
     batch = batch.where(
         F.col(corpus_vec).isNotNull()
         & F.col(corpus_id).isNotNull()
         & (l2_norm(F.col(corpus_vec)) > 0)
     )
+    if batch.first() is None:  # nothing to append
+        return
+    cpd = spark.table(f"{table}__centroids").toPandas()
+    if len(cpd) == 0:
+        raise ValueError(
+            f"IVF index {table!r} has no centroids (built from an empty "
+            "corpus) — rebuild with write_ivf_index before appending"
+        )
+    cm = np.stack(cpd["centroid"].to_numpy()).astype("float64")
+    cell_ids = cpd["cell"].to_numpy()
+    bc = spark.sparkContext.broadcast((cell_ids, cm))
     cid_t = batch.schema[corpus_id].dataType.simpleString()
     vec_t = batch.schema[corpus_vec].dataType.simpleString()
     schema = f"vec_id {cid_t}, embedding {vec_t}, cell int"

@@ -172,6 +172,17 @@ BROADCAST_ALLOWLIST: dict[str, str] = {
     "similarity_topk": _FIVE_QUERY_VECTORS,
     "similarity_signlsh": _FIVE_QUERY_VECTORS,
     "similarity_ivf": _FIVE_QUERY_VECTORS,
+    "similarity_pq": _FIVE_QUERY_VECTORS,
+    "similarity_ivf_persisted": (
+        _FIVE_QUERY_VECTORS
+        + "; the ExistingRDD is the driver-built probe list, bounded at"
+        " n_queries × nprobe rows of (id, cell)"
+    ),
+    "similarity_ivf_appended": (
+        _FIVE_QUERY_VECTORS
+        + "; the ExistingRDD is the driver-built probe list, bounded at"
+        " n_queries × nprobe rows of (id, cell)"
+    ),
     "rrf_hybrid_search": (
         "both broadcast sides are the CONSTANT query set (3 literal ids):"
         " the semantic leg ships 3 embedding rows, the lexical leg ships"
