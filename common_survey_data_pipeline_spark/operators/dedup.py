@@ -839,18 +839,25 @@ def _pos_gram_hashes(
     windows: tokens are case-folded and punctuation-stripped in place
     (positions preserved) before gram construction, so windows that
     differ only in case/punctuation collide."""
-    from common_survey_data_pipeline_spark.functions.text import tokens
+    from common_survey_data_pipeline_spark.functions.text import _bind, tokens
 
     toks = tokens(F.col(text_col))
     if normalize:
         toks = F.transform(toks, _norm_token)
-    grams = F.when(
-        F.size(toks) < k, F.array().cast("array<string>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        )
+    # _bind: Catalyst does no CSE across HOF lambda boundaries — an
+    # unbound `toks` re-tokenizes the document PER GRAM POSITION
+    # (O(len²) per doc; the r7 bench regression gate caught exactly
+    # this: substring_dup_spans 1.7s → 7.3s)
+    grams = _bind(
+        toks,
+        lambda t: F.when(
+            F.size(t) < k, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+            )
+        ),
     )
     return docs.select(
         F.col(id_col),
