@@ -24,6 +24,9 @@ Five paths (SURVEY.md north star; BASELINE.json):
   as m-byte codes (21-32× compression), queries scan codes with
   per-subspace lookup tables and exactly rerank a small shortlist —
   the storage-bound regime's operator.
+* ``ivfpq_topk`` — the FAISS ``IVFx,PQy`` composition: coarse cells
+  prune the scan to nprobe/nlist of the corpus AND the in-cell scan
+  runs over product-quantized residuals — the billion-vector default.
 * ``embedding_neardup_pairs`` — all-pairs near-duplicate mining with
   the LSH-bucketed candidate path (exact branch cost-gated).
 
@@ -696,6 +699,53 @@ def _pq_train_codebooks(
     return books
 
 
+def _rerank_shortlist(
+    corpus: DataFrame,
+    queries: DataFrame,
+    short: DataFrame,
+    corpus_id: str,
+    corpus_vec: str,
+    query_id: str,
+    query_vec: str,
+    k: int,
+    exclude_self: bool,
+) -> DataFrame:
+    """Exact-cosine rerank of an approximate shortlist — the shared
+    tail of every compressed-domain ANN path (PQ, IVF-PQ): join the
+    (query_id, vec_id) shortlist back to full-precision vectors (the
+    corpus side by id — at 100 TB a point-lookup against the vector
+    store, NOT a scan), broadcast the small query set, score exactly,
+    and keep the top-k per query with the repo-wide deterministic
+    tie-break (sim desc, vec_id asc)."""
+    cand = short.join(
+        corpus.select(
+            F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cv")
+        ),
+        "vec_id",
+    ).join(
+        F.broadcast(
+            queries.select(
+                F.col(query_id).alias("query_id"),
+                F.col(query_vec).alias("__qv"),
+            )
+        ),
+        "query_id",
+    )
+    if exclude_self:
+        cand = cand.where(F.col("vec_id") != F.col("query_id"))
+    scored = cand.withColumn(
+        "cosine_sim", _round6z(cosine(F.col("__cv"), F.col("__qv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc_nulls_last(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine_sim", "rank")
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -826,32 +876,195 @@ def pq_topk(
         .select("query_id", "vec_id")
     )
     # exact rerank of the shortlist only
-    cand = short.join(
-        corpus.select(
-            F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cv")
-        ),
-        "vec_id",
-    ).join(
-        F.broadcast(
-            queries.select(
-                F.col(query_id).alias("query_id"),
-                F.col(query_vec).alias("__qv"),
+    return _rerank_shortlist(
+        corpus, queries, short,
+        corpus_id, corpus_vec, query_id, query_vec, k, exclude_self,
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    shortlist: int = 100,
+    train_cap: int = 16384,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via IVF-PQ — the FAISS
+    ``IVFx,PQy`` composition and the billion-vector production shape:
+    an inverted-file coarse quantizer prunes the search to ``nprobe``
+    of ``nlist`` cells, and inside the probed cells the scan runs in
+    the COMPRESSED domain over product-quantized RESIDUALS (vector
+    minus its cell centroid — residual codebooks spend their bits on
+    the within-cell geometry, where the variance lives after coarse
+    assignment), with an exact rerank of the global shortlist. Same
+    output contract as ``cosine_topk``/``pq_topk``.
+
+    ADC decomposition: for vector v in cell c with residual codes
+    (v≈centroid_c+Σ_j book_j[code_j]), the query dot is
+    q·v ≈ q·centroid_c + Σ_j lut[q,j,code_j] — one per-(query,cell)
+    offset plus m uint8 gathers. Both the coarse quantizer and the
+    residual codebooks train on ONE bounded id-ordered sample (the
+    FAISS production shape: training never touches more than
+    ``train_cap`` vectors no matter the corpus size), so the whole
+    index build is one driver-side numpy job plus a single corpus
+    scan; at 100 TB the codes and cell ids are what you PERSIST
+    (see ``write_ivf_index`` for the partitioned layout — this
+    operator fuses encode+scan because the synthetic corpus arrives
+    as floats).
+
+    Scale shape vs the standalone paths: ``ivf_topk`` still reads
+    full float vectors in the probed cells; ``pq_topk`` scans codes
+    but ALL of them. IVF-PQ multiplies the two savings — nprobe/nlist
+    of the corpus, at m bytes per vector — which is why it is the
+    default at billion scale. Recall dials: ``nprobe`` (cell
+    coverage) × ``shortlist`` (ADC slack); the per-batch work is
+    vectorized over the whole Arrow batch (cell assignment, residual
+    encode and LUT gather are batched matmuls/gathers, never per-row
+    Python).
+    """
+    import pandas as pd
+
+    corpus = corpus.where(
+        F.col(corpus_vec).isNotNull()
+        & F.col(corpus_id).isNotNull()
+        & (l2_norm(F.col(corpus_vec)) > 0)
+    )
+    queries = queries.where(
+        F.col(query_vec).isNotNull()
+        & F.col(query_id).isNotNull()
+        & (l2_norm(F.col(query_vec)) > 0)
+    )
+    qid_t = queries.schema[query_id].dataType.simpleString()
+    cid_t = corpus.schema[corpus_id].dataType.simpleString()
+    out_schema = f"query_id {qid_t}, vec_id {cid_t}, cosine_sim double, rank int"
+    adc_schema = f"query_id {qid_t}, vec_id {cid_t}, adc_score double"
+    qpd = queries.select(
+        F.col(query_id).alias("qid"), F.col(query_vec).alias("qv")
+    ).toPandas()
+    if len(qpd) == 0:
+        return corpus.sparkSession.createDataFrame([], out_schema)
+    # bounded id-ordered training sample (deterministic across runs and
+    # partitionings); empty corpus → schema-stable empty result, the
+    # repo-wide empty-input contract
+    tr = (
+        corpus.select(F.col(corpus_vec).alias("v"))
+        .orderBy(F.col(corpus_id))
+        .limit(train_cap)
+        .toPandas()
+    )
+    if len(tr) == 0:
+        return corpus.sparkSession.createDataFrame([], out_schema)
+    train = np.stack(tr["v"].to_numpy()).astype("float64")
+    train /= np.linalg.norm(train, axis=1, keepdims=True)
+    # coarse quantizer = Lloyd over the FULL-dim sample (m=1 subspace);
+    # unit-normalized → euclidean argmin ≡ cosine argmax
+    cents = _pq_train_codebooks(
+        train, 1, min(nlist, len(train)), seed
+    )[0]  # (nlist, d)
+    assign_tr = (
+        (train**2).sum(1, keepdims=True)
+        - 2.0 * train @ cents.T
+        + (cents**2).sum(1)[None, :]
+    ).argmin(1)
+    resid = train - cents[assign_tr]
+    # residual codebooks (seed offset decorrelates the two inits)
+    books = _pq_train_codebooks(resid, m, ksub, seed + 1)
+
+    q_ids = qpd["qid"].to_numpy()
+    qm = np.stack(qpd["qv"].to_numpy()).astype("float64")
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    n_q, d = qm.shape
+    dsub = d // m
+    n_cells = len(cents)
+    eff_probe = min(nprobe, n_cells)
+    # per-(query, cell) coarse offsets and the nprobe probe mask
+    offsets = qm @ cents.T  # (nq, nlist): q · centroid_c
+    probe_rank = np.argsort(-offsets, axis=1, kind="stable")
+    probe_mask = np.zeros((n_q, n_cells), dtype=bool)
+    rows = np.arange(n_q)[:, None]
+    probe_mask[rows, probe_rank[:, :eff_probe]] = True
+    # per-query residual LUTs: luts[q, j, c] = q_sub_j · book_jc
+    luts = np.stack(
+        [qm[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m)],
+        axis=1,
+    )  # (nq, m, ksub)
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        (q_ids, cents, books, luts, offsets, probe_mask)
+    )
+
+    def block(it):
+        ids_q, ctr, bks, lut, offs, pmask = bc.value
+        nq = len(ids_q)
+        for pdf in it:
+            c_ids = pdf["cid"].to_numpy()
+            cm = np.stack(pdf["cv"].to_numpy()).astype("float64")
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            b = len(cm)
+            # batched cell assignment + residual encode
+            d2c = (
+                (cm**2).sum(1, keepdims=True)
+                - 2.0 * cm @ ctr.T
+                + (ctr**2).sum(1)[None, :]
             )
-        ),
-        "query_id",
+            cellvec = d2c.argmin(1)  # (b,)
+            rm = cm - ctr[cellvec]
+            scores = offs[:, cellvec].copy()  # (nq, b) coarse term
+            for j in range(m):
+                x = rm[:, j * dsub : (j + 1) * dsub]
+                d2 = (
+                    (x**2).sum(1, keepdims=True)
+                    - 2.0 * x @ bks[j].T
+                    + (bks[j] ** 2).sum(1)[None, :]
+                )
+                codes_j = d2.argmin(1)  # (b,)
+                scores += lut[:, j, codes_j]
+            # kill candidates in unprobed cells — at scale those rows
+            # live in pruned partitions and are never read at all
+            scores = np.where(pmask[:, cellvec], scores, -np.inf)
+            out = []
+            for qi, qid in enumerate(ids_q):
+                col = scores[qi]
+                live = np.flatnonzero(np.isfinite(col))
+                if len(live) == 0:
+                    continue
+                take = min(shortlist, len(live))
+                order = live[np.lexsort((c_ids[live], -col[live]))[:take]]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "vec_id": c_ids[order],
+                            "adc_score": col[order],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out)
+
+    partial = corpus.select(
+        F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cv")
+    ).mapInPandas(block, adc_schema)
+    w_sl = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc_nulls_last(), F.col("vec_id").asc()
     )
-    if exclude_self:
-        cand = cand.where(F.col("vec_id") != F.col("query_id"))
-    scored = cand.withColumn(
-        "cosine_sim", _round6z(cosine(F.col("__cv"), F.col("__qv")))
+    short = (
+        partial.withColumn("__r", F.row_number().over(w_sl))
+        .where(F.col("__r") <= shortlist)
+        .select("query_id", "vec_id")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc_nulls_last(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine_sim", "rank")
+    return _rerank_shortlist(
+        corpus, queries, short,
+        corpus_id, corpus_vec, query_id, query_vec, k, exclude_self,
     )
 
 

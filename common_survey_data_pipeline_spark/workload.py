@@ -1325,6 +1325,37 @@ def q_sim_pq(spark, sf_dir):
     return recall_vs_exact(ann, exact, k=10, min_recall=0.9)
 
 
+@register("similarity_ivfpq", _ANN_ORACLE)
+def q_sim_ivfpq(spark, sf_dir):
+    """Approximate top-10 via IVF-PQ — the FAISS ``IVF16,PQ16``
+    composition (``operators/similarity.py::ivfpq_topk``) under the
+    same RECALL CONTRACT as the other ANN queries. The coarse
+    quantizer prunes to nprobe=14 of 16 cells AND the in-cell scan
+    runs compressed (16×6-bit residual codes, asymmetric distance),
+    exactly reranking a 200-row shortlist — multiplying the two
+    savings the standalone ``similarity_ivf`` (prunes cells, reads
+    floats) and ``similarity_pq`` (reads codes, scans everything)
+    each capture alone; this is the billion-vector production
+    default. Both quantizers train on one bounded id-ordered sample.
+    nprobe=14/16 because this near-isotropic synthetic corpus is
+    IVF's worst case (recall ≈ nprobe/nlist — see ``similarity_ivf``);
+    the dials transfer to real clustered embeddings, the constants
+    don't."""
+    from common_survey_data_pipeline_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ann = ivfpq_topk(
+        emb, queries, k=10, nlist=16, nprobe=14, m=16, ksub=64, shortlist=200
+    )
+    exact = cosine_topk(emb, queries, k=10)
+    return recall_vs_exact(ann, exact, k=10, min_recall=0.9)
+
+
 @register("similarity_ivf_persisted", _ANN_ORACLE)
 def q_sim_ivf_persisted(spark, sf_dir):
     """The PERSISTED form of ``similarity_ivf`` — the ANN counterpart
@@ -9068,6 +9099,301 @@ def q_corpus_e2e_curation(spark, sf_dir):
         F.floor((F.col("cum_tokens") - F.col("n_tokens")) / 2048)
         .cast("long")
         .alias("pack_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 7 (cont.): LM-based corpus scoring & data-mix analytics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lm_perplexity_buckets",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, toks[pos] AS w
+            FROM t, unnest(generate_series(1, len(toks))) AS u(pos)),
+    uni AS (SELECT w, count(*) AS tf FROM tok GROUP BY w),
+    tot AS (SELECT sum(tf) AS total FROM uni),
+    bg AS (SELECT doc_id, toks[pos] AS w1, toks[pos + 1] AS w2
+           FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(pos)),
+    bgc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(round_even(ln(0.9 * (bgc.c12::DOUBLE / u1.tf::DOUBLE)
+                                + 0.1 * (u2.tf::DOUBLE / tot.total::DOUBLE))
+                             * 1000000000.0, 0) AS BIGINT) AS qnat
+      FROM bg b
+      JOIN bgc ON b.w1 = bgc.w1 AND b.w2 = bgc.w2
+      JOIN uni u1 ON b.w1 = u1.w
+      JOIN uni u2 ON b.w2 = u2.w
+      CROSS JOIN tot),
+    perdoc AS (SELECT doc_id, count(*) AS n_bigrams, sum(qnat) AS qsum
+               FROM scored GROUP BY doc_id),
+    bucketed AS (
+      SELECT doc_id, n_bigrams,
+             qsum::DOUBLE / n_bigrams::DOUBLE / 1000000000.0 AS avg_lp,
+             ntile(3) OVER (
+               ORDER BY qsum::DOUBLE / n_bigrams::DOUBLE DESC, doc_id
+             ) AS bucket
+      FROM perdoc)
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           count(*)::BIGINT AS n_docs,
+           sum(n_bigrams)::BIGINT AS n_bigrams,
+           round(min(avg_lp), 4) + 0 AS min_avg_logprob,
+           round(max(avg_lp), 4) + 0 AS max_avg_logprob
+    FROM bucketed GROUP BY bucket
+    """,
+)
+def q_lm_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing — the head/middle/tail split
+    that decides which crawl documents reach the training mix: score
+    every document with an interpolated bigram LM trained on the corpus
+    itself (p(w2|w1) = 0.9·c(w1w2)/c(w1) + 0.1·tf(w2)/T — in
+    production the LM comes from a trusted reference corpus; the
+    estimator, join shape and bucketing are identical), then tertile
+    the corpus by mean log-probability (bucket 1 = most fluent).
+
+    Scale shape: one bigram explode joined to the bigram-count and
+    vocab tables (vocabulary-sized — AQE broadcasts them; at 100 TB
+    the bigram join is the one corpus shuffle), a per-doc aggregation,
+    and a 3-way ``global_ntile`` over the range-partitioned rank
+    kernel — NO single-task Window anywhere. Output is 3 rows.
+
+    HASH-STABLE by the ``text_unigram_logprob`` nano-nat construction:
+    each bigram's log-prob is quantized to integer nano-nats on the
+    identical double (`rint` ≡ `round_even`), per-doc sums are exact
+    int64, the per-doc mean is ONE fixed division sequence of
+    identical ints (IEEE-exact), and the ntile order is total
+    (mean desc, doc_id). Docs with <2 tokens have no bigrams and are
+    out of scope (un-scorable by a bigram LM) on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id", F.explode(T.word_ngrams(F.col("text"), 2)).alias("g")
+    ).select(
+        "doc_id",
+        F.split(F.col("g"), " ").getItem(0).alias("w1"),
+        F.split(F.col("g"), " ").getItem(1).alias("w2"),
+    )
+    tok = docs.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("tf"))
+    total = uni.agg(F.sum("tf").alias("total"))
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    scored = (
+        bg.join(bgc, ["w1", "w2"])
+        .join(uni.select(F.col("w").alias("w1"), F.col("tf").alias("tf1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("tf").alias("tf2")), "w2")
+        .crossJoin(F.broadcast(total))
+    )
+    qnat = F.expr(
+        "CAST(rint(ln(0.9 * (CAST(c12 AS DOUBLE) / CAST(tf1 AS DOUBLE))"
+        " + 0.1 * (CAST(tf2 AS DOUBLE) / CAST(total AS DOUBLE)))"
+        " * 1000000000.0) AS BIGINT)"
+    )
+    perdoc = scored.select("doc_id", qnat.alias("qnat")).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.sum("qnat").alias("qsum")
+    )
+    avg_lp = (
+        F.col("qsum").cast("double")
+        / F.col("n_bigrams").cast("double")
+        / F.lit(1000000000.0)
+    )
+    bucketed = global_ntile(
+        perdoc.withColumn("avg_lp", avg_lp),
+        [F.col("avg_lp").desc(), F.col("doc_id")],
+        3,
+        name="bucket",
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bigrams").alias("n_bigrams"),
+        _roundz(F.min("avg_lp"), 4).alias("min_avg_logprob"),
+        _roundz(F.max("avg_lp"), 4).alias("max_avg_logprob"),
+    )
+
+
+@register(
+    "mix_temperature_weights",
+    f"""
+    WITH t AS (SELECT lang, len({_SQL_TOKS}) AS n FROM documents),
+    agg AS (SELECT lang, count(*) AS n_docs, sum(n) AS n_tokens
+            FROM t GROUP BY lang),
+    tot AS (SELECT sum(n_tokens) AS total FROM agg),
+    q AS (SELECT lang, n_docs, n_tokens, tot.total AS total,
+                 CAST(round_even(
+                   pow(n_tokens::DOUBLE / tot.total::DOUBLE, 0.7)
+                   * 1000000000.0, 0) AS BIGINT) AS qpow
+          FROM agg CROSS JOIN tot),
+    s AS (SELECT sum(qpow) AS qsum FROM q)
+    SELECT lang, n_docs::BIGINT AS n_docs, n_tokens::BIGINT AS n_tokens,
+           round(qpow::DOUBLE / s.qsum::DOUBLE, 6) + 0 AS mix_weight,
+           round(qpow::DOUBLE / s.qsum::DOUBLE
+                 * total::DOUBLE / n_tokens::DOUBLE, 6) + 0 AS epochs_at_budget
+    FROM q CROSS JOIN s
+    """,
+)
+def q_mix_temperature_weights(spark, sf_dir):
+    """Temperature-based data-mix weights — the sampling schedule
+    behind multilingual/multi-domain pretraining mixes (XLM-R §3.1,
+    the Pile): per domain (here language), sampling weight
+    w_s ∝ (tokens_s / total)^α with α = 0.7, which UPsamples the tail
+    relative to its natural share, plus the effective epoch count each
+    domain sustains when the training budget equals one full corpus
+    pass (epochs = w_s · total / tokens_s — the over-sampling factor
+    data teams watch to bound repetition of small domains).
+
+    One token-length map + one |domains|-row aggregation; everything
+    after the groupBy is algebra over a domain-count-sized frame
+    (broadcast scalar joins — at 100 TB the corpus is touched once).
+    HASH-STABLE: the only cross-row float reduction (the pow
+    normalizer) is quantized to integer nano-units per domain and
+    summed exactly; weights and epochs are then ONE fixed division
+    sequence of identical doubles on both engines, rounded at 6."""
+    docs = _t(spark, sf_dir, "documents")
+    agg = docs.select(
+        "lang", F.size(T.tokens(F.col("text"))).alias("n")
+    ).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").cast("long").alias("n_tokens"),
+    )
+    total = agg.agg(F.sum("n_tokens").alias("total"))
+    q = agg.crossJoin(F.broadcast(total)).withColumn(
+        "qpow",
+        F.expr(
+            "CAST(rint(pow(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE),"
+            " 0.7) * 1000000000.0) AS BIGINT)"
+        ),
+    )
+    qsum = q.agg(F.sum("qpow").alias("qsum"))
+    weight = F.col("qpow").cast("double") / F.col("qsum").cast("double")
+    return q.crossJoin(F.broadcast(qsum)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        _roundz(weight, 6).alias("mix_weight"),
+        _roundz(
+            weight
+            * F.col("total").cast("double")
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("epochs_at_budget"),
+    )
+
+
+@register(
+    "vocab_coverage_curve",
+    f"""
+    WITH tok AS (SELECT unnest({_SQL_TOKS}) AS w FROM documents),
+    uni AS (SELECT w, count(*) AS tf FROM tok GROUP BY w),
+    ranked AS (SELECT tf, row_number() OVER (ORDER BY tf DESC, w) AS rn
+               FROM uni),
+    tot AS (SELECT sum(tf) AS total, count(*) AS vocab FROM ranked),
+    ks AS (SELECT unnest([64, 256, 1024, 4096, 16384]) AS k)
+    SELECT ks.k::BIGINT AS vocab_size,
+           sum(CASE WHEN r.rn <= ks.k THEN r.tf ELSE 0 END)::BIGINT
+             AS covered_tokens,
+           tot.total::BIGINT AS total_tokens,
+           least(ks.k, tot.vocab)::BIGINT AS words_in_vocab,
+           round(sum(CASE WHEN r.rn <= ks.k THEN r.tf ELSE 0 END)::DOUBLE
+                 / tot.total::DOUBLE, 6) + 0 AS coverage
+    FROM ks CROSS JOIN tot CROSS JOIN ranked r
+    GROUP BY ks.k, tot.total, tot.vocab
+    """,
+)
+def q_vocab_coverage_curve(spark, sf_dir):
+    """Vocabulary coverage curve — the tokenizer-budget planning table:
+    for candidate vocab sizes (64…16384), what fraction of all corpus
+    tokens the top-k most frequent words cover (the complement is the
+    OOV/byte-fallback rate a word-level vocab of that size eats).
+
+    Scale shape: one token explode + vocabulary-sized aggregation;
+    the ranking runs over the VOCAB (≪ corpus — the range-partitioned
+    ``global_row_number`` kernel, no single-task Window), and the
+    curve is a 5-row conditional aggregation over vocab × k. Exact
+    integers plus one fixed division, hash-stable. The rank order is
+    total (tf desc, word)."""
+    docs = _t(spark, sf_dir, "documents")
+    uni = (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    ranked = global_row_number(
+        uni, [F.col("tf").desc(), F.col("w")], name="rn"
+    )
+    tot = ranked.agg(
+        F.sum("tf").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    ks = ranked.sparkSession.createDataFrame(
+        [(64,), (256,), (1024,), (4096,), (16384,)], "k long"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k", "total", "vocab")
+        .agg(
+            F.sum(F.when(F.col("rn") <= F.col("k"), F.col("tf")).otherwise(0))
+            .alias("covered")
+        )
+        .select(
+            F.col("k").alias("vocab_size"),
+            F.col("covered").cast("long").alias("covered_tokens"),
+            F.col("total").cast("long").alias("total_tokens"),
+            F.least(F.col("k"), F.col("vocab")).cast("long")
+            .alias("words_in_vocab"),
+            _roundz(
+                F.col("covered").cast("double") / F.col("total").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+    )
+
+
+@register(
+    "seqlen_truncation_stats",
+    f"""
+    WITH t AS (SELECT len({_SQL_TOKS}) AS n FROM documents WHERE
+               len({_SQL_TOKS}) > 0)
+    SELECT CAST(floor(ln(n) / ln(2)) AS INTEGER) AS len_bucket_log2,
+           count(*)::BIGINT AS n_docs,
+           sum(n)::BIGINT AS n_tokens,
+           sum(greatest(n - 32, 0))::BIGINT AS lost_at_ctx32,
+           sum(greatest(n - 64, 0))::BIGINT AS lost_at_ctx64,
+           sum(greatest(n - 128, 0))::BIGINT AS lost_at_ctx128
+    FROM t GROUP BY 1
+    """,
+)
+def q_seqlen_truncation_stats(spark, sf_dir):
+    """Sequence-length histogram + truncation-loss table — the context-
+    length planning stat: documents per dyadic length bucket and the
+    exact token count a hard truncation at each candidate context
+    length would discard (the "pack vs truncate" decision input;
+    compare ``doc_pack_assignment``, which is the packing answer).
+
+    One narrow map (token count per doc) + one bounded-cardinality
+    aggregation (log2 buckets), map-side combinable; exact integers
+    throughout except the bucket id itself, which is
+    floor(ln(n)/ln 2) on BOTH engines (same libm ln on identical
+    doubles — exact powers of two sit safely off the floor boundary
+    because ln(2^k)/ln(2) errs below k+ulp, and a one-ulp wobble
+    never crosses floor at these magnitudes)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(F.size(T.tokens(F.col("text"))).alias("n")).where(
+        F.col("n") > 0
+    )
+    return t.groupBy(
+        F.floor(F.log(F.col("n").cast("double")) / F.log(F.lit(2.0)))
+        .cast("int")
+        .alias("len_bucket_log2")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.sum(F.greatest(F.col("n") - 32, F.lit(0))).cast("long")
+        .alias("lost_at_ctx32"),
+        F.sum(F.greatest(F.col("n") - 64, F.lit(0))).cast("long")
+        .alias("lost_at_ctx64"),
+        F.sum(F.greatest(F.col("n") - 128, F.lit(0))).cast("long")
+        .alias("lost_at_ctx128"),
     )
 
 

@@ -309,3 +309,116 @@ def test_pq_deterministic_across_partitionings(emb, queries):
         map(tuple, pq_topk(emb.repartition(7), queries, k=10).collect())
     )
     assert a == b
+
+
+def test_ivfpq_full_probe_big_shortlist_is_exact(emb, queries):
+    """nprobe=nlist + corpus-sized shortlist degrades IVF-PQ to the
+    exact scan: pruning keeps every cell and the rerank sees every
+    ADC candidate, so the output must equal cosine_topk exactly."""
+    from common_survey_data_pipeline_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    n = emb.count()
+    got = sorted(
+        (r["query_id"], r["vec_id"], r["cosine_sim"], r["rank"])
+        for r in ivfpq_topk(
+            emb, queries, k=10, nlist=8, nprobe=8, m=16, ksub=64, shortlist=n
+        ).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["vec_id"], r["cosine_sim"], r["rank"])
+        for r in cosine_topk(emb, queries, k=10).collect()
+    )
+    assert got == want
+
+
+def test_ivfpq_recall_rises_with_nprobe(emb, queries, exact):
+    """Cell pruning is the recall dial: probing more cells can only
+    add candidates, so recall must be monotone in nprobe (and near 1.0
+    at nprobe=nlist)."""
+    from common_survey_data_pipeline_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    def rec(nprobe):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in ivfpq_topk(
+                emb, queries, k=10, nlist=16, nprobe=nprobe,
+                m=16, ksub=64, shortlist=200,
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    lo, hi = rec(2), rec(16)
+    assert lo <= hi
+    assert hi >= 0.95
+
+
+def test_ivfpq_string_ids_round_trip(spark):
+    from common_survey_data_pipeline_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [(f"doc-{i}", [float(i % 7), float((i * 3) % 5), 1.0, 0.5])
+         for i in range(40)],
+        "vec_id string, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [("q-1", [1.0, 0.0, 1.0, 0.5])],
+        "query_id string, query_vec array<double>",
+    )
+    out = ivfpq_topk(
+        corpus, q, k=3, nlist=4, nprobe=4, m=2, ksub=4,
+        shortlist=10, train_cap=40,
+    )
+    assert dict(out.dtypes)["query_id"] == "string"
+    assert dict(out.dtypes)["vec_id"] == "string"
+    rows = out.collect()
+    assert len(rows) == 3
+    assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3]
+
+
+def test_ivfpq_deterministic_across_partitionings(emb, queries):
+    from common_survey_data_pipeline_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    a = sorted(
+        map(tuple, ivfpq_topk(emb.repartition(1), queries, k=10,
+                              nprobe=16).collect())
+    )
+    b = sorted(
+        map(tuple, ivfpq_topk(emb.repartition(7), queries, k=10,
+                              nprobe=16).collect())
+    )
+    assert a == b
+
+
+def test_ivfpq_empty_envelope(spark):
+    """Empty corpus and empty query set both return the typed empty
+    frame instead of crashing in np.stack (repo-wide empty-input
+    contract)."""
+    from common_survey_data_pipeline_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.5, 0.5])],
+        "vec_id string, embedding array<double>",
+    )
+    empty_c = spark.createDataFrame([], "vec_id string, embedding array<double>")
+    q = spark.createDataFrame(
+        [("q", [1.0, 0.0])], "query_id string, query_vec array<double>"
+    )
+    empty_q = spark.createDataFrame(
+        [], "query_id string, query_vec array<double>"
+    )
+    for out in (
+        ivfpq_topk(empty_c, q, k=2, nlist=2, nprobe=2, m=1, ksub=2),
+        ivfpq_topk(corpus, empty_q, k=2, nlist=2, nprobe=2, m=1, ksub=2),
+    ):
+        assert out.count() == 0
+        assert dict(out.dtypes)["vec_id"] == "string"
