@@ -64,6 +64,94 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.join(w_keep, on=id_col, how="left_semi")
 
 
+def line_dedup_keep_first(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    unit_tokens: int = 12,
+) -> DataFrame:
+    """Line/paragraph-level exact dedup with KEEP-FIRST semantics — the
+    C4/Dolma-style cleaner: split every document into units, keep each
+    distinct unit only at its FIRST occurrence in the global
+    (doc_id, unit_idx) order, and re-emit every document rebuilt from
+    its surviving units (boilerplate lines repeated across a crawl
+    vanish everywhere but their first sighting).
+
+    The synthetic corpus has no newlines, so units are fixed
+    ``unit_tokens``-token windows; on a real corpus pass the text
+    through a line/paragraph splitter first — the keep-first algebra
+    below is splitter-agnostic.
+
+    Scale shape: one unit explode, ONE unit-hash-keyed groupBy whose
+    state is a single (doc_id, idx) struct-min (two longs — map-side
+    combinable, duplicate-heavy keys collapse before the shuffle), an
+    equi-join back on (hash, doc, idx), and a per-document rebuild
+    bounded by document length. No windows, no all-pairs, no driver
+    loops.
+
+    Output: (id_col, n_units LONG, n_kept LONG, cleaned_text STRING) —
+    one row per input document, empty string when every unit was seen
+    earlier.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    n_units = F.ceil(F.size("__toks") / F.lit(unit_tokens)).cast("long")
+    units = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .withColumn("__nu", n_units)
+        .select(
+            id_col,
+            "__nu",
+            F.posexplode(
+                F.when(
+                    F.col("__nu") > 0,
+                    F.transform(
+                        F.sequence(F.lit(0), F.col("__nu").cast("int") - 1),
+                        lambda i: F.array_join(
+                            F.slice(
+                                F.col("__toks"),
+                                i * unit_tokens + 1,
+                                unit_tokens,
+                            ),
+                            " ",
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("idx", "unit"),
+        )
+        .withColumn("__h", F.md5(F.col("unit")))
+    )
+    keepers = units.groupBy("__h").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("idx").alias("i")))
+        .alias("first")
+    )
+    kept = units.join(keepers, "__h").where(
+        (F.col(id_col) == F.col("first.d")) & (F.col("idx") == F.col("first.i"))
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("idx"), F.col("unit")))
+                ),
+                lambda s: s["unit"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    base = df.select(F.col(id_col), toks.alias("__toks")).select(
+        id_col, n_units.alias("n_units")
+    )
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_units",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+    )
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 128) -> Column:
     """Array of ``num_hashes`` minhash values over a shingle array.
 

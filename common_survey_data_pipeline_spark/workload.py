@@ -9397,6 +9397,152 @@ def q_seqlen_truncation_stats(spark, sf_dir):
     )
 
 
+@register(
+    "line_dedup_keep_first",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    nu AS (SELECT doc_id, toks,
+                  CAST(ceil(len(toks) / 12.0) AS BIGINT) AS n_units FROM t),
+    u AS (SELECT doc_id, i AS idx,
+                 array_to_string(toks[(i*12+1):(i*12+12)], ' ') AS unit
+          FROM nu, unnest(generate_series(0, n_units - 1)) AS g(i)),
+    k AS (SELECT doc_id, idx, unit,
+                 row_number() OVER (PARTITION BY unit
+                                    ORDER BY doc_id, idx) AS rn
+          FROM u),
+    reb AS (SELECT doc_id, count(*) AS n_kept,
+                   string_agg(unit, ' ' ORDER BY idx) AS cleaned_text
+            FROM k WHERE rn = 1 GROUP BY doc_id)
+    SELECT nu.doc_id, nu.n_units,
+           coalesce(reb.n_kept, 0)::BIGINT AS n_kept,
+           coalesce(reb.cleaned_text, '') AS cleaned_text
+    FROM nu LEFT JOIN reb USING (doc_id)
+    """,
+)
+def q_line_dedup_keep_first(spark, sf_dir):
+    """Line/paragraph-level exact dedup with keep-first semantics
+    (``operators/dedup.py::line_dedup_keep_first``) — the C4/Dolma
+    crawl cleaner: every distinct unit survives only at its first
+    global (doc_id, idx) occurrence and documents are rebuilt from
+    their surviving units. Complements ``substring_dedup_clean``
+    (which cuts verbatim k-gram RUNS anywhere) with the
+    unit-boundary-aligned policy real crawl pipelines apply to
+    boilerplate lines. Spark side is groupBy-struct-min + equi-join
+    (no windows); the oracle proves the same keep-first relation via
+    SQL row_number. Exact strings and integers — hash-stable."""
+    from common_survey_data_pipeline_spark.operators.dedup import (
+        line_dedup_keep_first,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return line_dedup_keep_first(docs, "text", "doc_id", unit_tokens=12)
+
+
+@register(
+    "stratified_sample_exact",
+    """
+    SELECT lang, doc_id, CAST(rn AS INTEGER) AS sample_rank
+    FROM (SELECT lang, doc_id,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents)
+    WHERE rn <= 20
+    """,
+)
+def q_stratified_sample_exact(spark, sf_dir):
+    """Exact-size stratified sampling — eval-set construction: exactly
+    min(20, |stratum|) documents per language, selected by
+    deterministic content-free hash order (md5 of the id), so the
+    sample is reproducible across runs, engines and partitionings and
+    unbiased w.r.t. any document property. Complements
+    ``quality_weighted_sample`` (weighted Bernoulli) with the
+    fixed-quota flavor evaluation suites need.
+
+    Scale shape: per-stratum top-k via a PARTITIONED window (state
+    O(1) per row; parallelism = #strata). When strata are few and
+    huge (the crawl case: one 'en' stratum ≫ one executor), pre-filter
+    by a hash-prefix bound first — keep hash < k/n_s·slack, verify
+    ≥ k survivors per stratum, and rank only survivors; the keep-first
+    order makes the two-phase plan return the identical sample."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("lang", "doc_id")
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= 20)
+    )
+
+
+@register(
+    "skew_key_stats",
+    """
+    WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+    r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, user_id) AS rn FROM c),
+    n AS (SELECT count(*) AS n_keys, sum(cnt) AS n_rows,
+                 max(cnt) AS max_cnt FROM c)
+    SELECT n.n_rows::BIGINT AS n_rows,
+           n.n_keys::BIGINT AS n_keys,
+           n.max_cnt::BIGINT AS max_key_rows,
+           r50.cnt::BIGINT AS p50_key_rows,
+           r99.cnt::BIGINT AS p99_key_rows,
+           round(n.max_cnt::DOUBLE * n.n_keys::DOUBLE / n.n_rows::DOUBLE, 6)
+             + 0 AS skew_ratio
+    FROM n
+    JOIN r r50 ON r50.rn = CAST(ceil(0.50 * n.n_keys) AS BIGINT)
+    JOIN r r99 ON r99.rn = CAST(ceil(0.99 * n.n_keys) AS BIGINT)
+    """,
+)
+def q_skew_key_stats(spark, sf_dir):
+    """Shuffle-key skew diagnosis — the pre-join advisor every big
+    pipeline runs before keying a 100 TB shuffle: per-key row counts
+    for the candidate key (events.user_id), their max / median / p99
+    (EXACT, by rank over the key-count table — keys ≪ rows, so the
+    rank runs over the small side), and the skew ratio
+    max·n_keys/n_rows (hottest key vs mean — >10 says salt the join
+    or lean on AQE skew-split; compare ``j8_salted_skew_join``, the
+    treatment this query decides on).
+
+    Scale shape: one map-side-combinable groupBy on the key, then the
+    ``global_row_number`` range-partition kernel over the KEY-COUNT
+    table (never the raw rows), and three 1-row broadcast joins.
+    Exact integers everywhere; the ratio is one fixed division
+    sequence of identical ints, rounded at 6."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    r = global_row_number(c, [F.col("cnt"), F.col("user_id")], name="rn")
+    n = c.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    r50 = r.join(
+        F.broadcast(n.select(F.ceil(0.50 * F.col("n_keys")).alias("rn"))), "rn"
+    ).select(F.col("cnt").alias("p50"))
+    r99 = r.join(
+        F.broadcast(n.select(F.ceil(0.99 * F.col("n_keys")).alias("rn"))), "rn"
+    ).select(F.col("cnt").alias("p99"))
+    return (
+        n.crossJoin(F.broadcast(r50))
+        .crossJoin(F.broadcast(r99))
+        .select(
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("max_cnt").cast("long").alias("max_key_rows"),
+            F.col("p50").cast("long").alias("p50_key_rows"),
+            F.col("p99").cast("long").alias("p99_key_rows"),
+            _roundz(
+                F.col("max_cnt").cast("double")
+                * F.col("n_keys").cast("double")
+                / F.col("n_rows").cast("double"),
+                6,
+            ).alias("skew_ratio"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship entry query
 # ---------------------------------------------------------------------------

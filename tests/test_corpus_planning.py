@@ -1,0 +1,190 @@
+"""Tests for the LM-corpus planning queries (round 7 cont.):
+perplexity buckets, temperature mix weights, vocab coverage, sequence
+lengths, stratified sampling, skew diagnosis, and line-level
+keep-first dedup."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from common_survey_data_pipeline_spark.operators.dedup import (
+    line_dedup_keep_first,
+)
+from common_survey_data_pipeline_spark.workload import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+# ---------------------------------------------------------------------------
+# line_dedup_keep_first
+# ---------------------------------------------------------------------------
+
+
+def test_line_dedup_keep_first_hand_case(spark):
+    """Three 2-token units: 'a b' appears in doc 1 (idx 0), doc 1
+    (idx 2) and doc 2 — only the doc-1/idx-0 copy survives; doc 3 is
+    ALL boilerplate and comes back empty."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d a b"),   # units: 'a b', 'c d', 'a b'(dup)
+            (2, "a b e f"),       # units: 'a b'(dup), 'e f'
+            (3, "c d"),           # unit:  'c d'(dup)
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup_keep_first(df, "text", "doc_id", unit_tokens=2)
+        .collect()
+    }
+    assert out[1]["cleaned_text"] == "a b c d"
+    assert (out[1]["n_units"], out[1]["n_kept"]) == (3, 2)
+    assert out[2]["cleaned_text"] == "e f"
+    assert out[3]["cleaned_text"] == ""
+    assert (out[3]["n_units"], out[3]["n_kept"]) == (1, 0)
+
+
+def test_line_dedup_totals_conserved(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = line_dedup_keep_first(docs, "text", "doc_id", unit_tokens=12)
+    assert out.count() == docs.count()
+    bad = out.where(F.col("n_kept") > F.col("n_units")).count()
+    assert bad == 0
+    # total kept units == number of distinct unit texts in the corpus
+    tot_kept = out.agg(F.sum("n_kept")).first()[0]
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+    distinct_units = (
+        docs.select(toks.alias("t"))
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        (F.ceil(F.size("t") / 12) - 1).cast("int"),
+                    ),
+                    lambda i: F.array_join(F.slice(F.col("t"), i * 12 + 1, 12), " "),
+                )
+            ).alias("unit")
+        )
+        .distinct()
+        .count()
+    )
+    assert tot_kept == distinct_units
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample_exact
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_exact_quota_and_determinism(spark):
+    fn = REGISTRY["stratified_sample_exact"].fn
+    out = fn(spark, SF_DIR)
+    sizes = {r["lang"]: r["n"] for r in
+             out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    strata = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in strata.items():
+        assert sizes.get(lang, 0) == min(20, n)
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# skew_key_stats
+# ---------------------------------------------------------------------------
+
+
+def test_skew_key_stats_shape_and_algebra(spark):
+    row = REGISTRY["skew_key_stats"].fn(spark, SF_DIR).first()
+    assert row["n_rows"] > 0 and row["n_keys"] > 0
+    assert row["p50_key_rows"] <= row["p99_key_rows"] <= row["max_key_rows"]
+    expect = row["max_key_rows"] * row["n_keys"] / row["n_rows"]
+    assert math.isclose(row["skew_ratio"], round(expect, 6), abs_tol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# mix_temperature_weights
+# ---------------------------------------------------------------------------
+
+
+def test_mix_weights_normalize_and_upsample_tail(spark):
+    rows = REGISTRY["mix_temperature_weights"].fn(spark, SF_DIR).collect()
+    assert abs(sum(r["mix_weight"] for r in rows) - 1.0) < 1e-4
+    total = sum(r["n_tokens"] for r in rows)
+    # temperature < 1 upsamples below-average domains, downsamples the head
+    for r in rows:
+        share = r["n_tokens"] / total
+        if share < 1.0 / len(rows):
+            assert r["mix_weight"] > share
+        # epochs = weight / natural share
+        assert math.isclose(
+            r["epochs_at_budget"], round(r["mix_weight"] / share, 6),
+            rel_tol=1e-3,
+        )
+
+
+# ---------------------------------------------------------------------------
+# vocab_coverage_curve / seqlen_truncation_stats
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_coverage_monotone_and_bounded(spark):
+    rows = sorted(
+        REGISTRY["vocab_coverage_curve"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["vocab_size"],
+    )
+    cov = [r["coverage"] for r in rows]
+    assert cov == sorted(cov)
+    assert all(0.0 < c <= 1.0 for c in cov)
+    # once k >= |vocab| coverage is exactly 1
+    full = [r for r in rows if r["words_in_vocab"] < r["vocab_size"]]
+    assert all(r["coverage"] == 1.0 for r in full)
+    assert all(r["covered_tokens"] <= r["total_tokens"] for r in rows)
+
+
+def test_seqlen_truncation_monotone(spark):
+    rows = REGISTRY["seqlen_truncation_stats"].fn(spark, SF_DIR).collect()
+    assert sum(r["n_docs"] for r in rows) == 500
+    for r in rows:
+        assert r["lost_at_ctx32"] >= r["lost_at_ctx64"] >= r["lost_at_ctx128"]
+        assert r["lost_at_ctx32"] <= r["n_tokens"]
+
+
+# ---------------------------------------------------------------------------
+# lm_perplexity_buckets
+# ---------------------------------------------------------------------------
+
+
+def test_perplexity_buckets_partition_and_order(spark):
+    rows = sorted(
+        REGISTRY["lm_perplexity_buckets"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert [r["bucket"] for r in rows] == [1, 2, 3]
+    # tertiles cover (almost) equal doc counts of the scorable corpus
+    ns = [r["n_docs"] for r in rows]
+    assert max(ns) - min(ns) <= 1
+    # bucket 1 = most fluent: its WORST doc is at least as fluent as
+    # bucket 2's best, etc. (desc ntile order)
+    assert rows[0]["min_avg_logprob"] >= rows[1]["max_avg_logprob"] - 1e-9
+    assert rows[1]["min_avg_logprob"] >= rows[2]["max_avg_logprob"] - 1e-9
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["lm_perplexity_buckets", "mix_temperature_weights",
+     "vocab_coverage_curve", "seqlen_truncation_stats",
+     "line_dedup_keep_first", "stratified_sample_exact",
+     "skew_key_stats"],
+)
+def test_planning_queries_deterministic(spark, name):
+    fn = REGISTRY[name].fn
+    a = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    assert a == b

@@ -557,3 +557,62 @@ def test_quality_logit_lexicon_is_broadcast(run):
     plan = plan_of(run("quality_logit_score"))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lm_perplexity_windows_are_partitioned(run):
+    # the tertile runs on the range-partitioned global_ntile kernel —
+    # a partition-less ORDER BY window here would single-thread every
+    # scored document; the count-table joins must never go quadratic
+    plan = plan_of(run("lm_perplexity_buckets"))
+    assert partitionless_windows(plan) == []
+    assert "CartesianProduct" not in plan
+
+
+def test_vocab_coverage_ranks_vocab_not_corpus(run):
+    # the row_number kernel must consume the aggregated vocabulary
+    # (post-HashAggregate), and the k-curve join is a broadcast of the
+    # 5-row k table — no nested-loop over corpus tokens
+    plan = plan_of(run("vocab_coverage_curve"))
+    assert partitionless_windows(plan) == []
+    assert "CartesianProduct" not in plan
+
+
+def test_line_dedup_is_groupby_join_no_window(run):
+    # keep-first = unit-hash groupBy (struct-min, map-side combinable)
+    # + equi-join back; no global window, no all-pairs anywhere
+    plan = plan_of(run("line_dedup_keep_first"))
+    assert partitionless_windows(plan) == []
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_skew_key_stats_ranks_keys_not_rows(run):
+    # the percentile ranks run over the per-key count table (keys ≪
+    # rows) via the range-partition kernel; the three scalar joins
+    # broadcast — the events scan must appear exactly once per leg and
+    # never in a nested loop
+    plan = plan_of(run("skew_key_stats"))
+    assert partitionless_windows(plan) == []
+    assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_scan_is_arrow_batched_single_pass(run, spark):
+    # the compressed-domain scan must be ONE MapInPandas over the
+    # corpus (encode + ADC fused); the rerank joins a shortlist
+    # bounded by queries × shortlist — small enough that no plan node
+    # may be a cartesian product
+    from common_survey_data_pipeline_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+    from common_survey_data_pipeline_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    plan = plan_of(ivfpq_topk(emb, queries, k=10, nlist=16, nprobe=4))
+    assert plan.count("MapInPandas") == 1
+    assert "CartesianProduct" not in plan

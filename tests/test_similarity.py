@@ -124,7 +124,9 @@ def test_neardup_lsh_recall_vs_exact(emb):
 
 
 @pytest.mark.parametrize(
-    "name", ["similarity_signlsh", "similarity_ivf", "similarity_pq"]
+    "name",
+    ["similarity_signlsh", "similarity_ivf", "similarity_pq",
+     "similarity_ivfpq"],
 )
 def test_registry_ann_recall_contract(spark, name):
     """The registry's ANN queries export (query_id, found_k, recall_ok)
