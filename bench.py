@@ -105,6 +105,19 @@ BENCH_QUERIES = (
     "host_quality_rollup",
     "similarity_pq",
     "decontaminate_spans_clean",
+    "similarity_ivfpq",
+    "lm_perplexity_buckets",
+    "mix_temperature_weights",
+    "vocab_coverage_curve",
+    "seqlen_truncation_stats",
+    "line_dedup_keep_first",
+    "stratified_sample_exact",
+    "skew_key_stats",
+    "ngram_entropy_diversity",
+    "pack_efficiency",
+    "split_contamination_matrix",
+    "embedding_drift_stats",
+    "quality_score_calibration",
 )
 
 # sf1 (10×) leg: the FULL headline set (VERDICT r6 item 6 — the top-10

@@ -9543,6 +9543,369 @@ def q_skew_key_stats(spark, sf_dir):
     )
 
 
+@register(
+    "ngram_entropy_diversity",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    tok AS (SELECT toks[pos] AS w
+            FROM t, unnest(generate_series(1, len(toks))) AS u(pos)),
+    uni AS (SELECT w, count(*) AS tf FROM tok GROUP BY w),
+    bg AS (SELECT toks[pos] || ' ' || toks[pos + 1] AS g
+           FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(pos)),
+    bgc AS (SELECT g, count(*) AS tf FROM bg GROUP BY g),
+    u1 AS (SELECT count(*) AS types, sum(tf) AS total,
+                  sum(tf * CAST(round_even(ln(tf::DOUBLE) / ln(2.0)
+                                           * 1000000.0, 0) AS BIGINT))
+                    AS qlogsum
+           FROM uni),
+    b1 AS (SELECT count(*) AS types, sum(tf) AS total,
+                  sum(tf * CAST(round_even(ln(tf::DOUBLE) / ln(2.0)
+                                           * 1000000.0, 0) AS BIGINT))
+                    AS qlogsum
+           FROM bgc)
+    SELECT u1.total::BIGINT AS n_tokens,
+           u1.types::BIGINT AS unigram_types,
+           b1.types::BIGINT AS bigram_types,
+           round(ln(u1.total::DOUBLE) / ln(2.0)
+                 - u1.qlogsum::DOUBLE / u1.total::DOUBLE / 1000000.0, 6) + 0
+             AS unigram_entropy_bits,
+           round(ln(b1.total::DOUBLE) / ln(2.0)
+                 - b1.qlogsum::DOUBLE / b1.total::DOUBLE / 1000000.0, 6) + 0
+             AS bigram_entropy_bits,
+           round(u1.types::DOUBLE / u1.total::DOUBLE, 6) + 0
+             AS type_token_ratio
+    FROM u1 CROSS JOIN b1
+    """,
+)
+def q_ngram_entropy_diversity(spark, sf_dir):
+    """Corpus diversity dashboard — Shannon entropy of the unigram and
+    bigram distributions (bits/gram) plus type-token ratio: the
+    repetitiveness/diversity numbers data teams track across corpus
+    versions (entropy collapsing = template spam flooding the crawl;
+    see ``text_repetition`` for the per-document view this aggregates
+    corpus-wide).
+
+    H = log2(T) − (Σ tf·log2 tf)/T, computed over the COUNT tables
+    (vocabulary-sized, never the raw token stream after the one
+    grouping shuffle). HASH-STABLE: log2(tf) is quantized to integer
+    MICRO-BITS per distinct count (rint ≡ round_even on identical
+    doubles), tf·qlog sums are exact int64 (Σ ≤ T·max|qlog| ≈ 2⁵² at
+    sf1 — re-quantize coarser before 2⁶³ at true corpus scale), and
+    the final entropy is one fixed double sequence, rounded at 6."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+    bg = docs.select(F.explode(T.word_ngrams(F.col("text"), 2)).alias("w"))
+    qlog = F.expr(
+        "tf * CAST(rint(ln(CAST(tf AS DOUBLE)) / ln(2.0) * 1000000.0)"
+        " AS BIGINT)"
+    )
+
+    def stats(df):
+        cnt = df.groupBy("w").agg(F.count(F.lit(1)).alias("tf"))
+        return cnt.agg(
+            F.count(F.lit(1)).alias("types"),
+            F.sum("tf").alias("total"),
+            F.sum(qlog).alias("qlogsum"),
+        )
+
+    u1 = stats(tok)
+    b1 = stats(bg).select(
+        F.col("types").alias("btypes"),
+        F.col("total").alias("btotal"),
+        F.col("qlogsum").alias("bqlogsum"),
+    )
+    ent = lambda total, qlogsum: _roundz(  # noqa: E731
+        F.log2(F.col(total).cast("double"))
+        - F.col(qlogsum).cast("double")
+        / F.col(total).cast("double")
+        / F.lit(1000000.0),
+        6,
+    )
+    return u1.crossJoin(F.broadcast(b1)).select(
+        F.col("total").cast("long").alias("n_tokens"),
+        F.col("types").cast("long").alias("unigram_types"),
+        F.col("btypes").cast("long").alias("bigram_types"),
+        ent("total", "qlogsum").alias("unigram_entropy_bits"),
+        ent("btotal", "bqlogsum").alias("bigram_entropy_bits"),
+        _roundz(
+            F.col("types").cast("double") / F.col("total").cast("double"), 6
+        ).alias("type_token_ratio"),
+    )
+
+
+@register(
+    "pack_efficiency",
+    f"""
+    WITH packed AS (
+      SELECT doc_id, n_tokens,
+             cum_tokens,
+             ((cum_tokens - n_tokens) // 2048) AS pack_id
+      FROM (SELECT doc_id, n_tokens,
+                   sum(n_tokens) OVER (ORDER BY doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cum_tokens
+            FROM (SELECT doc_id, len({_SQL_TOKS})::BIGINT AS n_tokens
+                  FROM documents)))
+    SELECT pack_id::BIGINT AS pack_id,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS pack_tokens,
+           sum(CASE WHEN cum_tokens > (pack_id + 1) * 2048
+                    THEN 1 ELSE 0 END)::BIGINT AS n_straddlers,
+           sum(greatest(cum_tokens - (pack_id + 1) * 2048, 0))::BIGINT
+             AS overflow_tokens
+    FROM packed GROUP BY pack_id
+    """,
+)
+def q_pack_efficiency(spark, sf_dir):
+    """Packing-efficiency report over the 2048-token shard assignment
+    (``doc_pack_assignment``'s output, aggregated per shard): documents
+    and tokens per pack, how many documents STRADDLE the shard
+    boundary, and the token overflow past it — the numbers that decide
+    the split-documents-vs-pad policy (straddle rate ≈ mean_doc_len /
+    2048; overflow tokens are what gets either truncated, padded
+    around, or spilled by the packer).
+
+    Same distributed prefix-sum kernel as the assignment itself
+    (``operators/ranking.py::global_cumsum`` — one range shuffle),
+    then a pack-keyed aggregation with map-side partials. Exact
+    integers throughout."""
+    docs = _t(spark, sf_dir, "documents")
+    with_tok = docs.select(
+        "doc_id", T.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    cum = global_cumsum(with_tok, ["doc_id"], "n_tokens", "cum_tokens")
+    packed = cum.select(
+        "n_tokens",
+        "cum_tokens",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / 2048)
+        .cast("long")
+        .alias("pack_id"),
+    )
+    boundary = (F.col("pack_id") + 1) * 2048
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("pack_tokens"),
+        F.sum((F.col("cum_tokens") > boundary).cast("long"))
+        .cast("long")
+        .alias("n_straddlers"),
+        F.sum(F.greatest(F.col("cum_tokens") - boundary, F.lit(0)))
+        .cast("long")
+        .alias("overflow_tokens"),
+    )
+
+
+@register(
+    "split_contamination_matrix",
+    f"""
+    WITH t AS (SELECT doc_id % 10 AS bucket, {_SQL_TOKS} AS toks
+               FROM documents),
+    s AS (SELECT CASE WHEN bucket < 8 THEN 'train'
+                      WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+                 unnest({_sql_word_grams(8)}) AS gram
+          FROM t),
+    d AS (SELECT DISTINCT split, gram FROM s),
+    diag AS (SELECT split AS split_a, split AS split_b,
+                    count(*) AS shared_grams
+             FROM d GROUP BY split),
+    cross_ AS (SELECT a.split AS split_a, b.split AS split_b,
+                      count(*) AS shared_grams
+               FROM d a JOIN d b
+                 ON a.gram = b.gram AND a.split < b.split
+               GROUP BY a.split, b.split)
+    SELECT split_a, split_b, shared_grams::BIGINT AS shared_grams
+    FROM (SELECT * FROM diag UNION ALL SELECT * FROM cross_)
+    """,
+)
+def q_split_contamination_matrix(spark, sf_dir):
+    """Train/val/test contamination matrix — the release-gate audit
+    run before shipping an eval split: distinct 8-gram vocabulary per
+    split (diagonal) and the pairwise count of 8-grams SHARED across
+    splits (off-diagonal; non-zero train∩val / train∩test cells are
+    exactly what ``decontaminate_ngrams`` then removes). Splits are
+    the standard hash buckets (doc_id mod 10 → 8/1/1).
+
+    Scale shape: one shingle explode → per-split distinct (one
+    gram-keyed shuffle with map-side partial distinct) → a gram-keyed
+    self-equi-join of the DISTINCT table (bounded fanout: ≤ |splits|
+    rows per gram, so the join output is ≤ 3× the gram table — never
+    quadratic in the corpus). Exact integers."""
+    docs = _t(spark, sf_dir, "documents")
+    split = (
+        F.when(F.col("doc_id") % 10 < 8, "train")
+        .when(F.col("doc_id") % 10 == 8, "val")
+        .otherwise("test")
+    )
+    d = (
+        docs.select(
+            split.alias("split"),
+            F.explode(T.word_shingles(F.col("text"), 8)).alias("gram"),
+        )
+        .distinct()
+    )
+    diag = d.groupBy(F.col("split").alias("split_a")).agg(
+        F.count(F.lit(1)).alias("shared_grams")
+    ).select("split_a", F.col("split_a").alias("split_b"), "shared_grams")
+    crossed = (
+        d.alias("a")
+        .join(
+            d.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.split") < F.col("b.split")),
+        )
+        .groupBy(
+            F.col("a.split").alias("split_a"), F.col("b.split").alias("split_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    return diag.select(
+        "split_a", "split_b", F.col("shared_grams").cast("long").alias("shared_grams")
+    ).unionByName(
+        crossed.select(
+            "split_a",
+            "split_b",
+            F.col("shared_grams").cast("long").alias("shared_grams"),
+        )
+    )
+
+
+@register(
+    "embedding_drift_stats",
+    """
+    WITH q AS (
+      SELECT CASE WHEN vec_id % 2 = 0 THEN 'ref' ELSE 'cand' END AS side,
+             i AS pos,
+             CAST(round_even(embedding[i]::DOUBLE * 1000000000000.0, 0)
+                  AS BIGINT) AS qv
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+    m AS (SELECT pos, side, count(*) AS n, sum(qv) AS qsum
+          FROM q GROUP BY pos, side),
+    w AS (SELECT pos,
+                 max(CASE WHEN side = 'ref' THEN n END) AS n_ref,
+                 max(CASE WHEN side = 'cand' THEN n END) AS n_cand,
+                 max(CASE WHEN side = 'ref' THEN qsum END) AS qs_ref,
+                 max(CASE WHEN side = 'cand' THEN qsum END) AS qs_cand
+          FROM m GROUP BY pos)
+    SELECT pos::INTEGER AS pos, n_ref::BIGINT AS n_ref,
+           n_cand::BIGINT AS n_cand,
+           round(abs(qs_ref::DOUBLE / n_ref::DOUBLE
+                     - qs_cand::DOUBLE / n_cand::DOUBLE)
+                 / 1000000000000.0, 6) + 0 AS mean_shift
+    FROM w
+    """,
+)
+def q_embedding_drift_stats(spark, sf_dir):
+    """Embedding-distribution drift monitor — the train/serve skew
+    check run when a new encoder version (or a new crawl batch) lands:
+    per dimension, the absolute shift between the reference batch's
+    mean and the candidate batch's mean (batches = vec_id parity here;
+    in production, yesterday's corpus vs today's). A spiking dimension
+    means the encoder or the upstream distribution moved — re-run
+    ``embedding_centroids``/IVF training before trusting the index.
+
+    Same relational vector-mean as ``embedding_centroids`` (posexplode
+    → (pos, side)-keyed sum of 1e-12-quantized components in
+    decimal(38,0) — exact at any batch size), then a 64-row pivot.
+    HASH-STABLE: exact integer sums, one fixed double sequence per
+    cell, rounded at 6."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = F.expr(
+        "CAST(CAST(rint(CAST(v AS DOUBLE) * 1000000000000.0) AS BIGINT)"
+        " AS DECIMAL(20,0))"
+    )
+    side = F.when(F.col("vec_id") % 2 == 0, "ref").otherwise("cand")
+    m = (
+        emb.select(
+            side.alias("side"), F.posexplode("embedding").alias("pos0", "v")
+        )
+        .groupBy((F.col("pos0") + 1).cast("int").alias("pos"), "side")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(q).alias("qsum"))
+    )
+    w = m.groupBy("pos").agg(
+        F.max(F.when(F.col("side") == "ref", F.col("n"))).alias("n_ref"),
+        F.max(F.when(F.col("side") == "cand", F.col("n"))).alias("n_cand"),
+        F.max(F.when(F.col("side") == "ref", F.col("qsum"))).alias("qs_ref"),
+        F.max(F.when(F.col("side") == "cand", F.col("qsum"))).alias("qs_cand"),
+    )
+    return w.select(
+        "pos",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cand").cast("long").alias("n_cand"),
+        _roundz(
+            F.abs(
+                F.col("qs_ref").cast("double") / F.col("n_ref").cast("double")
+                - F.col("qs_cand").cast("double")
+                / F.col("n_cand").cast("double")
+            )
+            / F.lit(1000000000000.0),
+            6,
+        ).alias("mean_shift"),
+    )
+
+
+@register(
+    "quality_score_calibration",
+    f"""
+    WITH lex(w, wt) AS (VALUES
+      {", ".join(f"('{w}', {wt})" for w, wt in _QUALITY_LEXICON)}
+    ),
+    t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+    hit AS (SELECT tok.doc_id, CAST(sum(lex.wt) AS BIGINT) AS wsum
+            FROM tok JOIN lex USING (w) GROUP BY tok.doc_id),
+    sc AS (SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+                  ({_QUALITY_BIAS} + coalesce(hit.wsum, 0))::BIGINT
+                    AS logit_micro
+           FROM t LEFT JOIN hit USING (doc_id)),
+    d AS (SELECT doc_id, n_tokens, logit_micro,
+                 ntile(10) OVER (ORDER BY logit_micro DESC, doc_id)
+                   AS decile
+          FROM sc)
+    SELECT CAST(decile AS INTEGER) AS decile,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS n_tokens,
+           min(logit_micro)::BIGINT AS min_logit_micro,
+           max(logit_micro)::BIGINT AS max_logit_micro,
+           round(sum(CASE WHEN logit_micro > 0 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*)::DOUBLE, 6) + 0 AS keep_rate
+    FROM d GROUP BY decile
+    """,
+)
+def q_quality_score_calibration(spark, sf_dir):
+    """Classifier calibration table — the threshold-tuning report for
+    the ``quality_logit_score`` linear model: corpus deciles by logit
+    (decile 1 = highest-scoring), each with document/token volume, the
+    exact logit range, and the keep-rate at the current threshold
+    (logit > 0). Reading it answers "how many tokens does moving the
+    threshold one decile cost?" — the operating-point decision every
+    quality-filter deployment makes.
+
+    Reuses the shared ``_quality_doc_scores`` stage (broadcast literal
+    lexicon — model inference stays a join, no UDF); the decile runs
+    on ``global_ntile``'s range-partition kernel (no single-task
+    Window). Exact integers except the keep-rate, one fixed division
+    rounded at 6 — and the ntile order (logit desc, doc_id) is total,
+    so bucket membership is engine-identical."""
+    docs = _t(spark, sf_dir, "documents")
+    sc = _quality_doc_scores(spark, docs)
+    d = global_ntile(
+        sc,
+        [F.col("logit_micro").desc(), F.col("doc_id")],
+        10,
+        name="decile",
+    )
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.min("logit_micro").alias("min_logit_micro"),
+        F.max("logit_micro").alias("max_logit_micro"),
+        _roundz(
+            F.sum((F.col("logit_micro") > 0).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("keep_rate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship entry query
 # ---------------------------------------------------------------------------

@@ -188,3 +188,88 @@ def test_planning_queries_deterministic(spark, name):
     a = sorted(map(tuple, fn(spark, SF_DIR).collect()))
     b = sorted(map(tuple, fn(spark, SF_DIR).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# batch 3: entropy, packing efficiency, split matrix, drift
+# ---------------------------------------------------------------------------
+
+
+def test_entropy_bounds(spark):
+    row = REGISTRY["ngram_entropy_diversity"].fn(spark, SF_DIR).first()
+    assert 0.0 < row["unigram_entropy_bits"] <= math.log2(row["unigram_types"]) + 1e-6
+    assert 0.0 < row["bigram_entropy_bits"] <= math.log2(row["bigram_types"]) + 1e-6
+    # conditioning can't hurt: joint (bigram) entropy >= marginal
+    assert row["bigram_entropy_bits"] >= row["unigram_entropy_bits"] - 1e-6
+    assert 0.0 < row["type_token_ratio"] <= 1.0
+
+
+def test_pack_efficiency_conservation(spark):
+    rows = REGISTRY["pack_efficiency"].fn(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    total = docs.select(
+        F.sum(F.size(F.filter(F.split(F.trim("text"), r"\s+"),
+                              lambda t: t != "")))
+    ).first()[0]
+    assert sum(r["pack_tokens"] for r in rows) == total
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    ids = sorted(r["pack_id"] for r in rows)
+    assert ids == list(range(len(ids)))  # contiguous shards
+    for r in rows:
+        assert 0 <= r["n_straddlers"] <= r["n_docs"]
+        # at most one doc can overflow a given pack's boundary
+        assert r["n_straddlers"] <= 1
+        assert r["overflow_tokens"] >= r["n_straddlers"]
+
+
+def test_split_matrix_bounds(spark):
+    rows = REGISTRY["split_contamination_matrix"].fn(spark, SF_DIR).collect()
+    diag = {r["split_a"]: r["shared_grams"] for r in rows
+            if r["split_a"] == r["split_b"]}
+    assert set(diag) == {"train", "val", "test"}
+    for r in rows:
+        if r["split_a"] != r["split_b"]:
+            assert r["shared_grams"] <= min(diag[r["split_a"]],
+                                            diag[r["split_b"]])
+            assert r["shared_grams"] > 0  # zero cells are absent rows
+
+
+def test_embedding_drift_shape(spark):
+    rows = REGISTRY["embedding_drift_stats"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 64
+    assert all(r["n_ref"] + r["n_cand"] == 500 for r in rows)
+    assert all(r["mean_shift"] >= 0.0 for r in rows)
+    # parity split of one distribution: means must be close, not equal
+    assert max(r["mean_shift"] for r in rows) < 0.2
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["ngram_entropy_diversity", "pack_efficiency",
+     "split_contamination_matrix", "embedding_drift_stats"],
+)
+def test_batch3_deterministic(spark, name):
+    fn = REGISTRY[name].fn
+    a = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    assert a == b
+
+
+def test_quality_calibration_deciles(spark):
+    rows = sorted(
+        REGISTRY["quality_score_calibration"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    assert sum(r["n_docs"] for r in rows) == 500
+    # decile 1 = best scores; logit ranges must be non-increasing and
+    # keep-rate monotone non-increasing down the deciles
+    for a, b in zip(rows, rows[1:]):
+        assert a["min_logit_micro"] >= b["max_logit_micro"]
+        assert a["keep_rate"] >= b["keep_rate"]
+    # threshold semantics: a decile fully above 0 keeps everything
+    for r in rows:
+        if r["min_logit_micro"] > 0:
+            assert r["keep_rate"] == 1.0
+        if r["max_logit_micro"] <= 0:
+            assert r["keep_rate"] == 0.0
