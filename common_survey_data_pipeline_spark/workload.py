@@ -4449,7 +4449,9 @@ def q_decontaminate_spans_clean(spark, sf_dir):
         decontaminate_spans,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    # the train side's positional gram stage is the same 1-task-leaf
+    # compute as substring_dup_spans — floor it (no-op on real corpora)
+    docs = parallelism_floor(_t(spark, sf_dir, "documents"))
     eval_set = docs.where(F.col("doc_id") % 37 == 0)
     train = docs.where(F.col("doc_id") % 37 != 0)
     return decontaminate_spans(train, eval_set, "text", "doc_id", n=4)
@@ -8067,7 +8069,10 @@ def q_substring_dup_spans(spark, sf_dir):
     algebra on gram STRINGS (DuckDB has no xxhash64 — equality on the
     string key is the same relation the 64-bit hash key induces,
     collision-free at any realistic gram count)."""
-    docs = _t(spark, sf_dir, "documents")
+    # single-row-group leaf: the gram explode+hash map stage otherwise
+    # runs on ONE task (see parallelism_floor — measured 7.4s → 1.2s at
+    # sf0.1; provable no-op on multi-file corpora)
+    docs = parallelism_floor(_t(spark, sf_dir, "documents"))
     return substring_dup_spans(docs, "text", "doc_id", k=6)
 
 
@@ -8081,7 +8086,7 @@ def q_substring_dup_spans_k12(spark, sf_dir):
     windows; property-tested in ``tests/test_substring_spans.py``).
     Same operator, same oracle algebra via the shared
     ``_sql_span_query`` template — only the parameter moves."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = parallelism_floor(_t(spark, sf_dir, "documents"))
     return substring_dup_spans(docs, "text", "doc_id", k=12)
 
 
@@ -8098,7 +8103,7 @@ def q_substring_dup_spans_norm(spark, sf_dir):
     ``transform`` over the token array, everything else identical;
     oracle: the same algebra over identically-normalized tokens
     (shared ASCII regex — Java and RE2 unicode classes diverge)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = parallelism_floor(_t(spark, sf_dir, "documents"))
     return substring_dup_spans(docs, "text", "doc_id", k=6, normalize=True)
 
 
@@ -8284,7 +8289,7 @@ def q_substring_dedup_clean(spark, sf_dir):
         substring_dedup_clean,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = parallelism_floor(_t(spark, sf_dir, "documents"))
     return substring_dedup_clean(docs, "text", "doc_id", k=6)
 
 
@@ -9324,12 +9329,20 @@ def q_vocab_coverage_curve(spark, sf_dir):
     tot = ranked.agg(
         F.sum("tf").alias("total"), F.count(F.lit(1)).alias("vocab")
     )
-    ks = ranked.sparkSession.createDataFrame(
-        [(64,), (256,), (1024,), (4096,), (16384,)], "k long"
+    # the k-grid rides on the 1-row total (aggregate barrier — provably
+    # bounded under the broadcast; a createDataFrame literal would ship
+    # an opaque ExistingRDD the fact-side-broadcast guard rejects)
+    ks = tot.select(
+        F.explode(
+            F.array(
+                *[F.lit(k).cast("long") for k in (64, 256, 1024, 4096, 16384)]
+            )
+        ).alias("k"),
+        "total",
+        "vocab",
     )
     return (
         ranked.crossJoin(F.broadcast(ks))
-        .crossJoin(F.broadcast(tot))
         .groupBy("k", "total", "vocab")
         .agg(
             F.sum(F.when(F.col("rn") <= F.col("k"), F.col("tf")).otherwise(0))
@@ -9518,15 +9531,33 @@ def q_skew_key_stats(spark, sf_dir):
         F.sum("cnt").alias("n_rows"),
         F.max("cnt").alias("max_cnt"),
     )
-    r50 = r.join(
-        F.broadcast(n.select(F.ceil(0.50 * F.col("n_keys")).alias("rn"))), "rn"
-    ).select(F.col("cnt").alias("p50"))
-    r99 = r.join(
-        F.broadcast(n.select(F.ceil(0.99 * F.col("n_keys")).alias("rn"))), "rn"
-    ).select(F.col("cnt").alias("p99"))
+    # the two percentile target ranks ride on the 1-row aggregate
+    # (provably bounded broadcast); the ranked key-count table stays on
+    # the probe side, and the 2-row hit set re-reduces through its own
+    # aggregate before the final scalar join
+    pct = n.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("p50").alias("which"),
+                    F.ceil(0.50 * F.col("n_keys")).alias("rn"),
+                ),
+                F.struct(
+                    F.lit("p99").alias("which"),
+                    F.ceil(0.99 * F.col("n_keys")).alias("rn"),
+                ),
+            )
+        ).alias("s")
+    ).select(F.col("s.which").alias("which"), F.col("s.rn").alias("rn"))
+    hits = (
+        r.join(F.broadcast(pct), "rn")
+        .agg(
+            F.max(F.when(F.col("which") == "p50", F.col("cnt"))).alias("p50"),
+            F.max(F.when(F.col("which") == "p99", F.col("cnt"))).alias("p99"),
+        )
+    )
     return (
-        n.crossJoin(F.broadcast(r50))
-        .crossJoin(F.broadcast(r99))
+        n.crossJoin(F.broadcast(hits))
         .select(
             F.col("n_rows").cast("long").alias("n_rows"),
             F.col("n_keys").cast("long").alias("n_keys"),

@@ -173,6 +173,7 @@ BROADCAST_ALLOWLIST: dict[str, str] = {
     "similarity_signlsh": _FIVE_QUERY_VECTORS,
     "similarity_ivf": _FIVE_QUERY_VECTORS,
     "similarity_pq": _FIVE_QUERY_VECTORS,
+    "similarity_ivfpq": _FIVE_QUERY_VECTORS,
     "similarity_ivf_persisted": (
         _FIVE_QUERY_VECTORS
         + "; the ExistingRDD is the driver-built probe list, bounded at"
