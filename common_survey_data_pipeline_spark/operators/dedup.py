@@ -280,6 +280,92 @@ def minhash_dedup_pairs(
     )
 
 
+def minhash_estimate_certificate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    shingle_words: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    tolerance: float = 0.2,
+) -> DataFrame:
+    """Sketch-error certificate for the MinHash estimator — the dedup
+    counterpart of ``quantile_error_certificate``: over the verified
+    near-dup pairs (same candidates and exact Jaccard as
+    :func:`minhash_dedup_pairs`), compute the Jaccard ESTIMATE the
+    signatures imply (matching-component fraction) and certify
+    ``|estimate − exact| ≤ tolerance`` per pair. A broken hash family,
+    a signature/band mismatch, or a silent change in ``num_hashes``
+    moves the estimates and breaks the certificate long before recall
+    visibly degrades.
+
+    Expectation math: each component matches with probability j, so
+    the estimator is Binomial(k, j)/k with σ = √(j(1−j)/k) ≈ 0.0625
+    at k=64, j=0.5 — tolerance 0.2 is >3σ; the seeded hash family
+    makes the whole computation deterministic, so a green run is
+    stable, not probabilistic.
+
+    Output: (id_a, id_b, jaccard_sim DOUBLE, within_tolerance BOOLEAN)
+    with id_a < id_b. One extra signature zip per PAIR (pairs ≪
+    corpus); the signatures themselves are the same per-doc arrays the
+    banding already computes.
+    """
+    sh = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            word_shingles(F.col(text_col), shingle_words).alias("__shingles"),
+        )
+        .where(F.size("__shingles") > 0)
+        .cache()  # candidates + both verify/signature sides (see
+        # minhash_dedup_pairs' caching contract)
+    )
+    sig = sh.select(
+        "__id",
+        "__shingles",
+        minhash_signature(F.col("__shingles"), num_hashes).alias("__sig"),
+    )
+    cand = minhash_lsh_candidates(sh, "__id", "__shingles", num_hashes, bands)
+    a = sig.select(
+        F.col("__id").alias("id_a"),
+        F.col("__shingles").alias("__sh_a"),
+        F.col("__sig").alias("__sig_a"),
+    )
+    b = sig.select(
+        F.col("__id").alias("id_b"),
+        F.col("__shingles").alias("__sh_b"),
+        F.col("__sig").alias("__sig_b"),
+    )
+    est = (
+        F.aggregate(
+            F.zip_with(
+                F.col("__sig_a"),
+                F.col("__sig_b"),
+                lambda x, y: (x == y).cast("int"),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard_sim", F.round(jaccard(F.col("__sh_a"), F.col("__sh_b")), 6)
+        )
+        .where(F.col("jaccard_sim") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard_sim",
+            (F.abs(est - F.col("jaccard_sim")) <= tolerance).alias(
+                "within_tolerance"
+            ),
+        )
+    )
+
+
 def minhash_incremental_pairs(
     corpus: DataFrame,
     batch: DataFrame,

@@ -1097,6 +1097,32 @@ def q_dedup_minhash(spark, sf_dir):
 
 
 @register(
+    "dedup_minhash_certificate",
+    f"""
+    WITH pairs AS ({_sql_ngram_pairs()})
+    SELECT id_a, id_b, jaccard_sim, TRUE AS within_tolerance FROM pairs
+    """,
+)
+def q_dedup_minhash_certificate(spark, sf_dir):
+    """MinHash sketch-error certificate
+    (``operators/dedup.py::minhash_estimate_certificate``) — the dedup
+    mirror of ``quantile_error_certificate``: per verified near-dup
+    pair, the signature-implied Jaccard estimate must sit within 0.2
+    of the exact Jaccard (>3σ for 64 hashes). The oracle re-derives
+    the pair set and the exact values via the all-pairs SQL and PINS
+    ``within_tolerance = TRUE`` — the Spark side computes the estimate
+    for real, so a corrupted hash family / signature regression breaks
+    the value hash instead of hiding until recall decays. The seeded
+    family makes the certificate deterministic, not probabilistic."""
+    from common_survey_data_pipeline_spark.operators.dedup import (
+        minhash_estimate_certificate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_estimate_certificate(docs, "text", "doc_id", threshold=0.5)
+
+
+@register(
     "dedup_clusters",
     f"""
     WITH RECURSIVE pairs AS ({_SQL_NGRAM_PAIRS}),

@@ -273,3 +273,13 @@ def test_quality_calibration_deciles(spark):
             assert r["keep_rate"] == 1.0
         if r["max_logit_micro"] <= 0:
             assert r["keep_rate"] == 0.0
+
+
+def test_minhash_certificate_matches_pair_set(spark):
+    """The certificate's pair set and exact Jaccard values equal
+    dedup_minhash's, and every pair certifies within tolerance."""
+    rows = REGISTRY["dedup_minhash_certificate"].fn(spark, SF_DIR).collect()
+    assert rows and all(r["within_tolerance"] for r in rows)
+    base = {(r["id_a"], r["id_b"], r["jaccard_sim"])
+            for r in REGISTRY["dedup_minhash"].fn(spark, SF_DIR).collect()}
+    assert {(r["id_a"], r["id_b"], r["jaccard_sim"]) for r in rows} == base

@@ -112,7 +112,24 @@ COMMENT = {
         "aggregate (min!=max doc — two longs of map-combinable state), hits\n"
         "equi-join back on the 64-bit key, and the maximal-run merge is a\n"
         "doc-partitioned gaps-and-islands window. No suffix structures, no\n"
-        "all-pairs stage at any corpus size."
+        "all-pairs stage at any corpus size. The round-robin leaf exchange\n"
+        "is the parallelism_floor (round-7: the single-row-group test file\n"
+        "serialized the gram explode on one task — 7.4s -> 1.2s at sf0.1;\n"
+        "no-op on multi-file corpora)."
+    ),
+    "line_dedup_keep_first": (
+        "Unit-level keep-first dedup (round 7): unit explode -> ONE\n"
+        "unit-hash groupBy whose state is a single (doc, idx) struct-min\n"
+        "(map-side combinable; duplicate-heavy units collapse before the\n"
+        "shuffle) -> equi-join back -> per-document bounded rebuild. No\n"
+        "windows, no all-pairs."
+    ),
+    "lm_perplexity_buckets": (
+        "Bigram-LM perplexity tertiles (round 7): the count tables are\n"
+        "vocabulary-sized and AQE-broadcast against the bigram stream; the\n"
+        "per-doc score is an exact int64 nano-nat sum, and the tertile is\n"
+        "the range-partitioned global_ntile kernel — range exchange +\n"
+        "per-partition rank + offset map, NO single-task Window."
     ),
     "quality_logit_score": (
         "Linear quality-classifier inference (round 6): the literal\n"
