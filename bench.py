@@ -118,6 +118,7 @@ BENCH_QUERIES = (
     "split_contamination_matrix",
     "embedding_drift_stats",
     "quality_score_calibration",
+    "events_join_state_accounting",
 )
 
 # sf1 (10×) leg: the FULL headline set (VERDICT r6 item 6 — the top-10

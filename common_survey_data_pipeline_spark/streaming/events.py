@@ -274,6 +274,83 @@ def attribution_join(
     )
 
 
+def join_state_accounting(
+    events: DataFrame,
+    left_type: str = "view",
+    right_type: str = "purchase",
+    window: str = "1 hour",
+    delay: str = "30 minutes",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    shards: int = 8,
+    arrival_col: str | None = None,
+) -> DataFrame:
+    """Batch REPLAY of stream-stream join STATE semantics — the
+    watermark-cost accounting for the ``attribution_join`` shape: per
+    event-time hour of the right stream, how many (left, right) join
+    pairs the unbounded batch join finds, and how many of those a
+    watermarked streaming join would have MISSED because the right row
+    arrived after the left row's state was already evicted.
+
+    Deterministic loss rule (the principal streaming loss mode, pinned
+    the same way ``late_data_accounting`` pins drop semantics): the
+    left row ``l`` leaves join state once the watermark passes
+    ``l.ts + window`` (the join-condition upper bound); a batch pair
+    (l, r) is LOST iff the right shard's running watermark at r's
+    arrival — ``max(event time over strictly earlier arrivals on
+    r's shard) − delay`` — already exceeds ``l.ts + window``. Arrival
+    order uses the shared jittered-ingest model (``seq % shards``
+    shards, same jitter as ``late_data_accounting``) so every metric
+    is an exact integer, hash-stable by construction.
+
+    Scale shape: one shard-keyed running-max window over the RIGHT
+    stream (per-shard state = one timestamp), one user-keyed equi-join
+    with the time-range predicate applied in-stage (the
+    ``attribution_join`` plan — per-user fanout, never corpus-wide),
+    one hour-keyed aggregation with map-side partials.
+    """
+    arrival = arrival_col or seq_col
+    left = events.where(F.col("event_type") == left_type).select(
+        F.col("user_id").alias("__l_user"),
+        F.col(ts_col).alias("l_ts"),
+    )
+    r_base = events.where(F.col("event_type") == right_type)
+    shard = (F.col(seq_col) % shards).alias("__shard")
+    w = (
+        Window.partitionBy("__shard")
+        .orderBy(arrival, seq_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r_cols = [
+        F.col("user_id"), F.col(ts_col).alias("r_ts"), shard, F.col(seq_col)
+    ]
+    if arrival_col:
+        r_cols.append(F.col(arrival_col))
+    right = r_base.select(*r_cols).withColumn(
+        "__wm", F.max("r_ts").over(w) - F.expr(f"INTERVAL {delay}")
+    )
+    cond = (
+        (right["user_id"] == left["__l_user"])
+        & (left["l_ts"] <= right["r_ts"])
+        & (left["l_ts"] >= right["r_ts"] - F.expr(f"INTERVAL {window}"))
+    )
+    pairs = right.join(left, cond, "inner").withColumn(
+        "__lost",
+        F.col("__wm").isNotNull()
+        & (F.col("__wm") > F.col("l_ts") + F.expr(f"INTERVAL {window}")),
+    )
+    return (
+        pairs.groupBy(
+            F.date_trunc("hour", F.col("r_ts")).alias("window_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs_batch"),
+            F.sum(F.col("__lost").cast("long")).alias("n_pairs_lost"),
+            F.sum((~F.col("__lost")).cast("long")).alias("n_pairs_streamed"),
+        )
+    )
+
+
 def stream_from_parquet(
     spark: SparkSession,
     path: str,

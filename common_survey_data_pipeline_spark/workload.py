@@ -9963,6 +9963,68 @@ def q_quality_score_calibration(spark, sf_dir):
     )
 
 
+@register(
+    "events_join_state_accounting",
+    """
+    WITH r0 AS (
+      SELECT user_id, ts AS r_ts, event_id,
+             event_id + CASE WHEN event_id % 13 = 0 THEN 997
+                             WHEN event_id % 5 = 0 THEN 7
+                             ELSE 0 END AS arr
+      FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT user_id, r_ts,
+             max(r_ts) OVER (PARTITION BY event_id % 8
+                             ORDER BY arr, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING)
+               - INTERVAL 30 MINUTE AS wm
+      FROM r0
+    ),
+    l AS (SELECT user_id, ts AS l_ts FROM events
+          WHERE event_type = 'view'),
+    pairs AS (
+      SELECT r.r_ts,
+             (r.wm IS NOT NULL
+              AND r.wm > l.l_ts + INTERVAL 1 HOUR) AS lost
+      FROM r JOIN l ON r.user_id = l.user_id
+        AND l.l_ts <= r.r_ts
+        AND l.l_ts >= r.r_ts - INTERVAL 1 HOUR
+    )
+    SELECT date_trunc('hour', r_ts)::TIMESTAMP AS window_start,
+           count(*) AS n_pairs_batch,
+           CAST(sum(lost::BIGINT) AS BIGINT) AS n_pairs_lost,
+           CAST(sum((NOT lost)::BIGINT) AS BIGINT) AS n_pairs_streamed
+    FROM pairs GROUP BY 1
+    """,
+)
+def q_events_join_state_accounting(spark, sf_dir):
+    """Stream-stream join state accounting
+    (``streaming/events.py::join_state_accounting``) — the watermark-
+    cost report for the ``attribution_join`` shape: per purchase-hour,
+    the view→purchase pairs the unbounded batch join finds vs the
+    pairs a 30-minute-watermark streaming join would MISS because the
+    view's join state was evicted (watermark past ``view.ts + 1h``)
+    before the late purchase arrived. Completes the streaming parity
+    set: ``events_late_data_accounting`` prices the watermark for
+    AGGREGATIONS, this prices it for JOIN STATE — the two numbers an
+    operator weighs when choosing the delay. Same pinned jittered-
+    arrival model, exact integers, hash-stable."""
+    from common_survey_data_pipeline_spark.streaming.events import (
+        join_state_accounting,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "arr",
+        F.col("event_id")
+        + F.when(F.col("event_id") % 13 == 0, 997)
+        .when(F.col("event_id") % 5 == 0, 7)
+        .otherwise(0),
+    )
+    return join_state_accounting(ev, arrival_col="arr")
+
+
 # ---------------------------------------------------------------------------
 # Flagship entry query
 # ---------------------------------------------------------------------------

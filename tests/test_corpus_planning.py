@@ -283,3 +283,35 @@ def test_minhash_certificate_matches_pair_set(spark):
     base = {(r["id_a"], r["id_b"], r["jaccard_sim"])
             for r in REGISTRY["dedup_minhash"].fn(spark, SF_DIR).collect()}
     assert {(r["id_a"], r["id_b"], r["jaccard_sim"]) for r in rows} == base
+
+
+def test_join_state_accounting_invariants(spark):
+    """Conservation + limit behavior of the stream-stream join state
+    replay: batch = lost + streamed per hour; an unbounded watermark
+    delay loses nothing; a zero delay loses at least as much."""
+    from common_survey_data_pipeline_spark.streaming.events import (
+        join_state_accounting,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "arr",
+        F.col("event_id")
+        + F.when(F.col("event_id") % 13 == 0, 997)
+        .when(F.col("event_id") % 5 == 0, 7)
+        .otherwise(0),
+    )
+    rows = REGISTRY["events_join_state_accounting"].fn(spark, SF_DIR).collect()
+    assert rows
+    assert all(
+        r["n_pairs_batch"] == r["n_pairs_lost"] + r["n_pairs_streamed"]
+        for r in rows
+    )
+    total_batch = sum(r["n_pairs_batch"] for r in rows)
+    lost_30m = sum(r["n_pairs_lost"] for r in rows)
+    assert 0 < lost_30m < total_batch  # the jitter model loses SOME pairs
+    huge = join_state_accounting(ev, delay="100 days", arrival_col="arr")
+    assert huge.agg(F.sum("n_pairs_lost")).first()[0] == 0
+    zero = join_state_accounting(ev, delay="0 minutes", arrival_col="arr")
+    assert zero.agg(F.sum("n_pairs_lost")).first()[0] >= lost_30m
+    # the batch pair count is watermark-independent
+    assert huge.agg(F.sum("n_pairs_batch")).first()[0] == total_batch
