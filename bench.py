@@ -119,6 +119,8 @@ BENCH_QUERIES = (
     "embedding_drift_stats",
     "quality_score_calibration",
     "events_join_state_accounting",
+    "doc_language_confusion",
+    "winnowing_containment",
 )
 
 # sf1 (10×) leg: the FULL headline set (VERDICT r6 item 6 — the top-10

@@ -10025,6 +10025,134 @@ def q_events_join_state_accounting(spark, sf_dir):
     return join_state_accounting(ev, arrival_col="arr")
 
 
+@register(
+    "doc_language_confusion",
+    f"""
+    SELECT lang AS true_lang,
+           CASE WHEN best = 0 THEN 'unknown'
+                WHEN s_de = best THEN 'de'
+                WHEN s_en = best THEN 'en'
+                WHEN s_es = best THEN 'es'
+                WHEN s_fr = best THEN 'fr'
+                ELSE 'unknown' END AS pred_lang,
+           count(*) AS n_docs
+    FROM (SELECT lang,
+                 {_sql_lang_score('de')} AS s_de,
+                 {_sql_lang_score('en')} AS s_en,
+                 {_sql_lang_score('es')} AS s_es,
+                 {_sql_lang_score('fr')} AS s_fr,
+                 greatest({_sql_lang_score('de')}, {_sql_lang_score('en')},
+                          {_sql_lang_score('es')}, {_sql_lang_score('fr')})
+                   AS best
+          FROM documents)
+    GROUP BY 1, 2
+    """,
+)
+def q_doc_language_confusion(spark, sf_dir):
+    """Language-ID confusion matrix — the classifier-eval report for
+    the ``text_lang_id`` stopword model against the corpus's labeled
+    languages: (true_lang, pred_lang, n_docs) cells, including the
+    'zh'→'unknown' column the 4-language stopword model cannot see
+    and the cross-language confusions quality pipelines track before
+    trusting a lang filter (compare ``curate_corpus``, which APPLIES
+    the prediction; this measures it). One narrow map + one
+    |langs|²-bounded aggregation — exact integers."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("true_lang"),
+            T.lang_id(F.col("text")).alias("pred_lang"),
+        )
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "winnowing_containment",
+    """
+    WITH fp AS (
+      SELECT DISTINCT doc_id, fp FROM (
+        SELECT doc_id,
+               min(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        FROM (SELECT doc_id, i, md5(substr(text, i::INTEGER, 8)) AS h
+              FROM documents,
+                   unnest(range(1, greatest(length(text) - 8 + 2, 1))) AS t(i)))
+    ),
+    dfreq AS (SELECT fp, count(*) AS df FROM fp GROUP BY fp),
+    inf AS (SELECT fp.doc_id, fp.fp, dfreq.df FROM fp JOIN dfreq USING (fp)
+            WHERE dfreq.df <= 64),
+    nfp AS (SELECT doc_id, count(*) AS n_fp FROM inf GROUP BY doc_id),
+    keep AS (SELECT doc_id, fp FROM inf WHERE df >= 2),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+      FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.id_a, p.id_b, p.shared_fps,
+           round(p.shared_fps::DOUBLE
+                 / least(na.n_fp, nb.n_fp)::DOUBLE, 6) + 0 AS containment
+    FROM pairs p
+    JOIN nfp na ON na.doc_id = p.id_a
+    JOIN nfp nb ON nb.doc_id = p.id_b
+    WHERE p.shared_fps >= 8
+      AND p.shared_fps::DOUBLE / least(na.n_fp, nb.n_fp)::DOUBLE >= 0.5
+    """,
+)
+def q_winnowing_containment(spark, sf_dir):
+    """Asymmetric CONTAINMENT detection via winnowing fingerprints —
+    the MOSS-style excerpt/quotation detector that symmetric Jaccard
+    dedup misses: a short document pasted inside a long one has low
+    Jaccard but containment ≈ 1 (shared fingerprints over the SMALLER
+    document's sketch). Pairs need containment ≥ 0.5 AND ≥ 8 shared fingerprints
+    (the minimum-evidence floor that keeps tiny sketches from
+    certifying on 2-of-3 coincidences).
+
+    Scale shape: reuses ``text_fingerprints``' winnowed sketch (the
+    per-doc distinct fingerprint table ≪ text), and measures
+    containment over the INFORMATIVE sketch — fingerprints shared by
+    >64 documents are excluded from BOTH the pair join and the
+    denominator (the MOSS stop-fingerprint rule: they are corpus
+    boilerplate, carry no pair evidence, and bound the self-join
+    fanout at df² ≤ 4096 per fingerprint instead of corpus²;
+    dropping them from only the numerator would deflate containment
+    as the corpus grows — the round-7 first cut returned zero pairs
+    at sf0.1 for exactly that reason). The oracle applies the
+    identical rule, so parity is exact; candidate pairs form on a
+    plain fp-keyed equi-join and aggregate map-side. The containment
+    ratio divides exact integers, rounded at 6 — hash-stable."""
+    fps = q_text_fp(spark, sf_dir)
+    dfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    inf = fps.join(dfreq.where(F.col("df") <= 64), "fp")
+    nfp = inf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    keep = inf.where(F.col("df") >= 2).select("doc_id", "fp")
+    a = keep.select(F.col("doc_id").alias("id_a"), "fp")
+    b = keep.select(F.col("doc_id").alias("id_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+    )
+    na = nfp.select(F.col("doc_id").alias("id_a"), F.col("n_fp").alias("n_a"))
+    nb = nfp.select(F.col("doc_id").alias("id_b"), F.col("n_fp").alias("n_b"))
+    cont = F.col("shared_fps").cast("double") / F.least(
+        F.col("n_a"), F.col("n_b")
+    ).cast("double")
+    return (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .where((F.col("shared_fps") >= 8) & (cont >= 0.5))
+        .select(
+            "id_a",
+            "id_b",
+            "shared_fps",
+            _roundz(cont, 6).alias("containment"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship entry query
 # ---------------------------------------------------------------------------

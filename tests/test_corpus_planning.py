@@ -315,3 +315,51 @@ def test_join_state_accounting_invariants(spark):
     assert zero.agg(F.sum("n_pairs_lost")).first()[0] >= lost_30m
     # the batch pair count is watermark-independent
     assert huge.agg(F.sum("n_pairs_batch")).first()[0] == total_batch
+
+
+def test_language_confusion_conserves_and_is_closed(spark):
+    """Every document lands in exactly one cell; predictions stay in
+    the model's label space (the 4 stopword languages + unknown — 'zh'
+    has no model so it can never be predicted). The synthetic corpus's
+    lang LABELS are metadata uncorrelated with the word-soup text, so
+    the matrix's off-diagonal mass is expected here — which is exactly
+    what this eval op exists to surface before trusting a filter."""
+    rows = REGISTRY["doc_language_confusion"].fn(spark, SF_DIR).collect()
+    assert sum(r["n_docs"] for r in rows) == 500
+    assert not any(r["pred_lang"] == "zh" for r in rows)
+    assert {r["pred_lang"] for r in rows} <= {"en", "de", "es", "fr",
+                                              "unknown"}
+    assert {r["true_lang"] for r in rows} == {"en", "de", "es", "fr", "zh"}
+    # matches the standalone per-doc prediction query cell-for-cell
+    from pyspark.sql import functions as F2
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    per_doc = REGISTRY["text_lang_id"].fn(spark, SF_DIR)
+    cells = {
+        (r["lang"], r["pred_lang"]): r["n"]
+        for r in per_doc.join(docs, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F2.count(F2.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {(r["true_lang"], r["pred_lang"]): r["n_docs"]
+            for r in rows} == cells
+
+
+def test_winnowing_containment_finds_neardups_and_bounds(spark):
+    rows = REGISTRY["winnowing_containment"].fn(spark, SF_DIR).collect()
+    assert rows  # the synthetic mutated-copy pairs share most fingerprints
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert 0.5 <= r["containment"] <= 1.0
+        assert r["shared_fps"] > 0
+    # containment generalizes symmetric near-dup: every exact-Jaccard
+    # near-dup pair (>= 0.8) must also be containment-detected
+    strong = {
+        (r["id_a"], r["id_b"])
+        for r in REGISTRY["dedup_ngram_exact"].fn(spark, SF_DIR).collect()
+        if r["jaccard_sim"] >= 0.8
+    }
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    assert strong <= got
