@@ -97,10 +97,19 @@ def line_dedup_keep_first(
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
     )
     n_units = F.ceil(F.size("__toks") / F.lit(unit_tokens)).cast("long")
-    units = (
+    # the tokenized frame feeds the unit explode AND the per-doc totals,
+    # and the exploded units feed the keepers groupBy AND the kept
+    # probe side — cache both so the tokenizer/slicer pipeline runs
+    # once, not three times (the minhash_dedup_pairs caching contract:
+    # call spark.catalog.clearCache() after consuming in long-lived
+    # sessions)
+    toked = (
         df.select(F.col(id_col), toks.alias("__toks"))
         .withColumn("__nu", n_units)
-        .select(
+        .cache()
+    )
+    units = (
+        toked.select(
             id_col,
             "__nu",
             F.posexplode(
@@ -121,6 +130,7 @@ def line_dedup_keep_first(
             ).alias("idx", "unit"),
         )
         .withColumn("__h", F.md5(F.col("unit")))
+        .cache()  # keepers groupBy + kept probe side
     )
     keepers = units.groupBy("__h").agg(
         F.min(F.struct(F.col(id_col).alias("d"), F.col("idx").alias("i")))
@@ -141,9 +151,7 @@ def line_dedup_keep_first(
             " ",
         ).alias("cleaned_text"),
     )
-    base = df.select(F.col(id_col), toks.alias("__toks")).select(
-        id_col, n_units.alias("n_units")
-    )
+    base = toked.select(id_col, F.col("__nu").alias("n_units"))
     return base.join(rebuilt, id_col, "left").select(
         id_col,
         "n_units",
@@ -288,7 +296,7 @@ def minhash_estimate_certificate(
     shingle_words: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
-    tolerance: float = 0.2,
+    tolerance: float = 0.25,
 ) -> DataFrame:
     """Sketch-error certificate for the MinHash estimator — the dedup
     counterpart of ``quantile_error_certificate``: over the verified
@@ -302,14 +310,17 @@ def minhash_estimate_certificate(
 
     Expectation math: each component matches with probability j, so
     the estimator is Binomial(k, j)/k with σ = √(j(1−j)/k) ≈ 0.0625
-    at k=64, j=0.5 — tolerance 0.2 is >3σ; the seeded hash family
-    makes the whole computation deterministic, so a green run is
-    stable, not probabilistic.
+    at k=64, j=0.5 — tolerance 0.25 is 4σ (≈6e-5 excursion odds per
+    threshold-grade pair, so a red certificate on a NEW corpus means
+    a real regression, not an expected estimator tail; this corpus's
+    near-dup pairs sit at j ≥ 0.8, ≥ 5σ). The seeded hash family makes
+    the computation deterministic, so a green run is stable.
 
     Output: (id_a, id_b, jaccard_sim DOUBLE, within_tolerance BOOLEAN)
-    with id_a < id_b. One extra signature zip per PAIR (pairs ≪
-    corpus); the signatures themselves are the same per-doc arrays the
-    banding already computes.
+    with id_a < id_b. Signatures are computed ONLY for pair members —
+    the candidate id set semi-joins the shingle table before the
+    signature expression runs, so the per-doc 64-hash array cost is
+    O(pair members), not O(corpus).
     """
     sh = (
         df.select(
@@ -320,12 +331,19 @@ def minhash_estimate_certificate(
         .cache()  # candidates + both verify/signature sides (see
         # minhash_dedup_pairs' caching contract)
     )
-    sig = sh.select(
+    cand = minhash_lsh_candidates(sh, "__id", "__shingles", num_hashes, bands)
+    pair_ids = (
+        cand.select(F.col("id_a").alias("__id"))
+        .unionByName(cand.select(F.col("id_b").alias("__id")))
+        .distinct()
+    )
+    # signature cost is O(pair members): restrict BEFORE the 64-hash
+    # array expression, not after
+    sig = sh.join(pair_ids, "__id", "left_semi").select(
         "__id",
         "__shingles",
         minhash_signature(F.col("__shingles"), num_hashes).alias("__sig"),
     )
-    cand = minhash_lsh_candidates(sh, "__id", "__shingles", num_hashes, bands)
     a = sig.select(
         F.col("__id").alias("id_a"),
         F.col("__shingles").alias("__sh_a"),

@@ -799,22 +799,30 @@ def pq_topk(
     qid_t = queries.schema[query_id].dataType.simpleString()
     cid_t = corpus.schema[corpus_id].dataType.simpleString()
     adc_schema = f"query_id {qid_t}, vec_id {cid_t}, adc_score double"
+    out_schema = f"query_id {qid_t}, vec_id {cid_t}, cosine_sim double, rank int"
     qpd = queries.select(
         F.col(query_id).alias("qid"), F.col(query_vec).alias("qv")
     ).toPandas()
     if len(qpd) == 0:
-        return corpus.sparkSession.createDataFrame(
-            [], f"query_id {qid_t}, vec_id {cid_t}, cosine_sim double, rank int"
-        )
+        return corpus.sparkSession.createDataFrame([], out_schema)
     # bounded training sample (id-ordered → deterministic across runs
-    # and partitionings)
+    # and partitionings); empty corpus → schema-stable empty result
+    # (np.stack on zero rows raises), the repo-wide empty-input contract
     tr = (
         corpus.select(F.col(corpus_vec).alias("v"))
         .orderBy(F.col(corpus_id))
         .limit(train_cap)
         .toPandas()
     )
+    if len(tr) == 0:
+        return corpus.sparkSession.createDataFrame([], out_schema)
     train = np.stack(tr["v"].to_numpy()).astype("float64")
+    if train.shape[1] % m != 0:
+        raise ValueError(
+            f"PQ subspace count m={m} must divide the embedding "
+            f"dimension {train.shape[1]} (dsub would truncate and "
+            "silently drop trailing dimensions from the codes)"
+        )
     train /= np.linalg.norm(train, axis=1, keepdims=True)
     books = _pq_train_codebooks(train, m, ksub, seed)
 
@@ -965,6 +973,13 @@ def ivfpq_topk(
     if len(tr) == 0:
         return corpus.sparkSession.createDataFrame([], out_schema)
     train = np.stack(tr["v"].to_numpy()).astype("float64")
+    if train.shape[1] % m != 0:
+        raise ValueError(
+            f"PQ subspace count m={m} must divide the embedding "
+            f"dimension {train.shape[1]} (dsub would truncate; with "
+            "m > dim every subspace is empty and ADC degenerates to "
+            "the coarse term only)"
+        )
     train /= np.linalg.norm(train, axis=1, keepdims=True)
     # coarse quantizer = Lloyd over the FULL-dim sample (m=1 subspace);
     # unit-normalized → euclidean argmin ≡ cosine argmax

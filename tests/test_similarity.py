@@ -424,3 +424,31 @@ def test_ivfpq_empty_envelope(spark):
     ):
         assert out.count() == 0
         assert dict(out.dtypes)["vec_id"] == "string"
+
+
+def test_pq_empty_corpus_and_bad_m_envelope(spark):
+    """pq_topk honors the repo-wide empty-input contract (typed empty
+    frame, no driver-side np.stack crash) and both PQ paths reject an
+    m that does not divide the embedding dimension instead of
+    silently truncating codes."""
+    from common_survey_data_pipeline_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_topk,
+    )
+
+    empty_c = spark.createDataFrame([], "vec_id string, embedding array<double>")
+    q = spark.createDataFrame(
+        [("q", [1.0, 0.0, 0.5, 0.25])],
+        "query_id string, query_vec array<double>",
+    )
+    out = pq_topk(empty_c, q, k=2, m=2, ksub=4)
+    assert out.count() == 0
+    assert dict(out.dtypes)["vec_id"] == "string"
+    corpus = spark.createDataFrame(
+        [(f"d{i}", [float(i), 1.0, 0.5, 0.25]) for i in range(10)],
+        "vec_id string, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="must divide"):
+        pq_topk(corpus, q, k=2, m=3, ksub=4).count()
+    with pytest.raises(ValueError, match="must divide"):
+        ivfpq_topk(corpus, q, k=2, nlist=2, nprobe=2, m=3, ksub=4).count()
