@@ -122,7 +122,9 @@ COMMENT = {
         "unit-hash groupBy whose state is a single (doc, idx) struct-min\n"
         "(map-side combinable; duplicate-heavy units collapse before the\n"
         "shuffle) -> equi-join back -> per-document bounded rebuild. No\n"
-        "windows, no all-pairs."
+        "windows, no all-pairs. The tokenized and exploded frames are\n"
+        "cached (InMemoryRelation leaves): each feeds two plan branches,\n"
+        "so the tokenizer/slicer pipeline runs once per call."
     ),
     "lm_perplexity_buckets": (
         "Bigram-LM perplexity tertiles (round 7): the count tables are\n"
