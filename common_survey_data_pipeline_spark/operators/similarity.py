@@ -545,7 +545,16 @@ def ivf_topk(
         F.col(query_vec).alias("__qv"),
         _unit_normalize(F.col(query_vec)).alias("__qn"),
     )
-    qd = q.crossJoin(cdf).withColumn("__cdist", -dot(F.col("__qn"), F.col("centroid")))
+    # Probe ranking shares the ASSIGNMENT metric: corpus vectors land in
+    # argmin ||v-c||² = argmax (v·c - ||c||²/2), so queries rank cells by
+    # q·c - ||c||²/2 too (the FAISS convention) — ranking by raw q·c
+    # would penalize nothing for large-norm centroids and could leave a
+    # query's true-neighbor cell (under the assignment metric) unprobed.
+    qd = q.crossJoin(cdf).withColumn(
+        "__cdist",
+        0.5 * dot(F.col("centroid"), F.col("centroid"))
+        - dot(F.col("__qn"), F.col("centroid")),
+    )
     w_cell = Window.partitionBy("query_id").orderBy(F.col("__cdist").asc(), F.col("cell"))
     probes = (
         qd.withColumn("__cr", F.row_number().over(w_cell))
@@ -1002,9 +1011,16 @@ def ivfpq_topk(
     dsub = d // m
     n_cells = len(cents)
     eff_probe = min(nprobe, n_cells)
-    # per-(query, cell) coarse offsets and the nprobe probe mask
+    # per-(query, cell) coarse offsets and the nprobe probe mask.
+    # The ADC coarse term is the raw dot q·c (that IS the q·v
+    # decomposition's first term), but PROBE RANKING uses the
+    # assignment metric q·c - ||c||²/2 (euclidean argmin ≡ its argmax)
+    # so both sides of the index share one coarse geometry — ranking
+    # probes by raw q·c can leave the true-neighbor cell unprobed when
+    # centroid norms differ (the FAISS convention matches assignment).
     offsets = qm @ cents.T  # (nq, nlist): q · centroid_c
-    probe_rank = np.argsort(-offsets, axis=1, kind="stable")
+    probe_score = offsets - 0.5 * (cents**2).sum(1)[None, :]
+    probe_rank = np.argsort(-probe_score, axis=1, kind="stable")
     probe_mask = np.zeros((n_q, n_cells), dtype=bool)
     rows = np.arange(n_q)[:, None]
     probe_mask[rows, probe_rank[:, :eff_probe]] = True
@@ -1200,7 +1216,9 @@ def ivf_topk_from_index(
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)
     cm = np.stack(cpd["centroid"].to_numpy()).astype("float64")
     cells = cpd["cell"].to_numpy()
-    sims = qm @ cm.T  # (nq, nlist)
+    # probe ranking by the assignment metric q·c - ||c||²/2 (matches
+    # ivf_topk / ivfpq_topk — see the probe-metric note in ivf_topk)
+    sims = qm @ cm.T - 0.5 * (cm**2).sum(1)[None, :]  # (nq, nlist)
     probe_rows = []
     for qi, qid in enumerate(qpd["qid"]):
         # nearest nprobe cells, ties by cell id (matches ivf_topk)

@@ -9226,14 +9226,16 @@ def q_lm_perplexity_buckets(spark, sf_dir):
     perdoc = scored.select("doc_id", qnat.alias("qnat")).groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"), F.sum("qnat").alias("qsum")
     )
-    avg_lp = (
-        F.col("qsum").cast("double")
-        / F.col("n_bigrams").cast("double")
-        / F.lit(1000000000.0)
-    )
+    # Order the tertile by the UNSCALED qsum/n_bigrams double — the exact
+    # ORDER BY key the oracle uses.  Dividing by 1e9 first could collapse
+    # two adjacent-but-distinct doubles into a tie (then broken by doc_id
+    # in a different order than the oracle's value order); the /1e9 scale
+    # lives only in the reported avg_lp output column.
+    ord_key = F.col("qsum").cast("double") / F.col("n_bigrams").cast("double")
+    avg_lp = ord_key / F.lit(1000000000.0)
     bucketed = global_ntile(
-        perdoc.withColumn("avg_lp", avg_lp),
-        [F.col("avg_lp").desc(), F.col("doc_id")],
+        perdoc.withColumn("ord_key", ord_key).withColumn("avg_lp", avg_lp),
+        [F.col("ord_key").desc(), F.col("doc_id")],
         3,
         name="bucket",
     )
