@@ -1,0 +1,223 @@
+"""Distributed BPE tokenizer training and corpus encoding.
+
+Byte-pair-encoding training (Sennrich et al. 2016, the algorithm behind
+GPT-2/RoBERTa vocabularies) is the canonical *iterate-until-K* corpus
+job: count adjacent symbol pairs, merge the most frequent pair
+everywhere, repeat. The key production insight (shared by the original
+subword-nmt code and HF tokenizers) is that training never needs the
+corpus after one pass — it operates on the **word-frequency table**
+(``word → count``), which is vocabulary-sized, so the per-iteration
+work is a map + one pair-keyed aggregation over the vocab, not a corpus
+scan.
+
+Spark shape (the ``pagerank`` iterate-with-lineage-cut pattern,
+``operators/graph.py:180-200``):
+
+- ONE corpus pass builds the word-frequency table (hash groupBy,
+  map-side combinable).
+- Each of the K iterations is one narrow map (pair extraction) + one
+  pair-keyed aggregation + a driver-side ``take(1)`` of the argmax pair
+  (a 1-row ``TakeOrderedAndProject`` — bounded by construction), then a
+  narrow map applying the merge. ``localCheckpoint`` cuts lineage every
+  iteration so plan depth stays O(1), exactly like pagerank.
+- Encoding with a learned merge list is a SINGLE narrow map over the
+  corpus: the K merges fold into one nested ``replace`` expression
+  evaluated inside whole-stage codegen — no UDF, no shuffle, no
+  iteration at encode time.
+
+Symbol-sequence representation: a word's working split is the string
+``"|s1||s2||...||sn|"`` — every symbol owns BOTH its delimiters, so
+applying merge ``(a, b)`` is the literal replace
+``"|a||b|" → "|ab|"``. Because adjacent pair occurrences share no
+characters under this encoding, engine-standard left-to-right
+non-overlapping ``replace`` implements exactly BPE's greedy leftmost
+merge application, and the same SQL runs verbatim in the DuckDB oracle
+(``workload.py::_bpe_oracle_ctes`` chains one materialized CTE triple
+per iteration). ``|`` is safe as a delimiter for whitespace-tokenized
+words (tokens contain no ``|``; a defensive filter drops any that do).
+
+Pair counting follows the reference implementations: adjacency counts
+are *overlapping* (``zip(word, word[1:])`` — "aaa" counts ("a","a")
+twice) while application is greedy non-overlapping; ties on count break
+lexicographically on (w1, w2), making the merge list a pure function of
+the corpus (hash-stable across engines and partitionings).
+
+100 TB shape: the corpus is read once; the vocab table (≤ ~10⁸ rows for
+web-scale text) lives distributed across the K iterations; per
+iteration only one 1-row argmax crosses to the driver. A known upgrade
+(documented, not implemented) is delta-maintenance of the pair table —
+only words containing the merged pair change counts between iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from common_survey_data_pipeline_spark.functions import text as T
+
+__all__ = [
+    "bpe_train",
+    "bpe_merges_df",
+    "bpe_encoded_token_freqs",
+    "bpe_encode",
+]
+
+MERGE_SCHEMA = "step int, w1 string, w2 string, n bigint"
+
+
+def _word_freqs(docs: DataFrame, text_col: str) -> DataFrame:
+    """word → occurrence count, the only corpus-sized pass in training."""
+    return (
+        docs.select(F.explode(T.tokens(F.col(text_col))).alias("w"))
+        .where(~F.col("w").contains("|"))  # delimiter-safety guard
+        .groupBy("w")
+        .agg(F.sum(F.lit(1)).cast("long").alias("freq"))
+    )
+
+
+def _initial_seq(word: Column) -> Column:
+    """``"abc"`` → ``"|a||b||c|"`` — each character a delimited symbol."""
+    return F.regexp_replace(word, "(.)", "|$1|")
+
+
+def _seq_symbols(seq: Column) -> Column:
+    """Parse ``"|a||bc|"`` back to ``["a", "bc"]``."""
+    return F.split(seq.substr(F.lit(2), F.length(seq) - 2), r"\|\|")
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 32,
+) -> list[tuple[int, str, str, int]]:
+    """Train ``k`` BPE merges on the corpus; returns the ordered merge
+    list ``[(step, w1, w2, pair_freq), ...]`` (1-indexed steps). Stops
+    early if the vocabulary runs out of adjacent pairs (every word
+    fully merged) — the returned list is then shorter than ``k``.
+
+    The merge list is small by construction (k rows) — it is the
+    *model*, pulled to the driver the way any trained artifact is.
+    """
+    if k < 1:
+        raise ValueError(f"bpe_train: k must be >= 1, got {k}")
+    # eager=False throughout the loop: the checkpoint materializes as a
+    # side effect of the iteration's ONE action (the argmax take(1)),
+    # so each round costs exactly one job instead of two — lineage is
+    # still truncated after first compute, the pagerank guarantee.
+    vocab = (
+        _word_freqs(docs, text_col)
+        .select(_initial_seq(F.col("w")).alias("seq"), "freq")
+        .localCheckpoint(eager=False)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, k + 1):
+        syms = _seq_symbols(F.col("seq"))
+        pairs = (
+            vocab.select(
+                F.explode(
+                    F.when(
+                        F.size(syms) >= 2,
+                        F.zip_with(
+                            F.slice(syms, 1, F.size(syms) - 1),
+                            F.slice(syms, 2, F.size(syms) - 1),
+                            lambda a, b: F.struct(
+                                a.alias("w1"), b.alias("w2")
+                            ),
+                        ),
+                    ).otherwise(
+                        F.array().cast(
+                            "array<struct<w1:string,w2:string>>"
+                        )
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.w1", "p.w2")
+            .agg(F.sum("freq").alias("n"))
+        )
+        best = pairs.orderBy(
+            F.col("n").desc(), F.col("w1"), F.col("w2")
+        ).take(1)
+        if not best:
+            break  # vocabulary fully merged before k steps
+        w1, w2, n = best[0]["w1"], best[0]["w2"], int(best[0]["n"])
+        merges.append((step, w1, w2, n))
+        vocab = vocab.select(
+            F.replace(
+                F.col("seq"),
+                F.lit(f"|{w1}||{w2}|"),
+                F.lit(f"|{w1}{w2}|"),
+            ).alias("seq"),
+            "freq",
+        ).localCheckpoint(eager=False)
+    return merges
+
+
+def bpe_merges_df(
+    spark: SparkSession,
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 32,
+) -> DataFrame:
+    """:func:`bpe_train` exported as a DataFrame (the driver-contract
+    form): one row per learned merge, ordered by ``step``."""
+    return spark.createDataFrame(
+        bpe_train(docs, text_col, k), MERGE_SCHEMA
+    )
+
+
+def _fold_merges(seq: Column, merges: list[tuple[int, str, str, int]]) -> Column:
+    """Apply a learned merge list IN ORDER as one nested literal-replace
+    expression — a single whole-stage-codegen map, no UDF, no loop at
+    execution time."""
+    for _, w1, w2, _ in merges:
+        seq = F.replace(seq, F.lit(f"|{w1}||{w2}|"), F.lit(f"|{w1}{w2}|"))
+    return seq
+
+
+def bpe_encoded_token_freqs(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode the corpus under a learned merge list and return the
+    resulting token-frequency table ``(token, n)`` — the distributional
+    summary data teams inspect after tokenizer training (and the form
+    with an exact SQL oracle). Runs on the word-frequency table, so the
+    corpus is touched once and the K merges apply as ONE narrow map
+    over vocabulary-sized data."""
+    wf = _word_freqs(docs, text_col)
+    enc = wf.select(
+        _fold_merges(_initial_seq(F.col("w")), merges).alias("seq"), "freq"
+    )
+    return (
+        enc.select(F.explode(_seq_symbols(F.col("seq"))).alias("token"), "freq")
+        .groupBy("token")
+        .agg(F.sum("freq").alias("n"))
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Per-row corpus encoding: adds ``out_col`` = the document's BPE
+    token sequence (``array<string>``, word-internal merges only, word
+    boundaries preserved — the subword-nmt contract). One narrow map:
+    whitespace-tokenize, run every word through the folded merge
+    replaces, re-split, flatten. No UDF, no shuffle — encode is
+    embarrassingly parallel at any corpus size."""
+    words = T.tokens(F.col(text_col))
+    encoded_word = lambda w: _seq_symbols(_fold_merges(_initial_seq(w), merges))  # noqa: E731
+    return df.withColumn(
+        out_col,
+        F.flatten(
+            F.transform(
+                F.filter(words, lambda w: ~w.contains("|")),
+                encoded_word,
+            )
+        ),
+    )

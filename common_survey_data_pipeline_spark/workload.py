@@ -8744,6 +8744,118 @@ def q_bpe_pair_counts(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round 8: FULL BPE tokenizer training loop + corpus encode
+# ---------------------------------------------------------------------------
+
+_BPE_K = 32
+
+
+def _bpe_oracle_ctes(k: int) -> str:
+    """Generate the DuckDB replay of :mod:`operators/bpe` training: one
+    MATERIALIZED CTE triple per iteration (pair counts → argmax merge →
+    greedy application). MATERIALIZED is load-bearing — DuckDB inlines
+    plain CTEs, and each ``vocab_i`` references ``best_i`` four times,
+    so inlining re-evaluates the whole upstream chain ~4× per level
+    (exponential; K=6 already ran minutes, materialized K=32 runs in
+    <1s). The ``"|a||b|" → "|ab|"`` literal replace is exactly the
+    Spark side's merge application: every symbol owns both delimiters,
+    so standard left-to-right non-overlapping ``replace`` IS BPE's
+    greedy leftmost merge on both engines."""
+    parts = [
+        f"""
+    vocab_0 AS MATERIALIZED (
+      SELECT '|' || list_aggregate(list_transform(generate_series(1, length(w)),
+              i -> substring(w, i, 1)), 'string_agg', '||') || '|' AS seq,
+             count(*) AS freq
+      FROM (SELECT unnest({_SQL_TOKS}) AS w FROM documents)
+      WHERE w NOT LIKE '%|%'
+      GROUP BY w)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""
+    pairs_{i} AS MATERIALIZED (
+      SELECT l[j] AS w1, l[j+1] AS w2, sum(freq)::BIGINT AS n
+      FROM (SELECT string_split(seq[2:length(seq)-1], '||') AS l, freq
+            FROM vocab_{i - 1}),
+           unnest(generate_series(1, len(l) - 1)) AS u(j)
+      GROUP BY l[j], l[j+1]),
+    best_{i} AS MATERIALIZED (
+      SELECT {i} AS step, w1, w2, n FROM pairs_{i}
+      ORDER BY n DESC, w1, w2 LIMIT 1),
+    vocab_{i} AS MATERIALIZED (
+      SELECT replace(seq,
+                     '|' || (SELECT w1 FROM best_{i}) || '||'
+                         || (SELECT w2 FROM best_{i}) || '|',
+                     '|' || (SELECT w1 FROM best_{i})
+                         || (SELECT w2 FROM best_{i}) || '|') AS seq,
+             freq
+      FROM vocab_{i - 1})"""
+        )
+    return "WITH" + ",".join(parts)
+
+
+@register(
+    "bpe_train_merges",
+    _bpe_oracle_ctes(_BPE_K)
+    + "\n    "
+    + " UNION ALL ".join(
+        f"SELECT step, w1, w2, n FROM best_{i}" for i in range(1, _BPE_K + 1)
+    ),
+)
+def q_bpe_train_merges(spark, sf_dir):
+    """The FULL BPE tokenizer training loop (``operators/bpe.py``), not
+    just one merge step (`bpe_pair_counts`): K=32 iterations of count
+    adjacent pairs → argmax (ties lexicographic) → greedy merge
+    everywhere, on the word-frequency table. Output is the ordered
+    merge list — the trained tokenizer model — which the chained-CTE
+    oracle replays merge-for-merge, so a single divergent tie-break or
+    a wrong greedy application anywhere in 32 rounds breaks the hash.
+
+    Scale shape: ONE corpus pass builds the vocab table; each iteration
+    is a narrow pair-extraction map + a pair-keyed hash aggregation
+    (map-side combinable) + a 1-row TakeOrdered to the driver, with
+    ``localCheckpoint`` lineage cuts per iteration (the pagerank
+    pattern) — plan depth stays O(1) across K."""
+    from common_survey_data_pipeline_spark.operators.bpe import bpe_merges_df
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_merges_df(spark, docs, k=_BPE_K)
+
+
+@register(
+    "bpe_encode_tokens",
+    _bpe_oracle_ctes(_BPE_K)
+    + f"""
+    SELECT t AS token, sum(freq)::BIGINT AS n
+    FROM (SELECT string_split(seq[2:length(seq)-1], '||') AS l, freq
+          FROM vocab_{_BPE_K}),
+         unnest(l) AS u(t)
+    GROUP BY t
+    """,
+)
+def q_bpe_encode_tokens(spark, sf_dir):
+    """Corpus ENCODING under the learned BPE merges — the second half
+    of the tokenizer lifecycle: train K=32 merges, then encode the
+    whole corpus and return its token-frequency table (the
+    distributional summary data teams inspect before committing a
+    vocabulary). Encoding applies all 32 merges as ONE nested
+    literal-replace expression inside whole-stage codegen over the
+    word-frequency table — a single narrow map, no UDF, no loop, no
+    extra corpus scan at encode time (``operators/bpe.py::
+    bpe_encoded_token_freqs``; the per-document form is
+    ``bpe_encode``)."""
+    from common_survey_data_pipeline_spark.operators.bpe import (
+        bpe_encoded_token_freqs,
+        bpe_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, k=_BPE_K)
+    return bpe_encoded_token_freqs(docs, merges)
+
+
+# ---------------------------------------------------------------------------
 # Round 6: linear quality-classifier inference (fastText-style) as a join
 # ---------------------------------------------------------------------------
 

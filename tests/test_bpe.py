@@ -1,0 +1,186 @@
+"""BPE tokenizer training + encode (``operators/bpe.py``).
+
+The property anchor is an INDEPENDENT pure-Python reference
+implementation (tuple sequences + explicit greedy leftmost merge loop —
+no string-replace trick), so the Spark side's ``"|a||b|" → "|ab|"``
+delimited-string representation is verified against first-principles
+BPE semantics, not against itself. Plan shape: encode must be a
+shuffle-free narrow map (the whole point of folding merges into one
+expression).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from common_survey_data_pipeline_spark.operators.bpe import (
+    bpe_encode,
+    bpe_encoded_token_freqs,
+    bpe_merges_df,
+    bpe_train,
+)
+from common_survey_data_pipeline_spark.plans import plan_of
+
+
+def ref_bpe(word_freqs: dict[str, int], k: int):
+    """First-principles BPE trainer: overlapping pair counts
+    (zip(sym, sym[1:])), argmax with (count desc, w1, w2) tie-break,
+    greedy leftmost non-overlapping application."""
+    vocab = {tuple(w): n for w, n in word_freqs.items()}
+    merges = []
+    for step in range(1, k + 1):
+        pc: dict[tuple[str, str], int] = {}
+        for sym, n in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + n
+        if not pc:
+            break
+        (a, b), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, a, b, cnt))
+        new: dict[tuple[str, ...], int] = {}
+        for sym, n in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            new[key] = new.get(key, 0) + n
+        vocab = new
+    return merges, vocab
+
+
+def ref_encode_word(word: str, merges) -> list[str]:
+    sym = list(word)
+    for _, a, b, _ in merges:
+        out: list[str] = []
+        i = 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def _word_freqs(texts) -> dict[str, int]:
+    wf: dict[str, int] = {}
+    for t in texts:
+        for w in t.split():
+            wf[w] = wf.get(w, 0) + 1
+    return wf
+
+
+# Pathological corpus: overlapping runs (greedy "aaa" → [aa, a]),
+# adjacent repeats of the merged pair ("abab"), single chars, words
+# that become fully merged, and count ties forcing the lexicographic
+# tie-break.
+ADVERSARIAL = [
+    "aaaa aaa aa a abab ab",
+    "abab abab baba bb aa aaaa",
+    "ba ab aab bba abba baab",
+    "a b aa bb aaa bbb",
+]
+
+
+def test_train_matches_reference_on_adversarial_corpus(spark):
+    merges = bpe_train(_docs(spark, ADVERSARIAL), k=8)
+    expected, _ = ref_bpe(_word_freqs(ADVERSARIAL), 8)
+    assert merges == expected
+
+
+def test_train_matches_reference_on_random_corpus(spark):
+    rng = random.Random(42)
+    texts = [
+        " ".join(
+            "".join(rng.choice("abc") for _ in range(rng.randint(1, 7)))
+            for _ in range(rng.randint(3, 12))
+        )
+        for _ in range(25)
+    ]
+    merges = bpe_train(_docs(spark, texts), k=10)
+    expected, _ = ref_bpe(_word_freqs(texts), 10)
+    assert merges == expected
+
+
+def test_train_stops_early_when_fully_merged(spark):
+    # single 2-char word: exactly one merge possible, then no pairs
+    merges = bpe_train(_docs(spark, ["ab ab ab"]), k=50)
+    assert merges == [(1, "a", "b", 3)]
+
+
+def test_encoded_token_freqs_match_reference(spark):
+    docs = _docs(spark, ADVERSARIAL)
+    merges = bpe_train(docs, k=8)
+    got = {
+        r["token"]: r["n"]
+        for r in bpe_encoded_token_freqs(docs, merges).collect()
+    }
+    expected: dict[str, int] = {}
+    for w, n in _word_freqs(ADVERSARIAL).items():
+        for t in ref_encode_word(w, merges):
+            expected[t] = expected.get(t, 0) + n
+    assert got == expected
+
+
+def test_encode_per_doc_preserves_word_boundaries(spark):
+    docs = _docs(spark, ADVERSARIAL)
+    merges = bpe_train(docs, k=8)
+    rows = bpe_encode(docs, merges).orderBy("doc_id").collect()
+    for row, text in zip(rows, ADVERSARIAL):
+        expected = [
+            t for w in text.split() for t in ref_encode_word(w, merges)
+        ]
+        assert row["bpe_tokens"] == expected
+        # concatenation invariant: encoding never alters characters
+        assert "".join(row["bpe_tokens"]) == text.replace(" ", "")
+
+
+def test_encode_is_shuffle_free_narrow_map(spark):
+    docs = _docs(spark, ADVERSARIAL)
+    merges = bpe_train(docs, k=4)
+    plan = plan_of(bpe_encode(docs, merges))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_merges_df_schema_and_order(spark):
+    df = bpe_merges_df(spark, _docs(spark, ADVERSARIAL), k=5)
+    assert [f.name for f in df.schema.fields] == ["step", "w1", "w2", "n"]
+    rows = df.orderBy("step").collect()
+    assert [r["step"] for r in rows] == [1, 2, 3, 4, 5]
+
+
+def test_delimiter_words_are_dropped_not_corrupting(spark):
+    # a token containing the delimiter cannot be represented; the
+    # contract drops it from training and encoding rather than
+    # corrupting the pair table
+    texts = ["ab a|b ab", "ab ab"]
+    merges = bpe_train(_docs(spark, texts), k=2)
+    expected, _ = ref_bpe({"ab": 4}, 2)
+    assert merges == expected
+    enc = bpe_encode(_docs(spark, ["ab a|b"]), merges).first()["bpe_tokens"]
+    assert enc == ["ab"]
+
+
+def test_train_rejects_bad_k(spark):
+    with pytest.raises(ValueError, match="k must be"):
+        bpe_train(_docs(spark, ["ab"]), k=0)

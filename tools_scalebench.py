@@ -39,6 +39,7 @@ from common_survey_data_pipeline_spark.operators.dedup import (
     simhash_dedup_pairs,
     substring_dup_spans,
 )
+from common_survey_data_pipeline_spark.operators.bpe import bpe_train
 from common_survey_data_pipeline_spark.operators.graph import pagerank
 from common_survey_data_pipeline_spark.operators.fuzzy_join import (
     strdist_neardup_pairs,
@@ -410,6 +411,12 @@ def main() -> None:
         "substring_dup_spans": lambda d, e: substring_dup_spans(
             d(), "text", "doc_id", k=6
         ).count(),
+        # fixed 8 merges isolates the PER-ITERATION scaling of the BPE
+        # training loop: the amplified copies' injective token remap
+        # grows the word-vocab table ~linearly in k, so per-iteration
+        # pair counting should too (the one corpus pass amortizes over
+        # the 8 rounds)
+        "bpe_train_8iter": lambda d, e: len(bpe_train(d(), k=8)),
         "similarity_topk": lambda d, e: cosine_topk(
             e(),
             e().limit(8).select(
