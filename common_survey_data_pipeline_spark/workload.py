@@ -1234,9 +1234,7 @@ def q_curate(spark, sf_dir):
     return curate_corpus(docs, min_quality=0.3, lang="en", neardup_threshold=0.5)
 
 
-@register(
-    "dedup_simhash",
-    f"""
+_SIMHASH_ALLPAIRS_ORACLE = f"""
     WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS t FROM documents),
     th AS (SELECT doc_id, ('0x' || substring(md5(t), 1, 15))::BIGINT AS h FROM toks),
     bits AS (SELECT doc_id, r.i AS i,
@@ -1250,8 +1248,10 @@ def q_curate(spark, sf_dir):
            bit_count(xor(a.sim, b.sim))::INTEGER AS hamming
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.sim, b.sim)) <= 3
-    """,
-)
+    """
+
+
+@register("dedup_simhash", _SIMHASH_ALLPAIRS_ORACLE)
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs, Hamming ≤ 3 via 4-chunk banding
     (complete by pigeonhole). The 60-bit md5-derived token hash is
@@ -1259,6 +1259,27 @@ def q_dedup_simhash(spark, sf_dir):
     SQL oracle bit-for-bit."""
     docs = _t(spark, sf_dir, "documents")
     return simhash_dedup_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+@register("dedup_simhash_capped", _SIMHASH_ALLPAIRS_ORACLE)
+def q_dedup_simhash_capped(spark, sf_dir):
+    """The HUB-BUCKET-CAPPED banding path (VERDICT r7 item 2) under the
+    SAME all-pairs oracle as ``dedup_simhash`` — the cap is recall-
+    EXACT at max_hamming ≤ n_chunks-1: buckets above ``bucket_cap``
+    rows sub-split on (other chunk, value) with a 1-bit-flip multiprobe
+    (pigeonhole: a within-bucket pair's ≤3 differing bits spread over 3
+    other chunks, so some chunk differs in ≤1 bit), bounding the
+    within-bucket join fanout that goes quadratic on template-heavy /
+    hub-signature corpora at ≥10⁸ signatures. bucket_cap=2 here forces
+    essentially EVERY bucket through the sub-split, so a hash mismatch
+    vs the exact oracle means the multiprobe lost or invented a pair.
+    Hub-probe crossover (tools_scalebench.py --hamming-hub): uncapped
+    15.1s at 80k hub signatures and quadratic beyond; capped 6.2s at
+    80k, 20.3s at 320k."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_dedup_pairs(
+        docs, "text", "doc_id", max_hamming=3, bucket_cap=2
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -190,6 +190,73 @@ def timed(fn) -> float:
     return time.time() - t0
 
 
+def hamming_hub_probe(
+    ns=(20_000, 80_000, 320_000), cap: int = 1024, uncapped_max: int = 100_000
+) -> None:
+    """Hub-bucket stress for ``hamming_band_pairs`` (VERDICT r7 item 2):
+    EVERY signature shares chunk 0 (the all-same-background-image /
+    template-text shape), so the uncapped within-bucket self-join is
+    quadratic in N while the capped secondary sub-split should stay
+    ~linear. 10% of rows are planted near-dups (<= 3 flips in the upper
+    bits) so both variants chase identical true pairs; counts are
+    asserted equal — the cap is recall-exact at max_hamming 3.
+    """
+    from common_survey_data_pipeline_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+
+    spark = get_spark(
+        app_name="csdp-hub-probe",
+        shuffle_partitions=64,
+        extra_conf={"spark.driver.memory": "24g", "spark.ui.enabled": "false"},
+    )
+    print(f"| N (all in ONE 16-bit bucket) | uncapped (s) | cap={cap} (s) | pairs |")
+    print("|---|---|---|---|")
+    for n in ns:
+        base = spark.range(n).select(
+            F.col("id"),
+            # upper 47 bits from a hash, low 16 pinned to the hub value
+            F.shiftleft(
+                F.abs(F.xxhash64("id")) % F.lit(1 << 47), 16
+            ).bitwiseOR(F.lit(0xBEEF)).alias("sig"),
+        )
+        planted = base.where(F.col("id") < n // 10).select(
+            (F.col("id") + n).alias("id"),
+            # flip 1-3 upper bits, deterministic per id
+            F.col("sig")
+            .bitwiseXOR(F.expr(
+                "shiftleft(CAST(1 AS BIGINT),"
+                " 16 + CAST(pmod(xxhash64(id, 1), 47) AS INT))"
+            ))
+            .bitwiseXOR(F.expr(
+                "shiftleft(CAST(1 AS BIGINT),"
+                " 16 + CAST(pmod(xxhash64(id, 2), 47) AS INT))"
+            ))
+            .alias("sig"),
+        )
+        sigs = base.unionByName(planted).localCheckpoint()
+        t_cap = timed(
+            lambda: hamming_band_pairs(
+                sigs, "id", "sig", 64, 3, bucket_cap=cap
+            ).count()
+        )
+        n_cap = hamming_band_pairs(
+            sigs, "id", "sig", 64, 3, bucket_cap=cap
+        ).count()
+        if n <= uncapped_max:
+            t_un = timed(
+                lambda: hamming_band_pairs(sigs, "id", "sig", 64, 3).count()
+            )
+            n_un = hamming_band_pairs(sigs, "id", "sig", 64, 3).count()
+            assert n_cap == n_un, f"recall drift at N={n}: {n_cap} != {n_un}"
+            shown = f"{t_un:.1f}"
+        else:
+            # N²/2 candidate rows — the quadratic this cap exists to
+            # avoid; skipped rather than burning minutes proving it
+            shown = "skipped (quadratic)"
+        print(f"| {n:,} | {shown} | {t_cap:.1f} | {n_cap:,} |")
+
+
 def skew_probe() -> None:
     """Hot-key join stress: 16M-row fact where ONE key holds 50% of the
     rows, joined to a 100k-row dim, feeding a per-row transform (sha2)
@@ -379,6 +446,12 @@ def main() -> None:
         "amplification sweep",
     )
     ap.add_argument(
+        "--hamming-hub",
+        action="store_true",
+        help="run the hamming_band_pairs hub-bucket stress probe "
+        "(capped vs uncapped on an all-one-bucket signature corpus)",
+    )
+    ap.add_argument(
         "--partitions",
         type=int,
         default=64,
@@ -390,6 +463,9 @@ def main() -> None:
     cli = ap.parse_args()
     if cli.skew:
         skew_probe()
+        return
+    if cli.hamming_hub:
+        hamming_hub_probe()
         return
     only = set(cli.only.split(",")) if cli.only else None
     ks = tuple(int(x) for x in cli.ks.split(","))
