@@ -1317,3 +1317,123 @@ def append_ivf_index(
         F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("embedding")
     ).mapInPandas(assign, schema)
     assigned.write.mode("append").partitionBy("cell").saveAsTable(table)
+
+
+def ivf_cell_sizes(spark, table: str) -> DataFrame:
+    """Per-cell row counts of a persisted IVF index — the health metric
+    the rebalance decision reads (a partition-column groupBy: computable
+    from parquet footers/metadata, never a corpus scan of vector data)."""
+    return (
+        spark.table(table)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+def ivf_cell_skew(spark, table: str) -> tuple[int, float]:
+    """(max, median) cell occupancy — max/median is the pruning-health
+    ratio: under frozen centroids a drifted append sequence piles new
+    vectors into few cells, so probed-cell scans grow toward O(corpus)
+    while recall per probed byte collapses."""
+    row = (
+        ivf_cell_sizes(spark, table)
+        .agg(
+            F.max("n_vectors").alias("mx"),
+            F.expr("percentile(n_vectors, 0.5)").alias("md"),
+        )
+        .collect()[0]
+    )
+    return int(row["mx"]), float(row["md"])
+
+
+def rebalance_ivf_index(
+    spark,
+    table: str,
+    nlist: int | None = None,
+    seed: int = 43,
+    train_cap: int = 16384,
+) -> None:
+    """Retrain a persisted IVF index's coarse quantizer on the CURRENT
+    corpus and rewrite the cell layout — the missing third verb of the
+    index lifecycle (``write`` trains once, ``append`` assigns to
+    frozen centroids, ``rebalance`` heals the drift appends accumulate;
+    VERDICT r7 item 3). The query path (:func:`ivf_topk_from_index`)
+    is untouched: it reads whatever centroids table and partition
+    layout exist.
+
+    Training follows the FAISS production shape shared with
+    ``ivfpq_topk``: Lloyd k-means over a bounded id-ordered sample of
+    unit-normalized vectors (``train_cap`` rows regardless of corpus
+    size, deterministic across runs and partitionings) — NOT a full
+    Spark ML fit, because a rebalance is routine maintenance and must
+    not cost a multi-pass corpus job. Assignment is the same broadcast
+    argmin Arrow kernel appends use; the rewrite is ONE corpus pass
+    repartitioned by the new cell id. ``nlist`` defaults to the value
+    stored in the index's table properties at build time.
+    """
+    import pandas as pd
+
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    }
+    if nlist is None:
+        if "ivf.nlist" not in props:
+            raise ValueError(
+                f"IVF index {table!r} has no stored ivf.nlist property — "
+                "not built by write_ivf_index? Pass nlist explicitly."
+            )
+        nlist = int(props["ivf.nlist"])
+    # materialize BEFORE the overwrite: the rewrite reads the same
+    # table it replaces, and only a lineage cut makes that safe
+    cur = (
+        spark.table(table)
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    if cur.first() is None:
+        return  # empty index: nothing to rebalance, layout already trivial
+    tr = (
+        cur.select("embedding")
+        .orderBy("vec_id")
+        .limit(train_cap)
+        .toPandas()
+    )
+    train = np.stack(tr["embedding"].to_numpy()).astype("float64")
+    norms = np.linalg.norm(train, axis=1, keepdims=True)
+    train = train[norms[:, 0] > 0] / norms[norms[:, 0] > 0]
+    cents = _pq_train_codebooks(train, 1, min(nlist, len(train)), seed)[0]
+    cell_ids = np.arange(len(cents))
+    bc = spark.sparkContext.broadcast((cell_ids, cents))
+    cid_t = cur.schema["vec_id"].dataType.simpleString()
+    vec_t = cur.schema["embedding"].dataType.simpleString()
+    schema = f"vec_id {cid_t}, embedding {vec_t}, cell int"
+
+    def assign(it):
+        cells, ctr = bc.value
+        for pdf in it:
+            vm = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+            d2 = (
+                (vm**2).sum(1, keepdims=True)
+                - 2.0 * vm @ ctr.T
+                + (ctr**2).sum(1)[None, :]
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "cell": cells[d2.argmin(1)].astype("int32"),
+                }
+            )
+
+    assigned = cur.mapInPandas(assign, schema)
+    assigned.write.mode("overwrite").partitionBy("cell").saveAsTable(table)
+    spark.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES "
+        f"('ivf.nlist'='{nlist}', 'ivf.seed'='{seed}')"
+    )
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in zip(cell_ids, cents)],
+        "cell int, centroid array<double>",
+    ).write.mode("overwrite").saveAsTable(f"{table}__centroids")

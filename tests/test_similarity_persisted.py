@@ -144,3 +144,73 @@ def test_append_assigns_to_nearest_stored_centroid(spark, sf_dir):
             assert after[r["vec_id"]] == want, r["vec_id"]
     finally:
         _drop(spark, t, f"{t}__centroids")
+
+
+def test_rebalance_heals_drift_skew_and_recall(spark, sf_dir):
+    """The rebalance verb (VERDICT r7 item 3): a drifted append
+    sequence under frozen centroids piles into few cells (max/median
+    skew blows up); rebalance retrains on the current corpus, the
+    layout rewrite collapses the skew, and the untouched query path
+    still matches the recall of a fresh full-probe scan."""
+    from common_survey_data_pipeline_spark.operators.similarity import (
+        append_ivf_index,
+        ivf_cell_skew,
+        rebalance_ivf_index,
+    )
+
+    t = "ivf_rebalance_test"
+    _drop(spark, t, f"{t}__centroids")
+    try:
+        emb = load_table(spark, sf_dir, "embeddings")
+        first = emb.where(F.col("vec_id") % 2 == 0)
+        # positive-orthant drift: high internal variance (so a retrain
+        # CAN split it across cells) but concentrated relative to the
+        # frozen iso-trained centroids (so the append skews hard) — a
+        # tight point-clump would stay in one cell under ANY clustering
+        drifted = emb.where(F.col("vec_id") % 2 == 1).withColumn(
+            "embedding", F.transform("embedding", lambda x: F.abs(x))
+        )
+        write_ivf_index(spark, first, t, nlist=NLIST)
+        append_ivf_index(spark, drifted, t)
+        mx_before, md_before = ivf_cell_skew(spark, t)
+        n_before = spark.table(t).count()
+        rebalance_ivf_index(spark, t)
+        mx_after, md_after = ivf_cell_skew(spark, t)
+        # no vector lost or duplicated by the rewrite
+        assert spark.table(t).count() == n_before
+        assert spark.table(t).select("vec_id").distinct().count() == n_before
+        # the drifted half all lands in ~one frozen cell before; after
+        # retraining the occupancy flattens
+        skew_before = mx_before / max(md_before, 1.0)
+        skew_after = mx_after / max(md_after, 1.0)
+        assert skew_before > 2.5, (mx_before, md_before)
+        # healed both relatively (>= 40% drop) and absolutely (< 2.0,
+        # i.e. max cell within 2x of median — pruning health restored)
+        assert skew_after < 2.0 and skew_after < skew_before * 0.6, (
+            (mx_before, md_before),
+            (mx_after, md_after),
+        )
+        # recall contract survives the rewrite: full probe == exact
+        corpus = first.unionByName(drifted)
+        queries = corpus.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        got = sorted(
+            map(
+                tuple,
+                ivf_topk_from_index(
+                    spark, t, queries, k=10, nprobe=NLIST
+                ).collect(),
+            )
+        )
+        want = sorted(map(tuple, cosine_topk(corpus, queries, k=10).collect()))
+        assert got == want
+        # properties refreshed for future appends
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {t}").collect()
+        }
+        assert props["ivf.nlist"] == str(NLIST)
+    finally:
+        _drop(spark, t, f"{t}__centroids")
