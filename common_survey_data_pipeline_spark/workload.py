@@ -9248,6 +9248,85 @@ def q_profile_events_columns(spark, sf_dir):
     )
 
 
+_PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+@register(
+    "profile_appended",
+    "WITH stats AS ("
+    + " UNION ALL ".join(
+        f"""
+      SELECT '{c}' AS column_name, count(*) AS n_rows,
+             sum(({c} IS NULL)::BIGINT) AS n_nulls,
+             min({c})::VARCHAR AS min_val, max({c})::VARCHAR AS max_val,
+             count(DISTINCT {c}) AS n_distinct
+      FROM events"""
+        for c in _PROFILE_COLS
+    )
+    + """
+    )
+    SELECT column_name, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_nulls AS BIGINT) AS n_nulls, min_val, max_val,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           TRUE AS approx_distinct_ok
+    FROM stats
+    """,
+)
+def q_profile_appended(spark, sf_dir):
+    """MERGEABLE incremental profiling (VERDICT r7 item 5): the events
+    stream arrives as three ingest batches; each contributes one wide
+    ALGEBRAIC state row (counts, typed extremes, Datasketches HLL
+    sketch per column — ``operators/profile.py::profile_state``), the
+    states fold with sum/min/max/``hll_union_agg``
+    (``merge_profile_states`` — associative, order-free), and the
+    merged state renders the profile WITHOUT ever recomputing the
+    concatenated corpus. Exact fields (rows, nulls, extremes) must
+    equal the oracle's full recompute EXACTLY; the sketch field
+    certifies itself against the exact distinct count within 5%
+    relative error (the repo's sketch-contract pattern — a merge bug
+    that loses or double-counts a batch breaks the exact fields, a
+    sketch-union bug breaks the certificate). At 100 TB the state row
+    is what persists next to the band table: each appended batch costs
+    one O(batch) pass."""
+    from common_survey_data_pipeline_spark.operators.profile import (
+        merge_profile_states,
+        profile_from_state,
+        profile_state,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    states = [
+        profile_state(ev.where(F.col("event_id") % 3 == i), _PROFILE_COLS)
+        for i in range(3)
+    ]
+    prof = profile_from_state(merge_profile_states(states), _PROFILE_COLS)
+    exact_wide = ev.agg(
+        *[F.count_distinct(F.col(c)).alias(f"__nd_{c}") for c in _PROFILE_COLS]
+    )
+    exact = exact_wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, "
+        + ", ".join(f"'{c}', __nd_{c}" for c in _PROFILE_COLS)
+        + ") AS (column_name, n_distinct)"
+    ).select("column_name", F.col("n_distinct").cast("long").alias("n_distinct"))
+    return prof.join(exact, "column_name").select(
+        "column_name",
+        "n_rows",
+        "n_nulls",
+        "min_val",
+        "max_val",
+        "n_distinct",
+        F.when(F.col("n_distinct") == 0, F.lit(True))
+        .otherwise(
+            (
+                F.abs(F.col("distinct_est") - F.col("n_distinct"))
+                / F.col("n_distinct")
+            )
+            <= 0.05
+        )
+        .alias("approx_distinct_ok"),
+    )
+
+
 _E2E_CAT6 = " || ' ' || ".join(f"toks[pos+{j}]" for j in range(6))
 
 @register(
