@@ -553,3 +553,127 @@ def jaro_winkler(a: Column, b: Column) -> Column:
     tested against it in ``tests/test_fuzzy_join.py``.
     """
     return _jw_kernel(a, b)
+
+
+def qgram_edit_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dist: int,
+    q: int = 4,
+    cache_grams: bool = True,
+) -> DataFrame:
+    """EXACT long-string edit-distance self-join via q-gram PREFIX
+    filtering (Ed-Join, Xiao et al. VLDB'08 — the similarity-join
+    literature's answer for paragraph-length near-verbatim matching,
+    where ``strdist_neardup_pairs``' deletion neighborhoods explode:
+    a deletion neighborhood is O(len^d) variants, fine for short keys,
+    hopeless for 150-char paragraphs).
+
+    Count argument: one edit alters at most ``q`` of a string's
+    q-gram windows, so strings within edit distance ``max_dist`` have
+    at most ``q·max_dist`` distinct grams of one side missing from the
+    other (each lost distinct gram needs >= 1 destroyed occurrence and
+    each destroyed occurrence belongs to one distinct gram). Under a
+    GLOBAL gram order, each record's prefix = its first
+    ``q·max_dist + 1`` grams; any pair within ``max_dist`` must then
+    share a prefix gram — the candidate join is an equi-join on prefix
+    grams (rare-first ordering bounds per-key fanout; grams join as
+    xxhash64 longs, collisions only ADD candidates) with the classic
+    length filter (||s|-|t|| <= d) applied in-join, and the bounded
+    ``levenshtein(_, _, max_dist)`` verify (O(d·len) banded, -1 above
+    threshold) restores exact precision. No quadratic stage.
+
+    LONG-TEXT CONTRACT: records with fewer than ``q·max_dist + 1``
+    grams (length < q·(max_dist+1)) are excluded — below that, two
+    strings can be within ``max_dist`` while sharing zero grams, so no
+    gram-based filter is complete; that regime belongs to
+    ``strdist_neardup_pairs``. Callers join the two operators' outputs
+    when a corpus mixes lengths.
+
+    Output: ``(id_a, id_b, edit_dist INT)`` with ``id_a < id_b`` —
+    identical to the all-pairs form (property-tested blocked ≡ naive).
+
+    Caching contract: the gram table feeds the prefix side and both
+    verify sides; ``cache_grams`` shares one materialization
+    (LRU-evictable; long-lived sessions ``clearCache()`` after
+    consuming, as bench.py does).
+    """
+    if max_dist < 0:
+        raise ValueError(f"qgram_edit_pairs: max_dist must be >= 0, got {max_dist}")
+    if q < 1:
+        raise ValueError(f"qgram_edit_pairs: q must be >= 1, got {q}")
+    min_len = q * (max_dist + 1)
+    s = df.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__s")
+    ).where(F.col("__s").isNotNull() & (F.length("__s") >= min_len))
+    grams = s.select(
+        "__id",
+        F.length("__s").alias("__len"),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length("__s") - (q - 1)),
+                lambda i: F.xxhash64(F.col("__s").substr(i, F.lit(q))),
+            )
+        ).alias("__g"),
+    )
+    tok = grams.select(
+        "__id", "__len", F.explode("__g").alias("__t")
+    ).withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("__t"))
+    )
+    ordered = (
+        tok.groupBy("__id", "__len")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("__df", "__t"))).alias(
+                "__ord"
+            )
+        )
+        .select(
+            "__id",
+            "__len",
+            F.transform("__ord", lambda x: x["__t"]).alias("__toks"),
+        )
+    )
+    if cache_grams:
+        ordered = ordered.cache()
+    prefix_len = q * max_dist + 1
+    prefixes = ordered.select(
+        "__id",
+        "__len",
+        F.explode(F.slice("__toks", 1, prefix_len)).alias("__p"),
+    )
+    a, b = prefixes.alias("a"), prefixes.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__p") == F.col("b.__p"))
+            & (F.col("a.__id") < F.col("b.__id"))
+            # length filter: d inserts/deletes bound the length gap
+            & (
+                F.abs(F.col("a.__len") - F.col("b.__len"))
+                <= F.lit(max_dist)
+            ),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+        )
+        .distinct()
+    )
+    texts = s
+    verified = (
+        cand.join(
+            texts.select(F.col("__id").alias("id_a"), F.col("__s").alias("__sa")),
+            "id_a",
+        )
+        .join(
+            texts.select(F.col("__id").alias("id_b"), F.col("__s").alias("__sb")),
+            "id_b",
+        )
+        .withColumn(
+            "edit_dist", F.levenshtein("__sa", "__sb", max_dist)
+        )
+        .where(F.col("edit_dist") >= 0)  # -1 = beyond the threshold band
+        .select("id_a", "id_b", F.col("edit_dist").cast("int").alias("edit_dist"))
+    )
+    return verified

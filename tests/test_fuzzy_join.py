@@ -206,3 +206,114 @@ def test_jaro_winkler_matches_duckdb(spark):
         for a, b in set(pairs)
     }
     assert {(a, b, j) for a, b, j in got} == want
+
+
+class TestQgramEditJoin:
+    """qgram_edit_pairs (Ed-Join prefix filter): blocked ≡ naive on
+    generated long strings, contract edges, and exactness of the
+    banded verify."""
+
+    @staticmethod
+    def _naive(spark, df, max_dist, q):
+        from pyspark.sql import functions as F
+
+        min_len = q * (max_dist + 1)
+        s = df.select(
+            F.col("id").alias("__id"), F.col("s").alias("__s")
+        ).where(F.length("__s") >= min_len)
+        a = s.select(F.col("__id").alias("id_a"), F.col("__s").alias("sa"))
+        b = s.select(F.col("__id").alias("id_b"), F.col("__s").alias("sb"))
+        return {
+            (r["id_a"], r["id_b"], r["ed"])
+            for r in a.crossJoin(b)
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn("ed", F.levenshtein("sa", "sb"))
+            .where(F.col("ed") <= max_dist)
+            .select("id_a", "id_b", F.col("ed").cast("int").alias("ed"))
+            .collect()
+        }
+
+    @staticmethod
+    def _corpus(n_base=25, n_variants=3):
+        import random
+
+        rng = random.Random(99)
+        rows = []
+        i = 0
+        for _ in range(n_base):
+            base = "".join(
+                rng.choice("abcdef ") for _ in range(rng.randint(140, 200))
+            )
+            rows.append((i, base))
+            i += 1
+            for _ in range(n_variants):
+                sl = list(base)
+                for _ in range(rng.randint(1, 15)):
+                    op = rng.choice("sid")
+                    p = rng.randrange(len(sl))
+                    if op == "s":
+                        sl[p] = rng.choice("abcdef")
+                    elif op == "i":
+                        sl.insert(p, rng.choice("abcdef"))
+                    elif len(sl) > 100:
+                        del sl[p]
+                rows.append((i, "".join(sl)))
+                i += 1
+        return rows
+
+    def test_blocked_equals_naive_on_long_strings(self, spark):
+        from common_survey_data_pipeline_spark.operators.fuzzy_join import (
+            qgram_edit_pairs,
+        )
+
+        df = spark.createDataFrame(self._corpus(), "id long, s string")
+        got = {
+            (r["id_a"], r["id_b"], r["edit_dist"])
+            for r in qgram_edit_pairs(df, "s", "id", max_dist=12).collect()
+        }
+        want = self._naive(spark, df, 12, 4)
+        assert got == want
+        assert len(want) >= 40  # the variants really produce pairs
+        spark.catalog.clearCache()
+
+    def test_short_strings_excluded_by_contract(self, spark):
+        from common_survey_data_pipeline_spark.operators.fuzzy_join import (
+            qgram_edit_pairs,
+        )
+
+        # identical 10-char strings are within any distance, but below
+        # q*(d+1) the gram filter is incomplete — the contract excludes
+        # them rather than silently missing a SUBSET of short pairs
+        df = spark.createDataFrame(
+            [(1, "abcabcabca"), (2, "abcabcabca")], "id long, s string"
+        )
+        assert qgram_edit_pairs(df, "s", "id", max_dist=12).count() == 0
+
+    def test_zero_distance_finds_exact_duplicates(self, spark):
+        from common_survey_data_pipeline_spark.operators.fuzzy_join import (
+            qgram_edit_pairs,
+        )
+
+        long = "x y z " * 30
+        df = spark.createDataFrame(
+            [(1, long), (2, long), (3, long + "tail")], "id long, s string"
+        )
+        rows = {
+            (r["id_a"], r["id_b"], r["edit_dist"])
+            for r in qgram_edit_pairs(df, "s", "id", max_dist=0).collect()
+        }
+        assert rows == {(1, 2, 0)}
+        spark.catalog.clearCache()
+
+    def test_rejects_bad_params(self, spark):
+        import pytest
+
+        from common_survey_data_pipeline_spark.operators.fuzzy_join import (
+            qgram_edit_pairs,
+        )
+
+        df = spark.createDataFrame([(1, "abc")], "id long, s string")
+        with pytest.raises(ValueError, match="max_dist"):
+            qgram_edit_pairs(df, "s", "id", max_dist=-1)
+        with pytest.raises(ValueError, match="q must be"):
+            qgram_edit_pairs(df, "s", "id", max_dist=1, q=0)

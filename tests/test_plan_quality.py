@@ -617,3 +617,14 @@ def test_ivfpq_scan_is_arrow_batched_single_pass(run, spark):
     plan = plan_of(ivfpq_topk(emb, queries, k=10, nlist=16, nprobe=4))
     assert plan.count("MapInPandas") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_j14_qgram_join_has_no_quadratic_stage(run, spark):
+    # the Ed-Join prefix filter must keep candidate generation an
+    # equi-join on prefix grams — no cartesian/nested-loop anywhere,
+    # no Python row UDFs (the banded levenshtein verify is JVM-side)
+    plan = plan_of(run("j14_qgram_longtext_join"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    spark.catalog.clearCache()
