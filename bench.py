@@ -121,6 +121,19 @@ BENCH_QUERIES = (
     "events_join_state_accounting",
     "doc_language_confusion",
     "winnowing_containment",
+    # round 8 additions. The two lifecycle queries whose cost is
+    # dominated by INDEX BUILDS (similarity_ivf_rebalanced: write +
+    # append + rebalance = three table rewrites + two quantizer
+    # trainings; stream_dedup_ingest: band-table build + append + two
+    # corpus parquet writes) stay out of the headline set, matching the
+    # r7 precedent for similarity_ivf_persisted/dedup_band_table_appended
+    # — bench times query PLANS; the build costs are probed in
+    # SCALING.md and the correctness gate still runs them per round.
+    "bpe_train_merges",
+    "bpe_encode_tokens",
+    "dedup_simhash_capped",
+    "profile_appended",
+    "j14_qgram_longtext_join",
 )
 
 # sf1 (10×) leg: the FULL headline set (VERDICT r6 item 6 — the top-10
@@ -238,17 +251,30 @@ def main() -> None:
     # is in BENCH_LOCAL.json.
     here = os.path.dirname(os.path.abspath(__file__))
     prev_times: dict[str, float] = {}
+    prev_sf1: dict[str, float] = {}
     try:
         with open(os.path.join(here, "BENCH_LOCAL.json")) as f:
-            prev_times = json.load(f).get("queries", {})
+            prev_rec = json.load(f)
+        prev_times = prev_rec.get("queries", {})
+        prev_sf1 = prev_rec.get("sf1_full", {}).get("queries", {})
     except (OSError, ValueError):
         pass
-    regressed = {
-        name: {"prev": prev_times[name], "now": t}
-        for name, t in times.items()
-        if prev_times.get(name, 0) >= 0.05 and t > 1.5 * prev_times[name]
-    }
+
+    def _gate(now: dict[str, float], prev: dict[str, float]):
+        return {
+            name: {"prev": prev[name], "now": t}
+            for name, t in now.items()
+            if prev.get(name, 0) >= 0.05 and t > 1.5 * prev[name]
+        }
+
+    regressed = _gate(times, prev_times)
     out["regressions"] = regressed
+    # VERDICT r7 item 6: the gate also covers the sf1 leg — a stage
+    # that only turns super-linear at 10× data regressed nowhere else
+    if "sf1_full" in out:
+        out["sf1_full"]["regressions"] = _gate(
+            out["sf1_full"]["queries"], prev_sf1
+        )
 
     # full breakdown to a file (unbounded size there)
     with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
@@ -269,6 +295,12 @@ def main() -> None:
     if "sf1_full" in out:
         compact["sf1_total"] = out["sf1_full"]["total"]
         compact["sf1_n"] = out["sf1_full"]["n_queries"]
+        compact["sf1_regressions"] = dict(
+            sorted(
+                out["sf1_full"]["regressions"].items(),
+                key=lambda kv: -(kv[1]["now"] / kv[1]["prev"]),
+            )[:3]
+        )
     compact["regressions"] = dict(
         sorted(
             regressed.items(),

@@ -61,6 +61,8 @@ __all__ = [
     "bpe_merges_df",
     "bpe_encoded_token_freqs",
     "bpe_encode",
+    "write_tokenizer",
+    "read_tokenizer",
 ]
 
 MERGE_SCHEMA = "step int, w1 string, w2 string, n bigint"
@@ -221,3 +223,42 @@ def bpe_encode(
             )
         ),
     )
+
+
+def write_tokenizer(spark: SparkSession, merges: list[tuple[int, str, str, int]], table: str) -> None:
+    """Persist a trained merge list as a catalog table — the tokenizer
+    IS its ordered merge list, so this is the whole artifact (the
+    band-table / IVF-index lifecycle pattern: train once, encode
+    forever). The merge count lands in table properties for quick
+    provenance checks."""
+    spark.createDataFrame(merges, MERGE_SCHEMA).write.mode(
+        "overwrite"
+    ).saveAsTable(table)
+    spark.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES ('bpe.k'='{len(merges)}')"
+    )
+
+
+def read_tokenizer(spark: SparkSession, table: str) -> list[tuple[int, str, str, int]]:
+    """Load a persisted merge list in training order. Merge ORDER is
+    load-bearing (later merges consume earlier merges' outputs), so
+    the read sorts by step and the k-rows property is validated —
+    a truncated artifact must fail loudly, not encode differently."""
+    rows = spark.table(table).orderBy("step").collect()
+    merges = [(r["step"], r["w1"], r["w2"], int(r["n"])) for r in rows]
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    }
+    stored_k = props.get("bpe.k")
+    if stored_k is not None and int(stored_k) != len(merges):
+        raise ValueError(
+            f"tokenizer table {table!r} claims {stored_k} merges but "
+            f"holds {len(merges)} rows — truncated or corrupted artifact"
+        )
+    if [m[0] for m in merges] != list(range(1, len(merges) + 1)):
+        raise ValueError(
+            f"tokenizer table {table!r} has non-contiguous merge steps — "
+            "the merge list is ordered and dense by construction"
+        )
+    return merges

@@ -9021,6 +9021,42 @@ def q_bpe_encode_tokens(spark, sf_dir):
     return bpe_encoded_token_freqs(docs, merges)
 
 
+@register(
+    "bpe_encode_persisted",
+    _bpe_oracle_ctes(_BPE_K)
+    + f"""
+    SELECT t AS token, sum(freq)::BIGINT AS n
+    FROM (SELECT string_split(seq[2:length(seq)-1], '||') AS l, freq
+          FROM vocab_{_BPE_K}),
+         unnest(l) AS u(t)
+    GROUP BY t
+    """,
+)
+def q_bpe_encode_persisted(spark, sf_dir):
+    """The TOKENIZER-ARTIFACT lifecycle (the band-table / IVF-index
+    pattern applied to the trained tokenizer): train once, persist the
+    ordered merge list as a catalog table
+    (``operators/bpe.py::write_tokenizer``), reload it in a fresh
+    consumer (``read_tokenizer`` — validates step density and the
+    stored k, a truncated artifact fails loudly instead of encoding
+    differently), and encode the corpus from the STORED merges. The
+    oracle is the same replay as ``bpe_encode_tokens`` — a persistence
+    round-trip that alters even one merge or its order breaks the
+    hash."""
+    from common_survey_data_pipeline_spark.operators.bpe import (
+        bpe_encoded_token_freqs,
+        bpe_train,
+        read_tokenizer,
+        write_tokenizer,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    table = _scoped_band_table(spark, sf_dir, "bpe_tokenizer")
+    _reset_managed_table(spark, table)
+    write_tokenizer(spark, bpe_train(docs, k=_BPE_K), table)
+    return bpe_encoded_token_freqs(docs, read_tokenizer(spark, table))
+
+
 # ---------------------------------------------------------------------------
 # Round 6: linear quality-classifier inference (fastText-style) as a join
 # ---------------------------------------------------------------------------

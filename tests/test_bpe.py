@@ -184,3 +184,75 @@ def test_delimiter_words_are_dropped_not_corrupting(spark):
 def test_train_rejects_bad_k(spark):
     with pytest.raises(ValueError, match="k must be"):
         bpe_train(_docs(spark, ["ab"]), k=0)
+
+
+def test_tokenizer_persistence_roundtrip(spark):
+    import shutil
+    from urllib.parse import urlparse
+
+    from common_survey_data_pipeline_spark.operators.bpe import (
+        read_tokenizer,
+        write_tokenizer,
+    )
+
+    t = "bpe_tokenizer_test"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    try:
+        docs = _docs(spark, ADVERSARIAL)
+        merges = bpe_train(docs, k=6)
+        write_tokenizer(spark, merges, t)
+        assert read_tokenizer(spark, t) == merges
+        # encoding from the stored artifact == encoding from fresh merges
+        a = {
+            (r["token"], r["n"])
+            for r in bpe_encoded_token_freqs(
+                docs, read_tokenizer(spark, t)
+            ).collect()
+        }
+        b = {
+            (r["token"], r["n"])
+            for r in bpe_encoded_token_freqs(docs, merges).collect()
+        }
+        assert a == b
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+
+
+def test_tokenizer_truncated_artifact_raises(spark):
+    import shutil
+    from urllib.parse import urlparse
+
+    from common_survey_data_pipeline_spark.operators.bpe import (
+        read_tokenizer,
+        write_tokenizer,
+    )
+
+    t = "bpe_tokenizer_trunc_test"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    try:
+        merges = bpe_train(_docs(spark, ADVERSARIAL), k=5)
+        write_tokenizer(spark, merges, t)
+        # simulate a truncated artifact: rows drop, the k property
+        # stays (managed parquet tables don't support DELETE —
+        # overwrite the rows, then restore the stored property)
+        kept = spark.createDataFrame(merges[:3], "step int, w1 string, w2 string, n bigint")
+        kept.write.mode("overwrite").saveAsTable(t)
+        spark.sql(f"ALTER TABLE {t} SET TBLPROPERTIES ('bpe.k'='5')")
+        with pytest.raises(ValueError, match="truncated"):
+            read_tokenizer(spark, t)
+        # non-contiguous steps also fail loudly
+        holey = spark.createDataFrame(
+            [merges[0], merges[2]], "step int, w1 string, w2 string, n bigint"
+        )
+        holey.write.mode("overwrite").saveAsTable(t)
+        spark.sql(f"ALTER TABLE {t} SET TBLPROPERTIES ('bpe.k'='2')")
+        with pytest.raises(ValueError, match="non-contiguous"):
+            read_tokenizer(spark, t)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)

@@ -151,6 +151,22 @@ COMMENT = {
         "md5-per-char compute (6x at sf0.1) and provably no-ops on\n"
         "multi-file production corpora (guard: scan partitions >= cores)."
     ),
+    "j14_qgram_longtext_join": (
+        "Ed-Join q-gram prefix filter (round 8): candidate generation is\n"
+        "an equi-join on rare-first prefix gram hashes with the length\n"
+        "filter applied in-join; the verify is the BANDED\n"
+        "levenshtein(_, _, d) on candidates only. No cartesian/nested-\n"
+        "loop anywhere; the gram table is cached once and feeds the\n"
+        "prefix side and both verify sides."
+    ),
+    "bpe_encode_tokens": (
+        "BPE corpus encode (round 8): the 32 learned merges fold into ONE\n"
+        "nested literal-replace expression over the word-frequency table —\n"
+        "a single whole-stage-codegen map between the vocab aggregation\n"
+        "and the token-frequency aggregation. No UDF, no per-merge pass,\n"
+        "no extra corpus scan at encode time (training paid its one\n"
+        "corpus pass before this plan was built)."
+    ),
 }
 
 
@@ -162,7 +178,7 @@ def main() -> None:
         "# PLANS — headline physical plans (sf0.01, local, AQE on)",
         "",
         "Auto-generated by `python tools_gen_plans.py` — `.explain`-style",
-        "formatted plans for sixteen representative queries, with the scale",
+        "formatted plans for eighteen representative queries, with the scale",
         "commentary the plan shape is meant to prove. Regenerate after any",
         "plan-affecting change.",
         "",
