@@ -9083,6 +9083,103 @@ def q_bpe_encode_tokens(spark, sf_dir):
 
 
 @register(
+    "bpe_token_ids",
+    _bpe_oracle_ctes(_BPE_K)
+    + f""",
+    tokfreq AS MATERIALIZED (
+      SELECT t AS token, sum(freq)::BIGINT AS n
+      FROM (SELECT string_split(seq[2:length(seq)-1], '||') AS l, freq
+            FROM vocab_{_BPE_K}),
+           unnest(l) AS u(t)
+      GROUP BY t),
+    ids AS MATERIALIZED (
+      SELECT token,
+             row_number() OVER (ORDER BY n DESC, token)::INTEGER AS token_id
+      FROM tokfreq),
+    wordmap AS MATERIALIZED (
+      SELECT replace(seq, '|', '') AS w,
+             string_split(seq[2:length(seq)-1], '||') AS toks
+      FROM vocab_{_BPE_K}),
+    stream AS (
+      SELECT d.doc_id, d.wpos, v.spos, ids.token_id
+      FROM (SELECT doc_id, toks[wpos] AS w, wpos
+            FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+                  WHERE doc_id < 50),
+                 unnest(generate_series(1, len(toks))) AS u(wpos)) d
+      JOIN wordmap ON d.w = wordmap.w,
+           unnest(generate_series(1, len(wordmap.toks))) AS v(spos)
+      JOIN ids ON wordmap.toks[v.spos] = ids.token
+    )
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY wpos, spos)::BIGINT AS pos,
+           token_id
+    FROM stream
+    """,
+)
+def q_bpe_token_ids(spark, sf_dir):
+    """The tokenizer's PRODUCTION OUTPUT: the corpus as an integer
+    token-id stream — train K=32 merges, rank the resulting token
+    vocabulary (count desc, token asc — the conventional id
+    assignment) with the range-partitioned ``global_row_number``
+    kernel (the VOCAB is ranked, never the corpus), and tokenize each
+    document by joining its word stream to the per-WORD token arrays
+    (each distinct word encodes once; the corpus-sized side only
+    explodes and joins — at 100 TB the word→tokens map is a broadcast
+    and the id table too). Output ``(doc_id, pos, token_id)`` for a
+    50-doc slice: position is the per-doc token index, so a single
+    id misassignment, a swapped merge, or an off-by-one in word order
+    breaks the hash."""
+    from common_survey_data_pipeline_spark.operators.bpe import (
+        _fold_merges,
+        _initial_seq,
+        _seq_symbols,
+        bpe_encoded_token_freqs,
+        bpe_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, k=_BPE_K)
+    ids = global_row_number(
+        bpe_encoded_token_freqs(docs, merges),
+        [F.col("n").desc(), F.col("token")],
+        name="token_id",
+    ).select("token", F.col("token_id").cast("int").alias("token_id"))
+    word_toks = (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+        .where(~F.col("w").contains("|"))
+        .distinct()
+        .select(
+            "w",
+            _seq_symbols(
+                _fold_merges(_initial_seq(F.col("w")), merges)
+            ).alias("toks"),
+        )
+    )
+    stream = (
+        docs.where(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            F.posexplode(T.tokens(F.col("text"))).alias("wpos0", "w"),
+        )
+        .where(~F.col("w").contains("|"))
+        .join(F.broadcast(word_toks), "w")
+        .select(
+            "doc_id",
+            "wpos0",
+            F.posexplode(F.col("toks")).alias("spos0", "token"),
+        )
+        .join(F.broadcast(ids), "token")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("wpos0", "spos0")
+    return stream.select(
+        "doc_id",
+        F.row_number().over(w_doc).cast("long").alias("pos"),
+        "token_id",
+    )
+
+
+@register(
     "bpe_encode_persisted",
     _bpe_oracle_ctes(_BPE_K)
     + f"""
