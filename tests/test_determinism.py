@@ -28,6 +28,12 @@ QUERIES = (
     "dedup_minhash",               # banded candidate generation
     "drift_psi_report",            # broadcast bounds + ln arithmetic
     "zipf_fit",                    # rank kernel + log-log OLS
+    "bpe_train_merges",            # 32 argmax rounds: any tie broken by
+                                   # partition order would cascade
+    "lm_perplexity_buckets",       # r8 ordering-key change: unscaled
+                                   # qsum/n double + ntile boundary
+    "j14_qgram_longtext_join",     # prefix-gram candidate generation
+    "profile_appended",            # HLL union across batch states
 )
 
 

@@ -239,11 +239,12 @@ def test_stream_dedup_ingest_vs_band_table(spark, tmp_path):
             ],
         )
     plans: list = []
+    profile_dir = str(tmp_path / "profile")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         q = run_ingest_vs_band_table(
             spark, str(in_dir), pairs_dir, ckpt, table, corpus_dir,
-            threshold=0.5, plan_sink=plans,
+            threshold=0.5, plan_sink=plans, profile_dir=profile_dir,
         )
         q.processAllAvailable()
         q.stop()
@@ -311,4 +312,30 @@ def test_stream_dedup_ingest_vs_band_table(spark, tmp_path):
         map(tuple, minhash_band_keys(all_df, "text", "doc_id").collect())
     )
     assert lifecycle_rows == fresh_rows
+
+    # the service also maintained the running profile: the persisted
+    # merged state must equal a one-shot profile of everything the
+    # STREAM ingested (the 3 batches; the seed corpus predates the
+    # profile, as a fresh profiler deployment would)
+    from common_survey_data_pipeline_spark.operators.profile import (
+        profile_from_state,
+        profile_state,
+    )
+
+    cols = ["doc_id", "text", "lang", "source"]
+    streamed = all_df.where(~F.col("doc_id").isin(list(seed)))
+    got_prof = {
+        r["column_name"]: r.asDict()
+        for r in profile_from_state(
+            spark.read.parquet(profile_dir), cols
+        ).collect()
+    }
+    want_prof = {
+        r["column_name"]: r.asDict()
+        for r in profile_from_state(
+            profile_state(streamed, cols), cols
+        ).collect()
+    }
+    assert got_prof == want_prof
+    assert got_prof["doc_id"]["n_rows"] == 6
     spark.sql(f"DROP TABLE IF EXISTS {table}")
