@@ -1298,6 +1298,8 @@ def append_ivf_index(
     def assign(it):
         cells, cents = bc.value
         for pdf in it:
+            if not len(pdf):  # Arrow can hand over empty batches
+                continue
             vm = np.stack(pdf["embedding"].to_numpy()).astype("float64")
             vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
             d2 = (
@@ -1412,6 +1414,8 @@ def rebalance_ivf_index(
     def assign(it):
         cells, ctr = bc.value
         for pdf in it:
+            if not len(pdf):  # Arrow can hand over empty batches
+                continue
             vm = np.stack(pdf["embedding"].to_numpy()).astype("float64")
             vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
             d2 = (
@@ -1457,6 +1461,8 @@ def _pq_encode_kernel(books: "np.ndarray"):
 
     def encode(it):
         for pdf in it:
+            if not len(pdf):  # Arrow can hand over empty batches
+                continue
             vm = np.stack(pdf["embedding"].to_numpy()).astype("float64")
             vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
             codes = np.zeros((len(vm), m), dtype="int16")
@@ -1644,6 +1650,8 @@ def pq_topk_from_index(
     def block(it):
         ids_q, lut = bc.value
         for pdf in it:
+            if not len(pdf):  # Arrow can hand over empty batches
+                continue
             c_ids = pdf["vec_id"].to_numpy()
             codes = np.stack(pdf["codes"].to_numpy()).astype("int64")
             b = len(codes)

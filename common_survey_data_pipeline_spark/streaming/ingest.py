@@ -235,6 +235,16 @@ def run_ingest_vs_band_table(
     ``merge_profile_states`` — O(batch) per trigger, and at any moment
     ``profile_from_state`` over the stored row IS the profile of
     everything ingested (pytest-locked ≡ a one-shot full recompute).
+
+    Delivery semantics: ``foreachBatch`` side effects are AT-LEAST-ONCE
+    on crash-retry — a failure between any of the four writes and the
+    checkpoint commit replays the batch (duplicated pair-log rows and a
+    double-folded profile batch; band-table re-appends dedup at query
+    time through the candidate ``distinct``). Production hardening is
+    the standard idempotent-sink recipe: stamp rows with ``batch_id``
+    and drop already-seen ids on replay. The batch-replay registry
+    query (``stream_dedup_ingest``) and the parity test cover the
+    no-crash path.
     """
     from common_survey_data_pipeline_spark.operators.dedup import (
         append_band_table,

@@ -42,6 +42,7 @@ from common_survey_data_pipeline_spark.operators.dedup import (
 from common_survey_data_pipeline_spark.operators.bpe import bpe_train
 from common_survey_data_pipeline_spark.operators.graph import pagerank
 from common_survey_data_pipeline_spark.operators.fuzzy_join import (
+    qgram_edit_pairs,
     strdist_neardup_pairs,
 )
 from common_survey_data_pipeline_spark.operators.sketches import (
@@ -76,6 +77,37 @@ def amplified_docs(spark, k: int):
                 ).alias("text"),
             )
             copies.append(remapped)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def amplified_docs_chars(spark, k: int):
+    """k copies of documents under a per-copy INJECTIVE CHARACTER remap
+    (rotated alphabet): within-copy q-gram/edit structure is preserved
+    exactly while copies share NO character q-grams — the right
+    amplification for gram-prefix candidate generation. (The word-level
+    ``_i``-suffix remap of :func:`amplified_docs` leaves interior
+    character grams identical across copies, so every base doc's k
+    variants become candidate pairs of each other — k² candidate growth
+    that the edit-distance verify rejects; that is real template-corpus
+    behavior, but it measures candidate pathology, not operator
+    scaling.)"""
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    n = 1 << 32
+    copies = [base]
+    for i in range(1, k):
+        rot = alpha[i % 26 :] + alpha[: i % 26]
+        copies.append(
+            base.select(
+                (F.col("doc_id") + i * n).alias("doc_id"),
+                F.translate("text", alpha, rot).alias("text"),
+            )
+        )
     out = copies[0]
     for c in copies[1:]:
         out = out.unionByName(c)
@@ -544,6 +576,7 @@ def main() -> None:
             "bm25_top_docs",
             "text_fingerprints",
             "inverted_index_postings",
+            "j14_qgram_longtext",
         ]
     )
     if only:
@@ -594,6 +627,9 @@ def main() -> None:
 
     for k in ks:
         docs = lazy(lambda k=k: amplified_docs(spark, k).localCheckpoint())
+        docs_ch = lazy(
+            lambda k=k: amplified_docs_chars(spark, k).localCheckpoint()
+        )
         embs = lazy(lambda k=k: amplified_embeddings(spark, k).localCheckpoint())
         keys = lazy(lambda k=k: amplified_keys(spark, k).localCheckpoint())
         events = lazy(lambda k=k: amplified_events(spark, k).localCheckpoint())
@@ -619,6 +655,14 @@ def main() -> None:
         thunks["asof_join"] = lambda: event_ops["asof_join"](events)
         thunks["token_heavy_hitters"] = lambda: event_ops["token_heavy_hitters"](docs)
         thunks["pagerank_3iter"] = lambda: _pagerank_3iter(graph()[1])
+        thunks["j14_qgram_longtext"] = lambda: qgram_edit_pairs(
+            docs_ch().select(
+                "doc_id", F.col("text").substr(1, 160).alias("s")
+            ),
+            "s",
+            "doc_id",
+            max_dist=12,
+        ).count()
         thunks["cc_star_chain"] = lambda: connected_components_star(
             graph()[0].select(F.col("u").alias("id_a"), F.col("v").alias("id_b"))
         ).count()
