@@ -644,10 +644,13 @@ def hamming_band_pairs(
             raise ValueError(
                 f"hamming_band_pairs: bucket_cap must be >= 1, got {bucket_cap}"
             )
-        sizes = chunks.groupBy("chunk", "chunk_val").agg(
-            F.count(F.lit(1)).alias("__bn")
+        # bucket size as a count Window over the bucket key: ONE
+        # shuffle of the chunk table, vs the aggregate-then-join form's
+        # two (the prefix_filter_jaccard_pairs df-attachment trick)
+        sized = chunks.withColumn(
+            "__bn",
+            F.count(F.lit(1)).over(Window.partitionBy("chunk", "chunk_val")),
         )
-        sized = chunks.join(sizes, ["chunk", "chunk_val"])
         small = sized.where(F.col("__bn") <= bucket_cap).drop("__bn")
         big = sized.where(F.col("__bn") > bucket_cap).drop("__bn")
         # secondary sub-split of oversized buckets: key on
