@@ -9125,8 +9125,12 @@ def q_bpe_token_ids(spark, sf_dir):
     kernel (the VOCAB is ranked, never the corpus), and tokenize each
     document by joining its word stream to the per-WORD token arrays
     (each distinct word encodes once; the corpus-sized side only
-    explodes and joins — at 100 TB the word→tokens map is a broadcast
-    and the id table too). Output ``(doc_id, pos, token_id)`` for a
+    explodes and joins). Both lookup sides are VOCABULARY-sized —
+    10^6–10^8 rows on a web-scale corpus, NOT broadcastable — so the
+    joins are left as shuffle hash joins on the token/word key (AQE
+    may still downgrade them to broadcast at small SF, which is fine;
+    hinting broadcast would be a scale bug, caught by the registry
+    broadcast guard). Output ``(doc_id, pos, token_id)`` for a
     50-doc slice: position is the per-doc token index, so a single
     id misassignment, a swapped merge, or an off-by-one in word order
     breaks the hash."""
@@ -9163,13 +9167,13 @@ def q_bpe_token_ids(spark, sf_dir):
             F.posexplode(T.tokens(F.col("text"))).alias("wpos0", "w"),
         )
         .where(~F.col("w").contains("|"))
-        .join(F.broadcast(word_toks), "w")
+        .join(word_toks, "w")
         .select(
             "doc_id",
             "wpos0",
             F.posexplode(F.col("toks")).alias("spos0", "token"),
         )
-        .join(F.broadcast(ids), "token")
+        .join(ids, "token")
     )
     w_doc = Window.partitionBy("doc_id").orderBy("wpos0", "spos0")
     return stream.select(
