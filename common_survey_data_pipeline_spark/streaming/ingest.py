@@ -180,6 +180,55 @@ def run_ingest_to_parquet(
     )
 
 
+def _fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` through the Hadoop FS API — the
+    store the SparkSession is actually configured for (local, HDFS,
+    S3A, ...), never the driver's local filesystem."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, jpath = _fs(spark, path)
+    return fs.exists(jpath)
+
+
+def _fs_touch(spark: SparkSession, path: str) -> None:
+    fs, jpath = _fs(spark, path)
+    fs.mkdirs(jpath.getParent())
+    fs.create(jpath, True).close()
+
+
+def _overwrite_via_rename(spark: SparkSession, df: DataFrame, path: str) -> None:
+    """Overwrite ``path`` with ``df`` atomically-enough for a state
+    row: write to a staged sibling, delete the live dir, rename the
+    staged one in. A crash mid-staged-write leaves the live dir
+    intact; a crash between delete and rename is healed by
+    :func:`_read_state_recovering`, which adopts a complete staged
+    dir when the live one is missing. (A plain ``mode("overwrite")``
+    deletes the live dir BEFORE writing — a crash mid-write loses the
+    state entirely.)"""
+    staged = path.rstrip("/") + "__staged"
+    df.write.mode("overwrite").parquet(staged)
+    fs, live = _fs(spark, path)
+    fs.delete(live, True)
+    fs.rename(_fs(spark, staged)[1], live)
+
+
+def _read_state_recovering(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a state dir maintained by :func:`_overwrite_via_rename`,
+    adopting the staged copy if a crash left the live dir missing.
+    ``None`` when neither exists (first batch)."""
+    staged = path.rstrip("/") + "__staged"
+    if not _fs_exists(spark, path):
+        if not _fs_exists(spark, staged):
+            return None
+        fs, live = _fs(spark, path)
+        fs.rename(_fs(spark, staged)[1], live)
+    return spark.read.parquet(path)
+
+
 def run_ingest_vs_band_table(
     spark: SparkSession,
     in_dir: str,
@@ -191,6 +240,8 @@ def run_ingest_vs_band_table(
     plan_sink: list | None = None,
     profile_dir: str | None = None,
     profile_cols: list[str] | None = None,
+    compact_threshold_files: int | None = None,
+    on_stage=None,
 ):
     """Streaming ingest wired to the PERSISTED dedup index (VERDICT r7
     item 4) — where the band-table lifecycle
@@ -203,12 +254,15 @@ def run_ingest_vs_band_table(
        generation reads the STORED bucketed band table, so the corpus
        side joins with NO Exchange (the bucket spec carries the
        partitioning through every append);
-    2. append the emitted pairs to ``pairs_dir`` (the dedup service's
-       output log);
+    2. write the emitted pairs to ``pairs_dir/ingest_batch_id=<id>``
+       (the dedup service's output log, one partition per micro-batch);
     3. append the batch's band keys to the index through the table's
        own stored LSH parameters (``append_band_table`` — O(batch));
-    4. append the batch's documents to ``corpus_dir`` (the verify-side
-       corpus the NEXT batches' exact-Jaccard check reads).
+    4. write the batch's documents to
+       ``<corpus_dir>__ingested/ingest_batch_id=<id>`` (the verify-side
+       corpus the NEXT batches' exact-Jaccard check reads is the seed
+       ``corpus_dir`` — optional: a missing dir is an empty seed —
+       unioned with every ingested-batch partition).
 
     The cumulative pair log therefore equals the batch replay: every
     (later-batch doc, earlier-batch-or-seed doc) pair at exact Jaccard
@@ -224,8 +278,12 @@ def run_ingest_vs_band_table(
     complete on its own. ``plan_sink``, when given, receives the pairs
     plan text per batch so tests can hold the no-corpus-Exchange lock
     INSIDE the running stream. At 100 TB this is the whole dedup
-    service: band table + corpus dir are the only state, both
-    append-only, compaction amortized (``compact_band_table``).
+    service: band table + corpus dirs are the only state, both
+    append-only, compaction amortized — and AUTOMATED here: when
+    ``compact_threshold_files`` is set, any batch that leaves the band
+    table above that many data files triggers ``compact_band_table``
+    (back to one file per bucket), so files-per-bucket stays bounded
+    no matter how many micro-batches the stream lives through.
 
     ``profile_dir``, when given, makes the service ALSO maintain the
     running data profile: each micro-batch's mergeable state row
@@ -235,19 +293,45 @@ def run_ingest_vs_band_table(
     ``merge_profile_states`` — O(batch) per trigger, and at any moment
     ``profile_from_state`` over the stored row IS the profile of
     everything ingested (pytest-locked ≡ a one-shot full recompute).
+    All state/existence probes go through the Hadoop FileSystem API
+    (:func:`_fs_exists`), never ``os.path`` — the state dirs live on
+    whatever store the session is configured for (HDFS/S3A/local).
 
-    Delivery semantics: ``foreachBatch`` side effects are AT-LEAST-ONCE
-    on crash-retry — a failure between any of the four writes and the
-    checkpoint commit replays the batch (duplicated pair-log rows and a
-    double-folded profile batch; band-table re-appends dedup at query
-    time through the candidate ``distinct``). Production hardening is
-    the standard idempotent-sink recipe: stamp rows with ``batch_id``
-    and drop already-seen ids on replay. The batch-replay registry
-    query (``stream_dedup_ingest``) and the parity test cover the
-    no-crash path.
+    Delivery semantics: EXACTLY-ONCE-EFFECT for the pair log, the
+    ingested corpus, and the profile; at-least-once (harmless) for
+    band-table appends. The recipe, per side effect:
+
+    - pairs and corpus are written to per-batch partition dirs
+      (``ingest_batch_id=<id>``) with overwrite — a replayed batch
+      overwrites its own partial output instead of appending a copy;
+    - the profile state row is stamped with ``__last_batch_id`` and
+      the fold is skipped when the stored stamp already covers the
+      replayed batch (no double-fold); the state write itself goes
+      through a staged-rename swap (:func:`_overwrite_via_rename`) so
+      a crash mid-write never corrupts the live state;
+    - the band append is guarded by a committed marker file under
+      ``<pairs_dir>__state/``; the residual window (crash between the
+      append and the marker) re-appends the batch's band keys, which
+      can never change pair output — candidates are ``distinct``-ed
+      and pairs are anti-joined against the batch's own ids (below);
+    - a replayed batch may find its OWN docs already in the band
+      table and corpus (crash after step 3/4): the emitted pairs are
+      anti-joined against the batch's own doc ids, so the recomputed
+      output still reflects the pre-batch state (requires globally
+      unique doc ids — the corpus contract).
+
+    Kill-and-restart at every stage is pytest-locked in
+    ``tests/test_streaming_ingest.py`` (cumulative pair log and
+    profile ≡ the batch twin after a mid-batch crash + replay);
+    ``on_stage``, when given, is called as ``on_stage(stage, batch_id)``
+    after each side effect ("pairs_written", "bands_appended",
+    "corpus_appended", "profile_folded") — the failure-injection hook
+    those tests use (raising inside it kills the query BEFORE the
+    checkpoint commit, forcing a replay).
     """
     from common_survey_data_pipeline_spark.operators.dedup import (
         append_band_table,
+        compact_band_table,
         incremental_pairs_vs_band_table,
     )
     from common_survey_data_pipeline_spark.operators.profile import (
@@ -257,35 +341,81 @@ def run_ingest_vs_band_table(
 
     if profile_cols is None:
         profile_cols = ["doc_id", "text", "lang", "source"]
+    ingested_dir = corpus_dir.rstrip("/") + "__ingested"
+    state_dir = pairs_dir.rstrip("/") + "__state"
+    _stage = on_stage if on_stage is not None else (lambda *_: None)
 
-    def _process(batch: DataFrame, _batch_id: int) -> None:
+    def _process(batch: DataFrame, batch_id: int) -> None:
         # the source frame is consumed several times below (pairs,
         # band append, corpus append) — pin it once, O(batch)
         batch = batch.localCheckpoint(eager=True)
-        corpus = spark.read.parquet(corpus_dir)
+        batch_ids = batch.select("doc_id").distinct()
+        # verify-side corpus = seed (optional) ∪ ingested batches; a
+        # missing seed dir is the empty-bootstrap case, not an error
+        parts = []
+        if _fs_exists(spark, corpus_dir):
+            parts.append(spark.read.parquet(corpus_dir))
+        if _fs_exists(spark, ingested_dir):
+            parts.append(
+                spark.read.parquet(ingested_dir).drop("ingest_batch_id")
+            )
+        corpus = parts[0] if parts else spark.createDataFrame([], batch.schema)
+        for p in parts[1:]:
+            corpus = corpus.unionByName(p)
         pairs = incremental_pairs_vs_band_table(
             spark, band_table, corpus, batch, "text", "doc_id",
             threshold=threshold,
+        )
+        # replay safety: a crashed prior attempt may already have
+        # appended THIS batch to the band table and corpus; dropping
+        # pairs whose corpus_id is one of the batch's own ids restores
+        # the pre-batch view (O(pairs ⋈ batch), never O(corpus))
+        pairs = pairs.join(
+            batch_ids.withColumnRenamed("doc_id", "corpus_id"),
+            "corpus_id",
+            "left_anti",
         )
         if plan_sink is not None:
             plan_sink.append(
                 pairs._jdf.queryExecution().executedPlan().toString()
             )
-        pairs.write.mode("append").parquet(pairs_dir)
-        append_band_table(spark, batch, band_table)
-        batch.write.mode("append").parquet(corpus_dir)
+        pairs.write.mode("overwrite").parquet(
+            f"{pairs_dir}/ingest_batch_id={batch_id}"
+        )
+        _stage("pairs_written", batch_id)
+        band_marker = f"{state_dir}/band-{batch_id}"
+        if not _fs_exists(spark, band_marker):
+            append_band_table(spark, batch, band_table)
+            _fs_touch(spark, band_marker)
+        _stage("bands_appended", batch_id)
+        batch.write.mode("overwrite").parquet(
+            f"{ingested_dir}/ingest_batch_id={batch_id}"
+        )
+        _stage("corpus_appended", batch_id)
         if profile_dir is not None:
-            import os
-
-            states = [profile_state(batch, profile_cols)]
-            if os.path.isdir(profile_dir):
-                states.append(spark.read.parquet(profile_dir))
-            # one merged wide row; materialize BEFORE overwriting the
-            # same path the previous state was just read from
-            merged = merge_profile_states(states).localCheckpoint(
-                eager=True
-            )
-            merged.write.mode("overwrite").parquet(profile_dir)
+            prev = _read_state_recovering(spark, profile_dir)
+            prev_stamp = -1
+            if prev is not None and "__last_batch_id" in prev.columns:
+                prev_stamp = prev.select("__last_batch_id").first()[0]
+            if prev_stamp < batch_id:
+                states = [profile_state(batch, profile_cols)]
+                if prev is not None:
+                    states.append(prev.drop("__last_batch_id"))
+                # one merged wide row; materialize BEFORE swapping out
+                # the path the previous state was just read from
+                merged = (
+                    merge_profile_states(states)
+                    .withColumn("__last_batch_id", F.lit(batch_id))
+                    .localCheckpoint(eager=True)
+                )
+                _overwrite_via_rename(spark, merged, profile_dir)
+        _stage("profile_folded", batch_id)
+        if (
+            compact_threshold_files is not None
+            and len(spark.table(band_table).inputFiles())
+            > compact_threshold_files
+        ):
+            compact_band_table(spark, band_table)
         # the incremental operator caches two O(batch) intermediates
         # per call; a long-lived stream must not accumulate them
         spark.catalog.clearCache()
