@@ -597,6 +597,30 @@ def hamming_band_pairs(
 
     Output: ``(id_a, id_b, hamming INT)`` with ``id_a < id_b``.
     """
+    if bucket_cap is not None:
+        if bucket_cap < 1:
+            raise ValueError(
+                f"hamming_band_pairs: bucket_cap must be >= 1, got {bucket_cap}"
+            )
+        if n_chunks < 2:
+            # the sub-split keys on OTHER chunks; with one chunk there
+            # are none, so every oversized bucket would emit zero
+            # build/probe rows and silently lose all its pairs
+            raise ValueError(
+                "hamming_band_pairs: bucket_cap requires n_chunks >= 2 "
+                f"(got n_chunks={n_chunks}; with a single chunk the "
+                "capped sub-split has no other chunk to key on)"
+            )
+        if max_hamming > n_chunks - 1:
+            import warnings
+
+            warnings.warn(
+                "hamming_band_pairs: bucket_cap's sub-split is "
+                f"recall-exact only for max_hamming <= n_chunks - 1 "
+                f"(= {n_chunks - 1}); with max_hamming={max_hamming} "
+                "oversized buckets are deduplicated best-effort",
+                stacklevel=2,
+            )
     chunk_w = bits // n_chunks
     mask = (1 << chunk_w) - 1
 
@@ -640,10 +664,6 @@ def hamming_band_pairs(
     if bucket_cap is None:
         pairs = _bucket_pairs(chunks)
     else:
-        if bucket_cap < 1:
-            raise ValueError(
-                f"hamming_band_pairs: bucket_cap must be >= 1, got {bucket_cap}"
-            )
         # bucket size as a count Window over the bucket key: ONE
         # shuffle of the chunk table, vs the aggregate-then-join form's
         # two (the prefix_filter_jaccard_pairs df-attachment trick)

@@ -1107,6 +1107,40 @@ def ivfpq_topk(
 # ---------------------------------------------------------------------------
 
 
+def _table_props(spark, table: str) -> dict:
+    return {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    }
+
+
+def _ivf_set_epoch(spark, table: str, epoch: int) -> None:
+    """Stamp the shared consistency epoch on one of the index's two
+    tables (data or ``__centroids``)."""
+    spark.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES ('ivf.epoch'='{epoch}')"
+    )
+
+
+def _ivf_check_epochs(spark, table: str) -> None:
+    """Verify the data table and its ``__centroids`` companion carry
+    the SAME ``ivf.epoch`` stamp. A rebalance writes the two tables
+    non-atomically; a crash between the data rewrite and the centroid
+    swap would otherwise leave rows partitioned by NEW centroids while
+    probes rank with the OLD ones — silent recall collapse (ADVICE
+    r8). Epoch mismatch fails loudly instead; re-running
+    :func:`rebalance_ivf_index` rewrites both and heals the index.
+    Pre-epoch indexes (no stamp on either table) pass unchecked."""
+    d = _table_props(spark, table).get("ivf.epoch")
+    c = _table_props(spark, f"{table}__centroids").get("ivf.epoch")
+    if d != c:
+        raise ValueError(
+            f"IVF index {table!r} is torn: data epoch {d!r} != centroid "
+            f"epoch {c!r} — a rebalance crashed between the data rewrite "
+            "and the centroid swap. Re-run rebalance_ivf_index to heal."
+        )
+
+
 def write_ivf_index(
     spark,
     corpus: DataFrame,
@@ -1151,6 +1185,8 @@ def write_ivf_index(
         spark.createDataFrame(
             [], "cell int, centroid array<double>"
         ).write.mode("overwrite").saveAsTable(f"{table}__centroids")
+        _ivf_set_epoch(spark, table, 0)
+        _ivf_set_epoch(spark, f"{table}__centroids", 0)
         return
     c_norm = corpus.select(
         F.col(corpus_id).alias("vec_id"),
@@ -1177,6 +1213,8 @@ def write_ivf_index(
     spark.createDataFrame(
         centroids, "cell int, centroid array<double>"
     ).write.mode("overwrite").saveAsTable(f"{table}__centroids")
+    _ivf_set_epoch(spark, table, 0)
+    _ivf_set_epoch(spark, f"{table}__centroids", 0)
 
 
 def ivf_topk_from_index(
@@ -1198,6 +1236,7 @@ def ivf_topk_from_index(
     training or assignment work at query time — the ingest job paid it
     once.
     """
+    _ivf_check_epochs(spark, table)
     queries = queries.where(
         F.col(query_vec).isNotNull()
         & F.col(query_id).isNotNull()
@@ -1282,6 +1321,7 @@ def append_ivf_index(
     )
     if batch.first() is None:  # nothing to append
         return
+    _ivf_check_epochs(spark, table)
     cpd = spark.table(f"{table}__centroids").toPandas()
     if len(cpd) == 0:
         raise ValueError(
@@ -1431,16 +1471,26 @@ def rebalance_ivf_index(
                 }
             )
 
+    # consistency epoch (ADVICE r8): the data rewrite and the centroid
+    # swap are two non-atomic writes; stamping both with a shared
+    # incremented epoch lets every reader (_ivf_check_epochs) detect a
+    # crash between them instead of silently probing a torn index.
+    # saveAsTable(overwrite) drops TBLPROPERTIES, so mid-sequence
+    # crashes leave a missing-or-stale stamp on exactly one side —
+    # every window below is detected.
+    epoch = int(props.get("ivf.epoch", "0")) + 1
     assigned = cur.mapInPandas(assign, schema)
     assigned.write.mode("overwrite").partitionBy("cell").saveAsTable(table)
     spark.sql(
         f"ALTER TABLE {table} SET TBLPROPERTIES "
-        f"('ivf.nlist'='{nlist}', 'ivf.seed'='{seed}')"
+        f"('ivf.nlist'='{nlist}', 'ivf.seed'='{seed}', "
+        f"'ivf.epoch'='{epoch}')"
     )
     spark.createDataFrame(
         [(int(i), [float(x) for x in c]) for i, c in zip(cell_ids, cents)],
         "cell int, centroid array<double>",
     ).write.mode("overwrite").saveAsTable(f"{table}__centroids")
+    _ivf_set_epoch(spark, f"{table}__centroids", epoch)
 
 
 # ---------------------------------------------------------------------------

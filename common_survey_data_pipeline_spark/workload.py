@@ -8987,7 +8987,16 @@ def _bpe_oracle_ctes(k: int) -> str:
     <1s). The ``"|a||b|" → "|ab|"`` literal replace is exactly the
     Spark side's merge application: every symbol owns both delimiters,
     so standard left-to-right non-overlapping ``replace`` IS BPE's
-    greedy leftmost merge on both engines."""
+    greedy leftmost merge on both engines.
+
+    Degenerate corpora (ADVICE r8): if the vocabulary exhausts
+    adjacent pairs before step ``k``, ``best_i`` is EMPTY and its
+    scalar subqueries return NULL — an unguarded ``replace(seq, NULL,
+    ...)`` would null every later ``vocab_i`` while the Spark side
+    (``bpe_train`` breaks out of the loop) keeps the exhausted vocab.
+    Both the search and replacement strings are therefore COALESCEd to
+    the same ``chr(1)`` sentinel, making the exhausted iterations
+    identity replaces — the two engines agree on any corpus."""
     parts = [
         f"""
     vocab_0 AS MATERIALIZED (
@@ -9012,10 +9021,10 @@ def _bpe_oracle_ctes(k: int) -> str:
       ORDER BY n DESC, w1, w2 LIMIT 1),
     vocab_{i} AS MATERIALIZED (
       SELECT replace(seq,
-                     '|' || (SELECT w1 FROM best_{i}) || '||'
-                         || (SELECT w2 FROM best_{i}) || '|',
-                     '|' || (SELECT w1 FROM best_{i})
-                         || (SELECT w2 FROM best_{i}) || '|') AS seq,
+                     COALESCE('|' || (SELECT w1 FROM best_{i}) || '||'
+                         || (SELECT w2 FROM best_{i}) || '|', chr(1)),
+                     COALESCE('|' || (SELECT w1 FROM best_{i})
+                         || (SELECT w2 FROM best_{i}) || '|', chr(1))) AS seq,
              freq
       FROM vocab_{i - 1})"""
         )

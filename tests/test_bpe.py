@@ -256,3 +256,32 @@ def test_tokenizer_truncated_artifact_raises(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+
+
+def test_oracle_degenerate_corpus_parity(spark, tmp_path):
+    """ADVICE r8: when the vocabulary exhausts adjacent pairs before
+    K merges, ``bpe_train`` breaks early while the DuckDB oracle's
+    per-step scalar subqueries go empty — the COALESCE(chr(1)) guard
+    must keep the two engines hash-identical on such corpora."""
+    import duckdb
+
+    from common_survey_data_pipeline_spark.workload import REGISTRY
+    from tests.oracle_harness import compare
+
+    # 'ab ab ba' exhausts after 2 merges; K in the registry is 32
+    docs = spark.createDataFrame(
+        [(0, "ab ab ba ab", "en", "s", 11), (1, "ba ab ba", "en", "s", 8)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path)
+    docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    for name in ("bpe_train_merges", "bpe_encode_tokens", "bpe_token_ids",
+                 "bpe_encode_persisted"):
+        spec = REGISTRY[name]
+        res = compare(spec.fn(spark, sf_dir), con, spec.oracle)
+        assert res["match"], (name, res["detail"])

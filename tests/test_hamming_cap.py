@@ -118,3 +118,23 @@ def test_bucket_cap_rejects_nonpositive(spark):
     df = _sig_df(spark, [1, 2, 3])
     with pytest.raises(ValueError, match="bucket_cap"):
         hamming_band_pairs(df, "id", "sig", 64, 3, bucket_cap=0).collect()
+
+
+def test_bucket_cap_rejects_single_chunk(spark):
+    # with one chunk the sub-split has no other chunk to key on —
+    # oversized buckets would silently emit zero pairs (ADVICE r8)
+    df = _sig_df(spark, [1, 2, 3])
+    with pytest.raises(ValueError, match="n_chunks >= 2"):
+        hamming_band_pairs(df, "id", "sig", 64, 3, n_chunks=1, bucket_cap=2)
+
+
+def test_bucket_cap_warns_beyond_exact_recall_bound(spark):
+    import warnings
+
+    df = _sig_df(spark, [1, 2, 3])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        hamming_band_pairs(
+            df, "id", "sig", 64, max_hamming=5, n_chunks=4, bucket_cap=2
+        ).collect()
+    assert any("best-effort" in str(x.message) for x in w)

@@ -293,3 +293,45 @@ def test_pq_append_to_empty_index_raises(spark, sf_dir):
             append_pq_index(spark, emb.limit(5), t)
     finally:
         _drop(spark, t, f"{t}__codebooks")
+
+
+def test_torn_rebalance_is_detected_and_healable(spark, sf_dir):
+    """ADVICE r8: a crash between the rebalance's data rewrite and its
+    centroid swap must be DETECTED (epoch mismatch raises on query and
+    append), never silently probed with stale centroids, and a re-run
+    rebalance heals the index."""
+    from common_survey_data_pipeline_spark.operators.similarity import (
+        append_ivf_index,
+        rebalance_ivf_index,
+    )
+
+    t = "ivf_epoch_test"
+    _drop(spark, t, f"{t}__centroids")
+    emb = load_table(spark, sf_dir, "embeddings")
+    write_ivf_index(spark, emb, t, nlist=4)
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    # healthy index: both stamps 0, queries fine
+    assert ivf_topk_from_index(spark, t, q, k=5, nprobe=4).count() > 0
+
+    # simulate the crash window: data table stamped with the NEW epoch
+    # while the centroids table still carries the old one
+    spark.sql(f"ALTER TABLE {t} SET TBLPROPERTIES ('ivf.epoch'='1')")
+    with pytest.raises(ValueError, match="torn"):
+        ivf_topk_from_index(spark, t, q, k=5, nprobe=4)
+    with pytest.raises(ValueError, match="torn"):
+        append_ivf_index(spark, emb.limit(2), t)
+
+    # re-running the rebalance rewrites both tables and heals
+    rebalance_ivf_index(spark, t)
+    assert ivf_topk_from_index(spark, t, q, k=5, nprobe=4).count() > 0
+    # a completed rebalance leaves matching stamps, bumped past both
+    props_d = {r["key"]: r["value"]
+               for r in spark.sql(f"SHOW TBLPROPERTIES {t}").collect()}
+    props_c = {r["key"]: r["value"]
+               for r in spark.sql(
+                   f"SHOW TBLPROPERTIES {t}__centroids").collect()}
+    assert props_d["ivf.epoch"] == props_c["ivf.epoch"] == "2"
+    _drop(spark, t, f"{t}__centroids")
