@@ -44,9 +44,18 @@ the corpus (hash-stable across engines and partitionings).
 
 100 TB shape: the corpus is read once; the vocab table (≤ ~10⁸ rows for
 web-scale text) lives distributed across the K iterations; per
-iteration only one 1-row argmax crosses to the driver. A known upgrade
-(documented, not implemented) is delta-maintenance of the pair table —
-only words containing the merged pair change counts between iterations.
+iteration only one 1-row argmax crosses to the driver. Training is
+DELTA-MAINTAINED (VERDICT r8 item 3): the pair-count table persists
+across iterations, and each merge recounts pairs only for the words
+that CONTAIN the merged pair — subtract those words' old pair counts,
+add their new ones, fold the signed delta into the table. Per
+iteration that leaves one narrow contains-scan over the vocab (to find
+affected words), a pair explode+agg over AFFECTED words only (the term
+that dominated the recount loop, now proportional to affected-word
+volume), and a pair-table-sized merge — never a full-vocab explode.
+:func:`_train_recount` keeps the naive one-agg-per-round loop as the
+property-test twin (delta ≡ recount on adversarial corpora,
+``tests/test_bpe.py``).
 """
 
 from __future__ import annotations
@@ -88,6 +97,43 @@ def _seq_symbols(seq: Column) -> Column:
     return F.split(seq.substr(F.lit(2), F.length(seq) - 2), r"\|\|")
 
 
+def _pair_counts(vocab: DataFrame, sign: int = 1) -> DataFrame:
+    """Adjacent-pair counts ``(w1, w2, n)`` of a ``(seq, freq)`` frame —
+    overlapping adjacency (the reference-implementation convention),
+    weighted by word frequency. ``sign=-1`` emits negated counts, the
+    subtraction half of a delta."""
+    syms = _seq_symbols(F.col("seq"))
+    return (
+        vocab.select(
+            F.explode(
+                F.when(
+                    F.size(syms) >= 2,
+                    F.zip_with(
+                        F.slice(syms, 1, F.size(syms) - 1),
+                        F.slice(syms, 2, F.size(syms) - 1),
+                        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<w1:string,w2:string>>")
+                )
+            ).alias("p"),
+            "freq",
+        )
+        .groupBy("p.w1", "p.w2")
+        .agg((F.lit(sign) * F.sum("freq")).alias("n"))
+    )
+
+
+def _apply_merge(vocab: DataFrame, w1: str, w2: str) -> DataFrame:
+    """One merge as the literal delimited replace (see module doc)."""
+    return vocab.select(
+        F.replace(
+            F.col("seq"), F.lit(f"|{w1}||{w2}|"), F.lit(f"|{w1}{w2}|")
+        ).alias("seq"),
+        "freq",
+    )
+
+
 def bpe_train(
     docs: DataFrame,
     text_col: str = "text",
@@ -98,46 +144,37 @@ def bpe_train(
     early if the vocabulary runs out of adjacent pairs (every word
     fully merged) — the returned list is then shorter than ``k``.
 
+    DELTA-MAINTAINED pair counts: the pair table is built once from
+    the initial vocab, then per merge only the words CONTAINING the
+    merged pair are recounted — their old pairs subtracted, their new
+    pairs added, the signed delta folded in and zero rows dropped.
+    Recounting affected words wholesale (old seq vs new seq) sidesteps
+    every classic incremental-adjacency bug (overlapping "aaa" runs,
+    merges at word edges): the delta is exact by construction, and
+    :func:`_train_recount` pins delta ≡ recount in the property tests.
+
+    Per iteration: one 1-row argmax ``take(1)`` over the maintained
+    pair table (the round's first job), one narrow ``contains`` scan
+    of the vocab to find affected words, a pair explode+agg over
+    affected words ONLY, and a pair-table merge (union + sum + drop
+    zeros) — materialized eagerly as the round's second job so the
+    cached affected frame can be released. The full-vocab explode that
+    dominated the recount loop is gone; lineage is cut every round
+    (the pagerank pattern).
+
     The merge list is small by construction (k rows) — it is the
     *model*, pulled to the driver the way any trained artifact is.
     """
     if k < 1:
         raise ValueError(f"bpe_train: k must be >= 1, got {k}")
-    # eager=False throughout the loop: the checkpoint materializes as a
-    # side effect of the iteration's ONE action (the argmax take(1)),
-    # so each round costs exactly one job instead of two — lineage is
-    # still truncated after first compute, the pagerank guarantee.
     vocab = (
         _word_freqs(docs, text_col)
         .select(_initial_seq(F.col("w")).alias("seq"), "freq")
         .localCheckpoint(eager=False)
     )
+    pairs = _pair_counts(vocab).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, k + 1):
-        syms = _seq_symbols(F.col("seq"))
-        pairs = (
-            vocab.select(
-                F.explode(
-                    F.when(
-                        F.size(syms) >= 2,
-                        F.zip_with(
-                            F.slice(syms, 1, F.size(syms) - 1),
-                            F.slice(syms, 2, F.size(syms) - 1),
-                            lambda a, b: F.struct(
-                                a.alias("w1"), b.alias("w2")
-                            ),
-                        ),
-                    ).otherwise(
-                        F.array().cast(
-                            "array<struct<w1:string,w2:string>>"
-                        )
-                    )
-                ).alias("p"),
-                "freq",
-            )
-            .groupBy("p.w1", "p.w2")
-            .agg(F.sum("freq").alias("n"))
-        )
         best = pairs.orderBy(
             F.col("n").desc(), F.col("w1"), F.col("w2")
         ).take(1)
@@ -145,14 +182,54 @@ def bpe_train(
             break  # vocabulary fully merged before k steps
         w1, w2, n = best[0]["w1"], best[0]["w2"], int(best[0]["n"])
         merges.append((step, w1, w2, n))
-        vocab = vocab.select(
-            F.replace(
-                F.col("seq"),
-                F.lit(f"|{w1}||{w2}|"),
-                F.lit(f"|{w1}{w2}|"),
-            ).alias("seq"),
-            "freq",
-        ).localCheckpoint(eager=False)
+        # delta: recount ONLY the words containing the merged pair
+        affected = vocab.where(
+            F.col("seq").contains(f"|{w1}||{w2}|")
+        ).cache()
+        delta = _pair_counts(affected, sign=-1).unionByName(
+            _pair_counts(_apply_merge(affected, w1, w2))
+        )
+        pairs = (
+            pairs.unionByName(delta)
+            .groupBy("w1", "w2")
+            .agg(F.sum("n").alias("n"))
+            .where(F.col("n") > 0)
+            # eager: materialize while `affected` is still cached (it
+            # feeds both delta halves), then release the cache
+            .localCheckpoint(eager=True)
+        )
+        affected.unpersist()
+        vocab = _apply_merge(vocab, w1, w2).localCheckpoint(eager=False)
+    return merges
+
+
+def _train_recount(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 32,
+) -> list[tuple[int, str, str, int]]:
+    """The pre-delta training loop — re-aggregate ALL pairs from the
+    whole vocab every iteration (one full-vocab explode + hash agg per
+    round, each round exactly one job via the lazy checkpoint). Kept
+    as the delta path's property-test twin and cost baseline; output
+    contract identical to :func:`bpe_train`."""
+    if k < 1:
+        raise ValueError(f"_train_recount: k must be >= 1, got {k}")
+    vocab = (
+        _word_freqs(docs, text_col)
+        .select(_initial_seq(F.col("w")).alias("seq"), "freq")
+        .localCheckpoint(eager=False)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, k + 1):
+        best = _pair_counts(vocab).orderBy(
+            F.col("n").desc(), F.col("w1"), F.col("w2")
+        ).take(1)
+        if not best:
+            break
+        w1, w2, n = best[0]["w1"], best[0]["w2"], int(best[0]["n"])
+        merges.append((step, w1, w2, n))
+        vocab = _apply_merge(vocab, w1, w2).localCheckpoint(eager=False)
     return merges
 
 

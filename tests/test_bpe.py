@@ -285,3 +285,32 @@ def test_oracle_degenerate_corpus_parity(spark, tmp_path):
         spec = REGISTRY[name]
         res = compare(spec.fn(spark, sf_dir), con, spec.oracle)
         assert res["match"], (name, res["detail"])
+
+
+def test_delta_equals_recount_on_adversarial_corpus(spark):
+    """VERDICT r8 item 3: the delta-maintained pair table must produce
+    the EXACT merge list of the full recount loop — overlapping runs,
+    repeat-adjacent merged pairs, ties, and early exhaustion included."""
+    from common_survey_data_pipeline_spark.operators.bpe import _train_recount
+
+    for k in (1, 3, 8, 32):
+        delta = bpe_train(_docs(spark, ADVERSARIAL), k=k)
+        recount = _train_recount(_docs(spark, ADVERSARIAL), k=k)
+        assert delta == recount, (k, delta, recount)
+
+
+def test_delta_equals_recount_on_random_corpora(spark):
+    from common_survey_data_pipeline_spark.operators.bpe import _train_recount
+
+    rng = random.Random(7)
+    for trial in range(3):
+        texts = [
+            " ".join(
+                "".join(rng.choice("abcd") for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(3, 12))
+            )
+            for _ in range(8)
+        ]
+        delta = bpe_train(_docs(spark, texts), k=10)
+        recount = _train_recount(_docs(spark, texts), k=10)
+        assert delta == recount, (trial, texts, delta, recount)
