@@ -677,3 +677,99 @@ def qgram_edit_pairs(
         .select("id_a", "id_b", F.col("edit_dist").cast("int").alias("edit_dist"))
     )
     return verified
+
+
+def editdist_pairs_mixed(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dist: int = 2,
+    q: int = 4,
+) -> DataFrame:
+    """EXACT edit-distance self-join over a MIXED-LENGTH string pool —
+    the composition :func:`qgram_edit_pairs`'s long-text contract
+    tells callers to build, made first-class with the cutoff chosen
+    internally (VERDICT r8 item 7).
+
+    Regime split at ``L = q·(max_dist+1)`` (the shortest length where
+    the q-gram prefix filter is complete):
+
+    - strings with ``len >= L`` go through the Ed-Join q-gram prefix
+      filter (:func:`qgram_edit_pairs`) — deletion neighborhoods are
+      O(len^d) variants and hopeless for paragraph-length strings;
+    - strings with ``len < L + max_dist`` go through the
+      deletion-neighborhood path (:func:`strdist_neardup_pairs`) —
+      below L the gram filter is incomplete (two strings can be within
+      ``max_dist`` sharing zero grams), and at these bounded lengths
+      the variant fanout is small by construction.
+
+    The ``max_dist``-wide overlap band ``[L, L + max_dist)`` is the
+    cross-regime glue: a (short, long) pair must satisfy the length
+    filter ``|len_a − len_b| <= max_dist``, so its long member is
+    shorter than ``L + max_dist`` and the pair is complete inside the
+    deletion pool; pairs with both members in the band are found by
+    BOTH paths with identical exact rows, so the closing
+    ``drop_duplicates`` (keys only — distances are exact and equal on
+    both paths) restores each-pair-once without an extra verify.
+
+    :func:`strdist_neardup_pairs` works at TEXT level (distinct pool),
+    so its pairs re-attach ids by joining the pool's (id, text) table
+    on each side — duplicate texts fan out to every id combination —
+    and identical-text id pairs (edit distance 0, invisible at text
+    level) are recovered with a text-keyed self equi-join over the
+    short pool (the long pool's exact duplicates already come out of
+    the gram path). Inherits ``strdist_neardup_pairs``' ``max_dist in
+    {1, 2}`` contract.
+
+    Output: ``(id_a, id_b, edit_dist INT)``, ``id_a < id_b``, each
+    unordered pair once — identical to the all-pairs
+    ``levenshtein <= max_dist`` oracle (property-tested on corpora
+    spanning 5–300 chars). No quadratic stage on any path: candidates
+    come from hash-key equi-joins (deletion variants / prefix grams /
+    exact text).
+    """
+    if not 1 <= max_dist <= 2:
+        raise ValueError(
+            "editdist_pairs_mixed inherits the deletion-neighborhood "
+            f"contract: max_dist must be 1 or 2, got {max_dist}"
+        )
+    cutoff = q * (max_dist + 1)
+    s = df.select(
+        F.col(_q(id_col)).alias("__id"), F.col(_q(text_col)).alias("__s")
+    ).where(F.col("__s").isNotNull())
+    short = s.where(F.length("__s") < cutoff + max_dist)
+    long_pairs = qgram_edit_pairs(
+        s.where(F.length("__s") >= cutoff), "__s", "__id", max_dist, q
+    )
+    tp = strdist_neardup_pairs(
+        short, "__s", max_dist, distance_col="edit_dist"
+    )
+    ids_a = short.select(F.col("__id").alias("__ia"), F.col("__s").alias("text_a"))
+    ids_b = short.select(F.col("__id").alias("__ib"), F.col("__s").alias("text_b"))
+    short_pairs = (
+        tp.join(ids_a, "text_a")
+        .join(ids_b, "text_b")
+        .select(
+            F.least("__ia", "__ib").alias("id_a"),
+            F.greatest("__ia", "__ib").alias("id_b"),
+            F.col("edit_dist").cast("int").alias("edit_dist"),
+        )
+    )
+    dup_pairs = (
+        short.join(
+            short.select(
+                F.col("__id").alias("__id2"), F.col("__s").alias("__s2")
+            ),
+            (F.col("__s") == F.col("__s2")) & (F.col("__id") < F.col("__id2")),
+        )
+        .select(
+            F.col("__id").alias("id_a"),
+            F.col("__id2").alias("id_b"),
+            F.lit(0).cast("int").alias("edit_dist"),
+        )
+    )
+    return (
+        long_pairs.unionByName(short_pairs)
+        .unionByName(dup_pairs)
+        .drop_duplicates(["id_a", "id_b"])
+    )

@@ -7983,6 +7983,63 @@ def q_j14_qgram_longtext_join(spark, sf_dir):
     return qgram_edit_pairs(docs, "s", "doc_id", max_dist=12, q=4)
 
 
+@register(
+    "j15_editdist_mixed_lengths",
+    """
+    WITH s AS (
+      SELECT doc_id * 2 AS sid,
+             substring(text, 1, (5 + (doc_id * 7) % 296)::INT) AS s
+      FROM documents WHERE doc_id < 400
+      UNION ALL
+      SELECT doc_id * 2 + 1,
+             substring(text, 1, (6 + (doc_id * 7) % 296)::INT)
+      FROM documents WHERE doc_id < 400
+    )
+    SELECT a.sid AS id_a, b.sid AS id_b,
+           levenshtein(a.s, b.s)::INTEGER AS edit_dist
+    FROM s a JOIN s b ON a.sid < b.sid
+    WHERE a.s IS NOT NULL AND b.s IS NOT NULL
+      AND levenshtein(a.s, b.s) <= 2
+    """,
+)
+def q_j15_editdist_mixed(spark, sf_dir):
+    """Mixed-length edit-distance self-join (VERDICT r8 item 7): the
+    corpus spans ~5–300 chars, a regime NEITHER single blocking scheme
+    covers alone — deletion neighborhoods are O(len^d) variants
+    (hopeless past ~50 chars) while the Ed-Join q-gram prefix filter
+    is incomplete below q·(max_dist+1) chars. The composed operator
+    (``operators/fuzzy_join.py::editdist_pairs_mixed``) splits the
+    pool at that cutoff internally, runs each regime through its
+    proven exact path, and stitches the boundary with a
+    ``max_dist``-wide overlap band (the length filter makes every
+    cross-regime pair complete inside the deletion pool).
+
+    Corpus: two prefix-truncations per document, lengths
+    ``5 + (doc_id·7) % 296`` and one char longer — a planted
+    distance-1 pair at EVERY length from 5 to 300 (distance 0 where
+    the text runs out first), plus whatever cross-document collisions
+    the corpus carries. Oracle: literal all-pairs levenshtein ≤ 2
+    (doc_id < 400 bounds the oracle's quadratic cost; the Spark side
+    has no quadratic stage — plan-pinned)."""
+    from common_survey_data_pipeline_spark.operators.fuzzy_join import (
+        editdist_pairs_mixed,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    pool = docs.select(
+        (F.col("doc_id") * 2).alias("sid"),
+        F.expr("substring(text, 1, CAST(5 + (doc_id * 7) % 296 AS INT))").alias("s"),
+    ).unionByName(
+        docs.select(
+            (F.col("doc_id") * 2 + 1).alias("sid"),
+            F.expr(
+                "substring(text, 1, CAST(6 + (doc_id * 7) % 296 AS INT))"
+            ).alias("s"),
+        )
+    )
+    return editdist_pairs_mixed(pool, "s", "sid", max_dist=2, q=4)
+
+
 # EWMA weights 0.9^k for k = 0..19 as SHARED LITERALS: both engines
 # index the same 20 doubles instead of each calling its own libm
 # pow() (JVM Math.pow and C libm may differ in the last ulp), so the

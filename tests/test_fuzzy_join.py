@@ -317,3 +317,111 @@ class TestQgramEditJoin:
             qgram_edit_pairs(df, "s", "id", max_dist=-1)
         with pytest.raises(ValueError, match="q must be"):
             qgram_edit_pairs(df, "s", "id", max_dist=1, q=0)
+
+
+class TestEditdistMixed:
+    """editdist_pairs_mixed (VERDICT r8 item 7): the q-gram/deletion
+    composition must equal the all-pairs levenshtein on corpora
+    spanning short AND long strings, with the regime boundary stitched
+    by the overlap band."""
+
+    @staticmethod
+    def _naive(spark, df, max_dist):
+        from pyspark.sql import functions as F
+
+        s = df.select(
+            F.col("id").alias("__id"), F.col("s").alias("__s")
+        ).where(F.col("__s").isNotNull())
+        a = s.select(F.col("__id").alias("id_a"), F.col("__s").alias("sa"))
+        b = s.select(F.col("__id").alias("id_b"), F.col("__s").alias("sb"))
+        return {
+            (r["id_a"], r["id_b"], r["ed"])
+            for r in a.crossJoin(b)
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn("ed", F.levenshtein("sa", "sb"))
+            .where(F.col("ed") <= max_dist)
+            .select("id_a", "id_b", F.col("ed").cast("int").alias("ed"))
+            .collect()
+        }
+
+    @staticmethod
+    def _mixed_corpus(seed=7, n=120):
+        """Strings of 5-300 chars dense around the q=4/d=2 boundary
+        (10-16), with planted 1- and 2-edit variants and exact dups."""
+        import random
+
+        rng = random.Random(seed)
+        rows, i = [], 0
+        lengths = [5, 8, 10, 11, 12, 13, 14, 16, 25, 60, 150, 300]
+        for _ in range(n):
+            ln = rng.choice(lengths)
+            base = "".join(rng.choice("abcde") for _ in range(ln))
+            rows.append((i, base)); i += 1
+            r = rng.random()
+            if r < 0.3:  # 1-edit variant (may cross the boundary)
+                sl = list(base)
+                op = rng.choice("sid")
+                p = rng.randrange(len(sl))
+                if op == "s":
+                    sl[p] = rng.choice("abcde")
+                elif op == "i":
+                    sl.insert(p, rng.choice("abcde"))
+                else:
+                    del sl[p]
+                rows.append((i, "".join(sl))); i += 1
+            elif r < 0.45:  # exact duplicate
+                rows.append((i, base)); i += 1
+            elif r < 0.6:  # 2-edit, length +/- 2 (max boundary reach)
+                if rng.random() < 0.5:
+                    rows.append((i, base + "xy")); i += 1
+                elif len(base) > 6:
+                    rows.append((i, base[:-2])); i += 1
+        return rows
+
+    @pytest.mark.parametrize("max_dist", [1, 2])
+    def test_mixed_equals_naive(self, spark, max_dist):
+        from common_survey_data_pipeline_spark.operators.fuzzy_join import (
+            editdist_pairs_mixed,
+        )
+
+        df = spark.createDataFrame(
+            self._mixed_corpus(), "id long, s string"
+        )
+        got = {
+            (r["id_a"], r["id_b"], r["edit_dist"])
+            for r in editdist_pairs_mixed(
+                df, "s", "id", max_dist=max_dist
+            ).collect()
+        }
+        want = self._naive(spark, df, max_dist)
+        assert got == want
+        assert len(want) >= 25  # the corpus really spans both regimes
+        spark.catalog.clearCache()
+
+    def test_cross_boundary_pair_found(self, spark):
+        from common_survey_data_pipeline_spark.operators.fuzzy_join import (
+            editdist_pairs_mixed,
+        )
+
+        # q=4, d=2 -> cutoff 12: one string below it (len 11), one at it
+        # (len 13) within distance 2 — only the overlap band finds this
+        df = spark.createDataFrame(
+            [(1, "abcdeabcdea"), (2, "abcdeabcdeaxy"),
+             (3, "zzzzz"), (4, "zzzzz")],
+            "id long, s string",
+        )
+        rows = {
+            (r["id_a"], r["id_b"], r["edit_dist"])
+            for r in editdist_pairs_mixed(df, "s", "id", max_dist=2).collect()
+        }
+        assert rows == {(1, 2, 2), (3, 4, 0)}
+        spark.catalog.clearCache()
+
+    def test_rejects_unsupported_max_dist(self, spark):
+        from common_survey_data_pipeline_spark.operators.fuzzy_join import (
+            editdist_pairs_mixed,
+        )
+
+        df = spark.createDataFrame([(1, "abc")], "id long, s string")
+        with pytest.raises(ValueError, match="max_dist"):
+            editdist_pairs_mixed(df, "s", "id", max_dist=3)

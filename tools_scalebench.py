@@ -289,6 +289,94 @@ def hamming_hub_probe(
         print(f"| {n:,} | {shown} | {t_cap:.1f} | {n_cap:,} |")
 
 
+def bpe_delta_probe() -> None:
+    """Per-iteration cost probe for delta-maintained BPE training
+    (VERDICT r8 item 3): vocab size and affected-word count scale
+    INDEPENDENTLY, and per-iteration time must track the affected
+    count, not the vocab.
+
+    Corpus construction pins every argmax to a planted structure:
+    ``P`` planted words share an alternating core ``("ab")*256`` (each
+    framed by a per-word unique codepoint so the words are distinct),
+    giving the round-j merged pair a count ≥ P — while the ``V`` noise
+    words are unique 2-codepoint strings whose single pair has count
+    exactly 1, so noise can never win a merge and the affected set is
+    exactly the P planted words, every round. The expected merge
+    sequence ((a,b) → (ab,ab) → ...) is asserted, so a probe whose
+    corpus drifted off-plan fails instead of measuring the wrong thing.
+
+    Per-iteration time = (t(k=8) − t(k=1)) / 7, isolating the loop from
+    the shared corpus pass + initial pair build. Delta vs recount
+    (:func:`_train_recount`) at each point.
+    """
+    from common_survey_data_pipeline_spark.operators.bpe import (
+        _train_recount,
+        bpe_train,
+    )
+
+    spark = get_spark(
+        app_name="csdp-bpe-delta-probe",
+        shuffle_partitions=32,
+        extra_conf={"spark.driver.memory": "16g", "spark.ui.enabled": "false"},
+    )
+
+    core = "ab" * 256
+
+    def corpus(P: int, V: int):
+        words = [
+            chr(0x3000 + i) + core + chr(0x5000 + i) for i in range(P)
+        ] + [
+            chr(0x1100 + i // 2048) + chr(0x6000 + i % 2048)
+            for i in range(V)
+        ]
+        docs = [
+            (d, " ".join(words[d * 100 : (d + 1) * 100]))
+            for d in range((len(words) + 99) // 100)
+        ]
+        return spark.createDataFrame(
+            docs, "doc_id long, text string"
+        ).repartition(32).localCheckpoint(eager=True)
+
+    def per_iter(train, docs) -> float:
+        m8 = None
+
+        def run8():
+            nonlocal m8
+            m8 = train(docs, k=8)
+
+        t8 = timed(run8)
+        # the probe is only meaningful while every merge stays planted
+        assert [m[1:3] for m in m8[:2]] == [("a", "b"), ("ab", "ab")], m8
+        assert len(m8) == 8, m8
+        t1 = timed(lambda: train(docs, k=1))
+        return (t8 - t1) / 7
+
+    # codegen/JIT warmup on a throwaway corpus: the first training in a
+    # fresh JVM pays the generated-class compile for every plan shape,
+    # which would otherwise land entirely on the first table row
+    warm = corpus(16, 5_000)
+    per_iter(bpe_train, warm)
+    per_iter(_train_recount, warm)
+    warm.unpersist()
+
+    print("| experiment | P (affected) | V (vocab noise) | delta s/iter | recount s/iter |")
+    print("|---|---|---|---|---|")
+    for P, V, tag in (
+        (64, 50_000, "A: vocab 16x, affected fixed"),
+        (64, 200_000, "A"),
+        (64, 800_000, "A"),
+        (256, 200_000, "B: affected 16x, vocab fixed"),
+        (1_024, 200_000, "B"),
+        (4_096, 200_000, "B"),
+    ):
+        docs = corpus(P, V)
+        d = per_iter(bpe_train, docs)
+        r = per_iter(_train_recount, docs)
+        print(f"| {tag} | {P} | {V} | {d:.2f} | {r:.2f} |")
+        docs.unpersist()
+        spark.catalog.clearCache()
+
+
 def skew_probe() -> None:
     """Hot-key join stress: 16M-row fact where ONE key holds 50% of the
     rows, joined to a 100k-row dim, feeding a per-row transform (sha2)
@@ -484,6 +572,12 @@ def main() -> None:
         "(capped vs uncapped on an all-one-bucket signature corpus)",
     )
     ap.add_argument(
+        "--bpe-delta",
+        action="store_true",
+        help="run the delta-vs-recount BPE per-iteration probe "
+        "(vocab and affected-word count scaled independently)",
+    )
+    ap.add_argument(
         "--partitions",
         type=int,
         default=64,
@@ -495,6 +589,9 @@ def main() -> None:
     cli = ap.parse_args()
     if cli.skew:
         skew_probe()
+        return
+    if cli.bpe_delta:
+        bpe_delta_probe()
         return
     if cli.hamming_hub:
         hamming_hub_probe()
