@@ -635,3 +635,14 @@ def test_j14_qgram_join_has_no_quadratic_stage(run, spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
     spark.catalog.clearCache()
+
+
+def test_j15_mixed_editdist_has_no_quadratic_stage(run, spark):
+    # the mixed-length composition must stay equi-keyed on every path:
+    # deletion variants (hashed), prefix grams (hashed), exact text —
+    # no cartesian/nested-loop, no Python row UDFs anywhere
+    plan = plan_of(run("j15_editdist_mixed_lengths"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    spark.catalog.clearCache()
