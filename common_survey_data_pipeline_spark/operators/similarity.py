@@ -1114,31 +1114,47 @@ def _table_props(spark, table: str) -> dict:
     }
 
 
-def _ivf_set_epoch(spark, table: str, epoch: int) -> None:
-    """Stamp the shared consistency epoch on one of the index's two
-    tables (data or ``__centroids``)."""
+def _set_epoch(spark, table: str, epoch: int, key: str = "ivf.epoch") -> None:
+    """Stamp the shared consistency epoch on one of an index's tables."""
     spark.sql(
-        f"ALTER TABLE {table} SET TBLPROPERTIES ('ivf.epoch'='{epoch}')"
+        f"ALTER TABLE {table} SET TBLPROPERTIES ('{key}'='{epoch}')"
     )
 
 
+def _check_epochs(
+    spark,
+    table: str,
+    suffixes: tuple[str, ...],
+    key: str,
+    heal_hint: str,
+) -> None:
+    """Verify the data table and every companion carry the SAME epoch
+    stamp. A rebalance writes an index's tables non-atomically; a
+    crash between the data rewrite and a companion swap would
+    otherwise leave rows encoded/partitioned under NEW geometry while
+    queries rank with the OLD one — silent recall collapse (ADVICE
+    r8). Epoch mismatch fails loudly instead; re-running the rebalance
+    rewrites every table and heals the index. Pre-epoch indexes (no
+    stamp anywhere) pass unchecked."""
+    d = _table_props(spark, table).get(key)
+    for sfx in suffixes:
+        c = _table_props(spark, f"{table}{sfx}").get(key)
+        if d != c:
+            raise ValueError(
+                f"index {table!r} is torn: data epoch {d!r} != "
+                f"{sfx.lstrip('_')} epoch {c!r} — a rebalance crashed "
+                f"between its non-atomic writes. Re-run {heal_hint} to heal."
+            )
+
+
+def _ivf_set_epoch(spark, table: str, epoch: int) -> None:
+    _set_epoch(spark, table, epoch, "ivf.epoch")
+
+
 def _ivf_check_epochs(spark, table: str) -> None:
-    """Verify the data table and its ``__centroids`` companion carry
-    the SAME ``ivf.epoch`` stamp. A rebalance writes the two tables
-    non-atomically; a crash between the data rewrite and the centroid
-    swap would otherwise leave rows partitioned by NEW centroids while
-    probes rank with the OLD ones — silent recall collapse (ADVICE
-    r8). Epoch mismatch fails loudly instead; re-running
-    :func:`rebalance_ivf_index` rewrites both and heals the index.
-    Pre-epoch indexes (no stamp on either table) pass unchecked."""
-    d = _table_props(spark, table).get("ivf.epoch")
-    c = _table_props(spark, f"{table}__centroids").get("ivf.epoch")
-    if d != c:
-        raise ValueError(
-            f"IVF index {table!r} is torn: data epoch {d!r} != centroid "
-            f"epoch {c!r} — a rebalance crashed between the data rewrite "
-            "and the centroid swap. Re-run rebalance_ivf_index to heal."
-        )
+    _check_epochs(
+        spark, table, ("__centroids",), "ivf.epoch", "rebalance_ivf_index"
+    )
 
 
 def write_ivf_index(
@@ -1575,6 +1591,8 @@ def write_pq_index(
             f"ALTER TABLE {table} SET TBLPROPERTIES "
             f"('pq.m'='{m}', 'pq.ksub'='{ksub}', 'pq.seed'='{seed}')"
         )
+        _set_epoch(spark, table, 0, "pq.epoch")
+        _set_epoch(spark, f"{table}__codebooks", 0, "pq.epoch")
         return
     train = np.stack(tr["embedding"].to_numpy()).astype("float64")
     if train.shape[1] % m != 0:
@@ -1599,6 +1617,14 @@ def write_pq_index(
     spark.createDataFrame(
         rows, "j int, c int, centroid array<double>"
     ).write.mode("overwrite").saveAsTable(f"{table}__codebooks")
+    _set_epoch(spark, table, 0, "pq.epoch")
+    _set_epoch(spark, f"{table}__codebooks", 0, "pq.epoch")
+
+
+def _pq_check_epochs(spark, table: str) -> None:
+    _check_epochs(
+        spark, table, ("__codebooks",), "pq.epoch", "rebalance_pq_index"
+    )
 
 
 def _pq_load_books(spark, table: str) -> "np.ndarray":
@@ -1633,6 +1659,7 @@ def append_pq_index(
     )
     if batch.first() is None:
         return
+    _pq_check_epochs(spark, table)
     books = _pq_load_books(spark, table)
     if books.size == 0:
         raise ValueError(
@@ -1681,6 +1708,7 @@ def pq_topk_from_index(
     cid_t = corpus.schema[corpus_id].dataType.simpleString()
     out_schema = f"query_id {qid_t}, vec_id {cid_t}, cosine_sim double, rank int"
     adc_schema = f"query_id {qid_t}, vec_id {cid_t}, adc_score double"
+    _pq_check_epochs(spark, table)
     qpd = queries.select(
         F.col(query_id).alias("qid"), F.col(query_vec).alias("qv")
     ).toPandas()
@@ -1726,6 +1754,462 @@ def pq_topk_from_index(
                 yield pd.concat(out)
 
     partial = spark.table(table).mapInPandas(block, adc_schema)
+    w_sl = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc_nulls_last(), F.col("vec_id").asc()
+    )
+    short = (
+        partial.withColumn("__r", F.row_number().over(w_sl))
+        .where(F.col("__r") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    return _rerank_shortlist(
+        corpus, queries, short,
+        corpus_id, corpus_vec, query_id, query_vec, k, exclude_self,
+    )
+
+
+def rebalance_pq_index(
+    spark,
+    corpus: DataFrame,
+    table: str,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    m: int | None = None,
+    ksub: int | None = None,
+    train_cap: int = 16384,
+    seed: int = 43,
+) -> None:
+    """Retrain a persisted PQ index's codebooks on the CURRENT corpus
+    and re-encode every vector in one pass — the rebalance verb of the
+    PQ lifecycle (VERDICT r8 item 6), healing the quantization-error
+    drift :func:`append_pq_index`'s frozen codebooks accumulate (the
+    same failure family :func:`rebalance_ivf_index` fixes for cells).
+
+    The codes table stores no floats, so the rebalance takes the float
+    ``corpus`` (the vector store the exact rerank already reads):
+    codebooks retrain on a bounded id-ordered sample (``train_cap``
+    rows, deterministic — the FAISS production shape), the corpus
+    re-encodes in ONE ``mapInPandas`` pass, and codes + codebooks swap
+    in under a bumped shared ``pq.epoch`` — every crash window between
+    the two non-atomic writes is detected by the epoch check on query
+    and append (:func:`_pq_check_epochs`); re-running the rebalance
+    heals. ``m``/``ksub`` default to the stored build parameters.
+    """
+    props = _table_props(spark, table)
+    if m is None:
+        if "pq.m" not in props:
+            raise ValueError(
+                f"PQ index {table!r} has no stored pq.m property — not "
+                "built by write_pq_index? Pass m explicitly."
+            )
+        m = int(props["pq.m"])
+    if ksub is None:
+        ksub = int(props.get("pq.ksub", "64"))
+    corpus = corpus.where(
+        F.col(corpus_vec).isNotNull()
+        & F.col(corpus_id).isNotNull()
+        & (l2_norm(F.col(corpus_vec)) > 0)
+    )
+    src = corpus.select(
+        F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("embedding")
+    )
+    tr = src.select("embedding").orderBy(src["vec_id"]).limit(
+        train_cap
+    ).toPandas()
+    if len(tr) == 0:
+        return  # empty corpus: nothing to re-encode
+    train = np.stack(tr["embedding"].to_numpy()).astype("float64")
+    if train.shape[1] % m != 0:
+        raise ValueError(
+            f"PQ subspace count m={m} must divide the embedding "
+            f"dimension {train.shape[1]}"
+        )
+    train /= np.linalg.norm(train, axis=1, keepdims=True)
+    books = _pq_train_codebooks(train, m, ksub, seed)
+    epoch = int(props.get("pq.epoch", "0")) + 1
+    cid_t = src.schema["vec_id"].dataType.simpleString()
+    schema = f"vec_id {cid_t}, codes array<smallint>"
+    src.mapInPandas(_pq_encode_kernel(books), schema).write.mode(
+        "overwrite"
+    ).saveAsTable(table)
+    spark.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES "
+        f"('pq.m'='{m}', 'pq.ksub'='{ksub}', 'pq.seed'='{seed}', "
+        f"'pq.epoch'='{epoch}')"
+    )
+    rows = [
+        (j, c, [float(x) for x in books[j, c]])
+        for j in range(books.shape[0])
+        for c in range(books.shape[1])
+    ]
+    spark.createDataFrame(
+        rows, "j int, c int, centroid array<double>"
+    ).write.mode("overwrite").saveAsTable(f"{table}__codebooks")
+    _set_epoch(spark, f"{table}__codebooks", epoch, "pq.epoch")
+
+
+def pq_adc_mse(
+    spark,
+    table: str,
+    corpus: DataFrame,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> float:
+    """Mean squared RECONSTRUCTION error of a persisted PQ index
+    against the float corpus — the drift metric a PQ deployment
+    monitors (ADC score error is bounded by reconstruction error via
+    Cauchy-Schwarz): decode each stored code through the stored
+    codebooks and average ||unit(v) − decode(codes)||². One join +
+    one Arrow pass; returns a driver-side float (a METRIC, not data).
+    """
+    import pandas as pd
+
+    books = _pq_load_books(spark, table)
+    if books.size == 0:
+        return float("nan")
+    bc = spark.sparkContext.broadcast(books)
+    joined = spark.table(table).join(
+        corpus.select(
+            F.col(corpus_id).alias("vec_id"),
+            F.col(corpus_vec).alias("embedding"),
+        ),
+        "vec_id",
+    )
+
+    def err(it):
+        bks = bc.value
+        m, _, dsub = bks.shape
+        for pdf in it:
+            if not len(pdf):
+                continue
+            vm = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            vm /= np.linalg.norm(vm, axis=1, keepdims=True)
+            codes = np.stack(pdf["codes"].to_numpy()).astype("int64")
+            rec = np.concatenate(
+                [bks[j][codes[:, j]] for j in range(m)], axis=1
+            )
+            se = ((vm - rec) ** 2).sum(1)
+            yield pd.DataFrame({"se": se, "n": np.ones(len(se))})
+
+    agg = (
+        joined.mapInPandas(err, "se double, n double")
+        .agg(F.sum("se").alias("se"), F.sum("n").alias("n"))
+        .first()
+    )
+    return float(agg["se"] / agg["n"]) if agg["n"] else float("nan")
+
+
+# ---------------------------------------------------------------------------
+# Composed persisted IVF+PQ index (VERDICT r8 item 5) — the
+# billion-vector production layout: residual CODES at rest,
+# partitioned by coarse cell. Queries prune to probed-cell partitions
+# AND scan compressed — the multiplied savings ivfpq_topk computes
+# transiently, now with both index halves persisted
+# (write/append/query, the band-table lifecycle pattern).
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_check_epochs(spark, table: str) -> None:
+    _check_epochs(
+        spark,
+        table,
+        ("__centroids", "__codebooks"),
+        "ivfpq.epoch",
+        "write_ivfpq_index",
+    )
+
+
+def _ivfpq_encode_kernel(cents: "np.ndarray", books: "np.ndarray"):
+    """mapInPandas kernel: assign each vector its nearest coarse cell
+    (euclidean over unit vectors ≡ cosine) and PQ-encode its RESIDUAL
+    against the cell centroid — batched matmuls throughout."""
+    import pandas as pd
+
+    m, _, dsub = books.shape
+
+    def encode(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            vm = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            vm /= np.linalg.norm(vm, axis=1, keepdims=True)
+            d2c = (
+                (vm**2).sum(1, keepdims=True)
+                - 2.0 * vm @ cents.T
+                + (cents**2).sum(1)[None, :]
+            )
+            cell = d2c.argmin(1)
+            rm = vm - cents[cell]
+            codes = np.zeros((len(vm), m), dtype="int16")
+            for j in range(m):
+                x = rm[:, j * dsub : (j + 1) * dsub]
+                d2 = (
+                    (x**2).sum(1, keepdims=True)
+                    - 2.0 * x @ books[j].T
+                    + (books[j] ** 2).sum(1)[None, :]
+                )
+                codes[:, j] = d2.argmin(1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "codes": list(codes),
+                    "cell": cell.astype("int32"),
+                }
+            )
+
+    return encode
+
+
+def write_ivfpq_index(
+    spark,
+    corpus: DataFrame,
+    table: str,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    nlist: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    train_cap: int = 16384,
+    seed: int = 42,
+) -> None:
+    """Build and persist the composed IVF+PQ index: coarse quantizer +
+    residual codebooks train on ONE bounded id-ordered sample (the
+    FAISS ``IVFx,PQy`` shape ``ivfpq_topk`` computes transiently),
+    then one corpus pass writes ``(vec_id, codes, cell)`` PARTITIONED
+    BY cell — the directory layout is the inverted file AND the rows
+    are m·2-byte residual codes, so a query reads ``nprobe/nlist`` of
+    the files at PQ compression: the multiplied savings, both at rest.
+    Centroids and codebooks land in companion tables; build params are
+    table properties; all three tables share an ``ivfpq.epoch`` stamp
+    (torn multi-table writes fail loudly at query/append time)."""
+    corpus = corpus.where(
+        F.col(corpus_vec).isNotNull()
+        & F.col(corpus_id).isNotNull()
+        & (l2_norm(F.col(corpus_vec)) > 0)
+    )
+    cid_t = corpus.schema[corpus_id].dataType.simpleString()
+    schema = f"vec_id {cid_t}, codes array<smallint>, cell int"
+    src = corpus.select(
+        F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("embedding")
+    )
+    props = (
+        f"'ivfpq.nlist'='{nlist}', 'ivfpq.m'='{m}', "
+        f"'ivfpq.ksub'='{ksub}', 'ivfpq.seed'='{seed}'"
+    )
+    tr = src.select("embedding").orderBy(src["vec_id"]).limit(
+        train_cap
+    ).toPandas()
+    if len(tr) == 0:
+        spark.createDataFrame([], schema).write.mode(
+            "overwrite"
+        ).partitionBy("cell").saveAsTable(table)
+        spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({props})")
+        spark.createDataFrame(
+            [], "cell int, centroid array<double>"
+        ).write.mode("overwrite").saveAsTable(f"{table}__centroids")
+        spark.createDataFrame(
+            [], "j int, c int, centroid array<double>"
+        ).write.mode("overwrite").saveAsTable(f"{table}__codebooks")
+        for t in (table, f"{table}__centroids", f"{table}__codebooks"):
+            _set_epoch(spark, t, 0, "ivfpq.epoch")
+        return
+    train = np.stack(tr["embedding"].to_numpy()).astype("float64")
+    if train.shape[1] % m != 0:
+        raise ValueError(
+            f"PQ subspace count m={m} must divide the embedding "
+            f"dimension {train.shape[1]}"
+        )
+    train /= np.linalg.norm(train, axis=1, keepdims=True)
+    cents = _pq_train_codebooks(train, 1, min(nlist, len(train)), seed)[0]
+    assign_tr = (
+        (train**2).sum(1, keepdims=True)
+        - 2.0 * train @ cents.T
+        + (cents**2).sum(1)[None, :]
+    ).argmin(1)
+    books = _pq_train_codebooks(train - cents[assign_tr], m, ksub, seed + 1)
+    src.mapInPandas(_ivfpq_encode_kernel(cents, books), schema).write.mode(
+        "overwrite"
+    ).partitionBy("cell").saveAsTable(table)
+    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({props})")
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    ).write.mode("overwrite").saveAsTable(f"{table}__centroids")
+    spark.createDataFrame(
+        [
+            (j, c, [float(x) for x in books[j, c]])
+            for j in range(books.shape[0])
+            for c in range(books.shape[1])
+        ],
+        "j int, c int, centroid array<double>",
+    ).write.mode("overwrite").saveAsTable(f"{table}__codebooks")
+    for t in (table, f"{table}__centroids", f"{table}__codebooks"):
+        _set_epoch(spark, t, 0, "ivfpq.epoch")
+
+
+def _ivfpq_load(spark, table: str):
+    """(centroids (nlist, d), cell_ids (nlist,), codebooks (m, ksub,
+    dsub)) from the companion tables — index-sized driver reads."""
+    cpd = spark.table(f"{table}__centroids").orderBy("cell").toPandas()
+    books = _pq_load_books(spark, table)
+    if len(cpd) == 0 or books.size == 0:
+        return None
+    cents = np.stack(cpd["centroid"].to_numpy()).astype("float64")
+    return cents, cpd["cell"].to_numpy(), books
+
+
+def append_ivfpq_index(
+    spark,
+    batch: DataFrame,
+    table: str,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> None:
+    """Append an ingest batch to a persisted IVF+PQ index without
+    retraining: assign to the nearest STORED centroid, encode the
+    residual with the STORED codebooks, append through the same cell
+    partitioning — O(batch), existing files never read. Both drift
+    modes (cell skew, quantization error) degrade gracefully; heal
+    with :func:`write_ivfpq_index` (full retrain) when the
+    distribution moves."""
+    batch = batch.where(
+        F.col(corpus_vec).isNotNull()
+        & F.col(corpus_id).isNotNull()
+        & (l2_norm(F.col(corpus_vec)) > 0)
+    )
+    if batch.first() is None:
+        return
+    _ivfpq_check_epochs(spark, table)
+    loaded = _ivfpq_load(spark, table)
+    if loaded is None:
+        raise ValueError(
+            f"IVF+PQ index {table!r} has no centroids/codebooks (built "
+            "from an empty corpus) — rebuild with write_ivfpq_index "
+            "before appending"
+        )
+    cents, _, books = loaded
+    cid_t = batch.schema[corpus_id].dataType.simpleString()
+    schema = f"vec_id {cid_t}, codes array<smallint>, cell int"
+    batch.select(
+        F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("embedding")
+    ).mapInPandas(_ivfpq_encode_kernel(cents, books), schema).write.mode(
+        "append"
+    ).partitionBy("cell").saveAsTable(table)
+
+
+def ivfpq_topk_from_index(
+    spark,
+    table: str,
+    queries: DataFrame,
+    corpus: DataFrame,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 100,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Query a persisted IVF+PQ index: rank stored centroids per query
+    with the assignment metric q·c − ||c||²/2 (the FAISS convention —
+    shared with every IVF path here), prune the scan to the probed
+    cells' PARTITIONS via an IN-filter (plan-locked), ADC-score the
+    surviving residual codes (coarse offset + m LUT gathers per row,
+    one Arrow batch at a time), cut a global per-query shortlist, and
+    exactly rerank against the float ``corpus`` — a point-lookup join
+    on shortlist ids, never a corpus scan. Same output contract as
+    ``cosine_topk``/``ivfpq_topk``; zero training or assignment at
+    query time."""
+    import pandas as pd
+
+    _ivfpq_check_epochs(spark, table)
+    queries = queries.where(
+        F.col(query_vec).isNotNull()
+        & F.col(query_id).isNotNull()
+        & (l2_norm(F.col(query_vec)) > 0)
+    )
+    qid_t = queries.schema[query_id].dataType.simpleString()
+    cid_t = corpus.schema[corpus_id].dataType.simpleString()
+    out_schema = f"query_id {qid_t}, vec_id {cid_t}, cosine_sim double, rank int"
+    adc_schema = f"query_id {qid_t}, vec_id {cid_t}, adc_score double"
+    qpd = queries.select(
+        F.col(query_id).alias("qid"), F.col(query_vec).alias("qv")
+    ).toPandas()
+    loaded = _ivfpq_load(spark, table)
+    if len(qpd) == 0 or loaded is None:
+        return spark.createDataFrame([], out_schema)
+    cents, cell_ids, books = loaded
+    q_ids = qpd["qid"].to_numpy()
+    qm = np.stack(qpd["qv"].to_numpy()).astype("float64")
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    n_q = len(qm)
+    m, _, dsub = books.shape
+    n_cells = len(cents)
+    eff_probe = min(nprobe, n_cells)
+    # coarse ADC term is the raw dot q·c; probe RANKING uses the
+    # assignment metric (see ivfpq_topk's probe-metric note)
+    offsets = qm @ cents.T  # (nq, nlist), indexed by centroid ROW
+    probe_score = offsets - 0.5 * (cents**2).sum(1)[None, :]
+    probe_rank = np.argsort(-probe_score, axis=1, kind="stable")
+    # map centroid rows -> stored cell ids; masks/offsets index by the
+    # POSITION of a cell id in cell_ids (cell ids are dense from the
+    # build, but the lookup stays correct if they ever are not)
+    pos_of = {int(c): i for i, c in enumerate(cell_ids)}
+    probe_mask = np.zeros((n_q, n_cells), dtype=bool)
+    rows_ix = np.arange(n_q)[:, None]
+    probe_mask[rows_ix, probe_rank[:, :eff_probe]] = True
+    probed_cells = sorted(
+        {int(cell_ids[c]) for qi in range(n_q)
+         for c in probe_rank[qi, :eff_probe]}
+    )
+    # per-query residual LUTs precomputed driver-side (nq × m × ksub
+    # doubles — query-set-sized, small): luts[q, j, c] = q_sub_j · book_jc
+    luts = np.stack(
+        [qm[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m)],
+        axis=1,
+    )
+    bc = spark.sparkContext.broadcast(
+        (q_ids, luts, offsets, probe_mask, pos_of)
+    )
+
+    def block(it):
+        ids_q, lut, offs, pmask, pos = bc.value
+        mm = lut.shape[1]
+        for pdf in it:
+            if not len(pdf):
+                continue
+            c_ids = pdf["vec_id"].to_numpy()
+            codes = np.stack(pdf["codes"].to_numpy()).astype("int64")
+            cellpos = np.array([pos[int(c)] for c in pdf["cell"]])
+            scores = offs[:, cellpos].copy()
+            for j in range(mm):
+                scores += lut[:, j, codes[:, j]]
+            scores = np.where(pmask[:, cellpos], scores, -np.inf)
+            out = []
+            for qi, qid in enumerate(ids_q):
+                col = scores[qi]
+                live = np.flatnonzero(np.isfinite(col))
+                if len(live) == 0:
+                    continue
+                take = min(shortlist, len(live))
+                order = live[np.lexsort((c_ids[live], -col[live]))[:take]]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "vec_id": c_ids[order],
+                            "adc_score": col[order],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out)
+
+    # the IN filter on the partition column is what prunes the scan to
+    # probed cells' directories
+    codes_scan = spark.table(table).where(F.col("cell").isin(probed_cells))
+    partial = codes_scan.mapInPandas(block, adc_schema)
     w_sl = Window.partitionBy("query_id").orderBy(
         F.col("adc_score").desc_nulls_last(), F.col("vec_id").asc()
     )

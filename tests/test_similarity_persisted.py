@@ -335,3 +335,212 @@ def test_torn_rebalance_is_detected_and_healable(spark, sf_dir):
                    f"SHOW TBLPROPERTIES {t}__centroids").collect()}
     assert props_d["ivf.epoch"] == props_c["ivf.epoch"] == "2"
     _drop(spark, t, f"{t}__centroids")
+
+
+class TestIvfPqPersisted:
+    """Composed persisted IVF+PQ index (VERDICT r8 item 5): probed-cell
+    partition pruning AND codes-only scan, append through stored
+    geometry, torn-write detection."""
+
+    TABLE = "ivfpq_index_test"
+    NLIST = 8
+
+    @pytest.fixture(scope="class")
+    def ivfpq(self, spark, sf_dir):
+        from common_survey_data_pipeline_spark.operators.similarity import (
+            write_ivfpq_index,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        _drop(spark, self.TABLE, f"{self.TABLE}__centroids",
+              f"{self.TABLE}__codebooks")
+        write_ivfpq_index(spark, emb, self.TABLE, nlist=self.NLIST,
+                          m=16, ksub=64)
+        yield emb
+        _drop(spark, self.TABLE, f"{self.TABLE}__centroids",
+              f"{self.TABLE}__codebooks")
+
+    @pytest.fixture(scope="class")
+    def qs(self, ivfpq):
+        return ivfpq.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+
+    def test_recall_at_full_probe(self, spark, ivfpq, qs):
+        from common_survey_data_pipeline_spark.operators.similarity import (
+            ivfpq_topk_from_index,
+        )
+
+        ann = {
+            (r.query_id, r.vec_id)
+            for r in ivfpq_topk_from_index(
+                spark, self.TABLE, qs, ivfpq, k=10, nprobe=self.NLIST,
+                shortlist=200,
+            ).collect()
+        }
+        exact = {
+            (r.query_id, r.vec_id)
+            for r in cosine_topk(ivfpq, qs, k=10).collect()
+        }
+        assert len(ann & exact) / len(exact) >= 0.9
+
+    def test_scan_prunes_partitions_and_reads_codes_only(
+        self, spark, ivfpq, qs
+    ):
+        import re
+
+        from common_survey_data_pipeline_spark.operators.similarity import (
+            ivfpq_topk_from_index,
+        )
+
+        ann = ivfpq_topk_from_index(
+            spark, self.TABLE, qs, ivfpq, k=10, nprobe=2
+        )
+        plan = ann._jdf.queryExecution().executedPlan().toString()
+        scan_lines = [
+            l for l in plan.splitlines()
+            if self.TABLE in l and "FileScan" in l
+        ]
+        assert scan_lines, plan
+        assert re.search(r"cell#\d+ IN \(", plan), plan
+        m = re.search(r"InMemoryFileIndex\((\d+) paths\)", scan_lines[0])
+        assert m and int(m.group(1)) < self.NLIST, scan_lines[0]
+        # codes-only: the index scan reads no float vectors — the only
+        # ReadSchema on the index table carries codes, never embedding
+        assert re.search(
+            r"ReadSchema:.*codes", scan_lines[0]
+        ) and "embedding" not in scan_lines[0], scan_lines[0]
+
+    def test_append_uses_stored_geometry_and_keeps_recall(self, spark, sf_dir):
+        from common_survey_data_pipeline_spark.operators.similarity import (
+            append_ivfpq_index,
+            ivfpq_topk_from_index,
+            write_ivfpq_index,
+        )
+
+        t = "ivfpq_append_test"
+        _drop(spark, t, f"{t}__centroids", f"{t}__codebooks")
+        emb = load_table(spark, sf_dir, "embeddings")
+        first = emb.where(F.col("vec_id") % 2 == 0)
+        later = emb.where(F.col("vec_id") % 2 == 1)
+        write_ivfpq_index(spark, first, t, nlist=self.NLIST, m=16, ksub=64)
+        files_before = set(spark.table(t).inputFiles())
+        append_ivfpq_index(spark, later, t)
+        # append never rewrites the existing files
+        assert files_before <= set(spark.table(t).inputFiles())
+        qs = emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        ann = {
+            (r.query_id, r.vec_id)
+            for r in ivfpq_topk_from_index(
+                spark, t, qs, emb, k=10, nprobe=self.NLIST, shortlist=200
+            ).collect()
+        }
+        exact = {
+            (r.query_id, r.vec_id)
+            for r in cosine_topk(emb, qs, k=10).collect()
+        }
+        assert len(ann & exact) / len(exact) >= 0.9
+        _drop(spark, t, f"{t}__centroids", f"{t}__codebooks")
+
+    def test_torn_write_detected(self, spark, ivfpq, qs):
+        from common_survey_data_pipeline_spark.operators.similarity import (
+            append_ivfpq_index,
+            ivfpq_topk_from_index,
+        )
+
+        spark.sql(
+            f"ALTER TABLE {self.TABLE}__codebooks "
+            "SET TBLPROPERTIES ('ivfpq.epoch'='9')"
+        )
+        try:
+            with pytest.raises(ValueError, match="torn"):
+                ivfpq_topk_from_index(spark, self.TABLE, qs, ivfpq, k=5)
+            with pytest.raises(ValueError, match="torn"):
+                append_ivfpq_index(spark, ivfpq.limit(2), self.TABLE)
+        finally:
+            spark.sql(
+                f"ALTER TABLE {self.TABLE}__codebooks "
+                "SET TBLPROPERTIES ('ivfpq.epoch'='0')"
+            )
+
+
+def test_pq_rebalance_heals_drift_mse_and_recall(spark, sf_dir):
+    """VERDICT r8 item 6: frozen codebooks under a drifted append
+    degrade ADC reconstruction error; rebalance_pq_index (bounded
+    current-corpus sample retrain + one-pass re-encode) must reduce it
+    and the recall contract must hold post-rebalance."""
+    from common_survey_data_pipeline_spark.operators.similarity import (
+        append_pq_index,
+        pq_adc_mse,
+        pq_topk_from_index,
+        rebalance_pq_index,
+        write_pq_index,
+    )
+
+    t = "pq_rebalance_test"
+    _drop(spark, t, f"{t}__codebooks")
+    emb = load_table(spark, sf_dir, "embeddings")
+    first = emb.where(F.col("vec_id") % 2 == 0)
+    drift = emb.where(F.col("vec_id") % 2 == 1).withColumn(
+        "embedding", F.transform("embedding", lambda x: F.abs(x))
+    )
+    corpus = first.unionByName(drift)
+    write_pq_index(spark, first, t, m=16, ksub=64)
+    mse_fresh = pq_adc_mse(spark, t, first)
+    append_pq_index(spark, drift, t)
+    mse_drifted = pq_adc_mse(spark, t, corpus)
+    # the drifted append degrades reconstruction (codebooks never saw
+    # the positive orthant)
+    assert mse_drifted > mse_fresh * 1.2, (mse_fresh, mse_drifted)
+    rebalance_pq_index(spark, corpus, t)
+    mse_healed = pq_adc_mse(spark, t, corpus)
+    assert mse_healed < mse_drifted * 0.8, (mse_drifted, mse_healed)
+    # epochs bumped and matching after the rebalance
+    props_d = {r["key"]: r["value"]
+               for r in spark.sql(f"SHOW TBLPROPERTIES {t}").collect()}
+    props_c = {r["key"]: r["value"]
+               for r in spark.sql(
+                   f"SHOW TBLPROPERTIES {t}__codebooks").collect()}
+    assert props_d["pq.epoch"] == props_c["pq.epoch"] == "1"
+    # recall contract re-proved on the healed index
+    qs = corpus.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    ann = {
+        (r.query_id, r.vec_id)
+        for r in pq_topk_from_index(
+            spark, t, qs, corpus, k=10, shortlist=200
+        ).collect()
+    }
+    exact = {(r.query_id, r.vec_id)
+             for r in cosine_topk(corpus, qs, k=10).collect()}
+    assert len(ann & exact) / len(exact) >= 0.9
+    _drop(spark, t, f"{t}__codebooks")
+
+
+def test_pq_torn_rebalance_detected(spark, sf_dir):
+    from common_survey_data_pipeline_spark.operators.similarity import (
+        append_pq_index,
+        pq_topk_from_index,
+        write_pq_index,
+    )
+
+    t = "pq_epoch_test"
+    _drop(spark, t, f"{t}__codebooks")
+    emb = load_table(spark, sf_dir, "embeddings")
+    write_pq_index(spark, emb, t, m=16, ksub=64)
+    spark.sql(f"ALTER TABLE {t} SET TBLPROPERTIES ('pq.epoch'='1')")
+    qs = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    with pytest.raises(ValueError, match="torn"):
+        pq_topk_from_index(spark, t, qs, emb, k=5)
+    with pytest.raises(ValueError, match="torn"):
+        append_pq_index(spark, emb.limit(2), t)
+    _drop(spark, t, f"{t}__codebooks")
