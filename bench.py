@@ -134,6 +134,10 @@ BENCH_QUERIES = (
     "dedup_simhash_capped",
     "profile_appended",
     "j14_qgram_longtext_join",
+    # round 9 additions. similarity_ivfpq_persisted / similarity_pq_
+    # rebalanced / stream-ingest stay out (index-build/lifecycle-
+    # dominated, the r7/r8 precedent); j15 is a real query plan.
+    "j15_editdist_mixed_lengths",
 )
 
 # sf1 (10×) leg: the FULL headline set (VERDICT r6 item 6 — the top-10

@@ -167,6 +167,14 @@ COMMENT = {
         "no extra corpus scan at encode time (training paid its one\n"
         "corpus pass before this plan was built)."
     ),
+    "j15_editdist_mixed_lengths": (
+        "Mixed-length edit-distance self-join (round 9): the pool splits\n"
+        "at q*(d+1) chars — long strings through the Ed-Join prefix-gram\n"
+        "equi-join, short strings (plus the d-wide boundary band) through\n"
+        "hashed deletion-variant equi-joins, exact-duplicate ids through a\n"
+        "text-keyed equi self-join. Every candidate stage is equi-keyed;\n"
+        "the closing pair-key dedup absorbs the band's double coverage."
+    ),
 }
 
 
