@@ -1443,10 +1443,14 @@ def rebalance_ivf_index(
             )
         nlist = int(props["ivf.nlist"])
     # materialize BEFORE the overwrite: the rewrite reads the same
-    # table it replaces, and only a lineage cut makes that safe
+    # table it replaces, and only a lineage cut makes that safe.
+    # dropDuplicates on vec_id: an index maps id → vector, so duplicate
+    # ids are at-least-once re-append artifacts (the streaming ingest's
+    # residual crash window) — the rebalance is where they heal
     cur = (
         spark.table(table)
         .select("vec_id", "embedding")
+        .dropDuplicates(["vec_id"])
         .localCheckpoint(eager=True)
     )
     if cur.first() is None:
