@@ -134,17 +134,68 @@ def _apply_merge(vocab: DataFrame, w1: str, w2: str) -> DataFrame:
     )
 
 
+#: vocab size above which delta maintenance beats the full recount —
+#: the `tools_scalebench.py --bpe-delta` probe puts the crossover
+#: between 50k (tie) and 200k (delta wins) noise words; below it the
+#: full-vocab explode is cheap and the delta's per-round pair-table
+#: merge + checkpoint write costs more than it saves (measured ~1.8×
+#: at the sf0.1 bench vocab).
+DELTA_MIN_VOCAB = 100_000
+
+
 def bpe_train(
     docs: DataFrame,
     text_col: str = "text",
     k: int = 32,
+    strategy: str = "auto",
 ) -> list[tuple[int, str, str, int]]:
     """Train ``k`` BPE merges on the corpus; returns the ordered merge
     list ``[(step, w1, w2, pair_freq), ...]`` (1-indexed steps). Stops
     early if the vocabulary runs out of adjacent pairs (every word
     fully merged) — the returned list is then shorter than ``k``.
 
-    DELTA-MAINTAINED pair counts: the pair table is built once from
+    ``strategy``: ``"recount"`` re-aggregates all pairs from the whole
+    vocab every round (one full-vocab explode + hash agg per round,
+    exactly one job via the lazy checkpoint — the cheap plan while the
+    vocab is small); ``"delta"`` maintains the pair table across
+    rounds (:func:`_train_delta` — the at-scale plan, per-round cost
+    tracks AFFECTED words, not vocab size); ``"auto"`` (default)
+    counts the word vocabulary once and picks delta at
+    ``DELTA_MIN_VOCAB`` and above — the cost-based-dispatch pattern of
+    ``embedding_neardup_pairs(strategy="auto")``. Both paths produce
+    the identical merge list (property-pinned delta ≡ recount on
+    adversarial and random corpora).
+
+    The merge list is small by construction (k rows) — it is the
+    *model*, pulled to the driver the way any trained artifact is.
+    """
+    if k < 1:
+        raise ValueError(f"bpe_train: k must be >= 1, got {k}")
+    if strategy not in ("auto", "delta", "recount"):
+        raise ValueError(
+            f"bpe_train: unknown strategy {strategy!r} "
+            "(expected auto | delta | recount)"
+        )
+    vocab = (
+        _word_freqs(docs, text_col)
+        .select(_initial_seq(F.col("w")).alias("seq"), "freq")
+        .localCheckpoint(eager=False)
+    )
+    if strategy == "auto":
+        # one count on the (lazily checkpointed) vocab — it doubles as
+        # the checkpoint's materialization, so round 1 reads it warm
+        strategy = (
+            "delta" if vocab.count() >= DELTA_MIN_VOCAB else "recount"
+        )
+    if strategy == "delta":
+        return _train_delta(vocab, k)
+    return _train_recount(vocab, k)
+
+
+def _train_delta(
+    vocab: DataFrame, k: int
+) -> list[tuple[int, str, str, int]]:
+    """DELTA-MAINTAINED pair counts: the pair table is built once from
     the initial vocab, then per merge only the words CONTAINING the
     merged pair are recounted — their old pairs subtracted, their new
     pairs added, the signed delta folded in and zero rows dropped.
@@ -153,25 +204,16 @@ def bpe_train(
     merges at word edges): the delta is exact by construction, and
     :func:`_train_recount` pins delta ≡ recount in the property tests.
 
-    Per iteration: one 1-row argmax ``take(1)`` over the maintained
-    pair table (the round's first job), one narrow ``contains`` scan
-    of the vocab to find affected words, a pair explode+agg over
-    affected words ONLY, and a pair-table merge (union + sum + drop
-    zeros) — materialized eagerly as the round's second job so the
-    cached affected frame can be released. The full-vocab explode that
-    dominated the recount loop is gone; lineage is cut every round
-    (the pagerank pattern).
-
-    The merge list is small by construction (k rows) — it is the
-    *model*, pulled to the driver the way any trained artifact is.
-    """
-    if k < 1:
-        raise ValueError(f"bpe_train: k must be >= 1, got {k}")
-    vocab = (
-        _word_freqs(docs, text_col)
-        .select(_initial_seq(F.col("w")).alias("seq"), "freq")
-        .localCheckpoint(eager=False)
-    )
+    Per iteration: ONE job — the 1-row argmax ``take(1)`` over the
+    maintained pair table, whose lazy ``localCheckpoint`` materializes
+    as a side effect. Inside that job: two narrow ``contains`` scans
+    of the checkpointed vocab (the affected frame feeds both delta
+    halves), a pair explode+agg over affected words ONLY, and a
+    pair-table merge (union + sum + drop zeros). The full-vocab
+    explode that dominates the recount loop is gone; lineage is cut
+    every round (the pagerank pattern). Per-iteration cost tracks
+    affected-word volume — `tools_scalebench.py --bpe-delta`, flat
+    across 16× vocab where recount grows."""
     pairs = _pair_counts(vocab).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, k + 1):
@@ -183,9 +225,7 @@ def bpe_train(
         w1, w2, n = best[0]["w1"], best[0]["w2"], int(best[0]["n"])
         merges.append((step, w1, w2, n))
         # delta: recount ONLY the words containing the merged pair
-        affected = vocab.where(
-            F.col("seq").contains(f"|{w1}||{w2}|")
-        ).cache()
+        affected = vocab.where(F.col("seq").contains(f"|{w1}||{w2}|"))
         delta = _pair_counts(affected, sign=-1).unionByName(
             _pair_counts(_apply_merge(affected, w1, w2))
         )
@@ -194,32 +234,21 @@ def bpe_train(
             .groupBy("w1", "w2")
             .agg(F.sum("n").alias("n"))
             .where(F.col("n") > 0)
-            # eager: materialize while `affected` is still cached (it
-            # feeds both delta halves), then release the cache
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        affected.unpersist()
         vocab = _apply_merge(vocab, w1, w2).localCheckpoint(eager=False)
     return merges
 
 
 def _train_recount(
-    docs: DataFrame,
-    text_col: str = "text",
-    k: int = 32,
+    vocab: DataFrame, k: int
 ) -> list[tuple[int, str, str, int]]:
-    """The pre-delta training loop — re-aggregate ALL pairs from the
+    """The small-vocab training loop — re-aggregate ALL pairs from the
     whole vocab every iteration (one full-vocab explode + hash agg per
-    round, each round exactly one job via the lazy checkpoint). Kept
-    as the delta path's property-test twin and cost baseline; output
-    contract identical to :func:`bpe_train`."""
-    if k < 1:
-        raise ValueError(f"_train_recount: k must be >= 1, got {k}")
-    vocab = (
-        _word_freqs(docs, text_col)
-        .select(_initial_seq(F.col("w")).alias("seq"), "freq")
-        .localCheckpoint(eager=False)
-    )
+    round, each round exactly one job via the lazy checkpoint). The
+    delta path's property-test twin and the auto strategy's
+    below-crossover choice; output contract identical to
+    :func:`_train_delta`."""
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, k + 1):
         best = _pair_counts(vocab).orderBy(

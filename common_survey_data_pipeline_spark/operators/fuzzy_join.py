@@ -734,10 +734,23 @@ def editdist_pairs_mixed(
             f"contract: max_dist must be 1 or 2, got {max_dist}"
         )
     cutoff = q * (max_dist + 1)
-    s = df.select(
-        F.col(_q(id_col)).alias("__id"), F.col(_q(text_col)).alias("__s")
-    ).where(F.col("__s").isNotNull())
-    short = s.where(F.length("__s") < cutoff + max_dist)
+    # Pin the pool and the short sub-pool ONCE: the three branches
+    # consume them ~10× between them, and leaving the source expression
+    # in lineage lets project-collapse substitute it into every
+    # reference — including the `size(variants) > 0` filters Catalyst
+    # infers below each explode, where the whole deletion-neighborhood
+    # construction then re-evaluates against the raw source per branch
+    # (measured 334s vs 5s at sf0.1 on an 800-string pool). Same
+    # caching contract as qgram_edit_pairs' gram table: LRU-evictable,
+    # long-lived sessions clearCache() after consuming.
+    s = (
+        df.select(
+            F.col(_q(id_col)).alias("__id"), F.col(_q(text_col)).alias("__s")
+        )
+        .where(F.col("__s").isNotNull())
+        .cache()
+    )
+    short = s.where(F.length("__s") < cutoff + max_dist).cache()
     long_pairs = qgram_edit_pairs(
         s.where(F.length("__s") >= cutoff), "__s", "__id", max_dist, q
     )

@@ -291,17 +291,15 @@ def test_delta_equals_recount_on_adversarial_corpus(spark):
     """VERDICT r8 item 3: the delta-maintained pair table must produce
     the EXACT merge list of the full recount loop — overlapping runs,
     repeat-adjacent merged pairs, ties, and early exhaustion included."""
-    from common_survey_data_pipeline_spark.operators.bpe import _train_recount
-
     for k in (1, 3, 8, 32):
-        delta = bpe_train(_docs(spark, ADVERSARIAL), k=k)
-        recount = _train_recount(_docs(spark, ADVERSARIAL), k=k)
+        delta = bpe_train(_docs(spark, ADVERSARIAL), k=k, strategy="delta")
+        recount = bpe_train(
+            _docs(spark, ADVERSARIAL), k=k, strategy="recount"
+        )
         assert delta == recount, (k, delta, recount)
 
 
 def test_delta_equals_recount_on_random_corpora(spark):
-    from common_survey_data_pipeline_spark.operators.bpe import _train_recount
-
     rng = random.Random(7)
     for trial in range(3):
         texts = [
@@ -311,6 +309,6 @@ def test_delta_equals_recount_on_random_corpora(spark):
             )
             for _ in range(8)
         ]
-        delta = bpe_train(_docs(spark, texts), k=10)
-        recount = _train_recount(_docs(spark, texts), k=10)
+        delta = bpe_train(_docs(spark, texts), k=10, strategy="delta")
+        recount = bpe_train(_docs(spark, texts), k=10, strategy="recount")
         assert delta == recount, (trial, texts, delta, recount)

@@ -309,10 +309,12 @@ def bpe_delta_probe() -> None:
     the shared corpus pass + initial pair build. Delta vs recount
     (:func:`_train_recount`) at each point.
     """
-    from common_survey_data_pipeline_spark.operators.bpe import (
-        _train_recount,
-        bpe_train,
-    )
+    import functools
+
+    from common_survey_data_pipeline_spark.operators.bpe import bpe_train
+
+    train_delta = functools.partial(bpe_train, strategy="delta")
+    train_recount = functools.partial(bpe_train, strategy="recount")
 
     spark = get_spark(
         app_name="csdp-bpe-delta-probe",
@@ -355,8 +357,8 @@ def bpe_delta_probe() -> None:
     # fresh JVM pays the generated-class compile for every plan shape,
     # which would otherwise land entirely on the first table row
     warm = corpus(16, 5_000)
-    per_iter(bpe_train, warm)
-    per_iter(_train_recount, warm)
+    per_iter(train_delta, warm)
+    per_iter(train_recount, warm)
     warm.unpersist()
 
     print("| experiment | P (affected) | V (vocab noise) | delta s/iter | recount s/iter |")
@@ -370,8 +372,8 @@ def bpe_delta_probe() -> None:
         (4_096, 200_000, "B"),
     ):
         docs = corpus(P, V)
-        d = per_iter(bpe_train, docs)
-        r = per_iter(_train_recount, docs)
+        d = per_iter(train_delta, docs)
+        r = per_iter(train_recount, docs)
         print(f"| {tag} | {P} | {V} | {d:.2f} | {r:.2f} |")
         docs.unpersist()
         spark.catalog.clearCache()
