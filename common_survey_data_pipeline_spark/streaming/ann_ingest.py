@@ -1,28 +1,47 @@
-"""Streaming embedding ingestion into a persisted IVF index — the ANN
+"""Streaming embedding ingestion into a persisted ANN index — the ANN
 mirror of the dedup ingest service (``streaming/ingest.py``): embedding
 JSONL lands in a drop directory, each micro-batch is appended to the
-index through the STORED centroids (``operators/similarity.py::
-append_ivf_index`` — O(batch), existing files never read), and index
-health is self-maintained: when the post-append cell skew
-(``ivf_cell_skew``: max/median occupancy, the pruning-health ratio)
-exceeds a threshold, the service triggers ``rebalance_ivf_index``
-inside the loop — the counterpart of the dedup service's
+index through the STORED geometry (``operators/similarity.py::
+append_ivf_index`` / ``append_ivfpq_index`` — O(batch), existing files
+never read), and index health is self-maintained: when the post-append
+cell skew (``ivf_cell_skew``: max/median occupancy, the pruning-health
+ratio) exceeds a threshold, the service triggers the index's rebalance
+verb inside the loop — the counterpart of the dedup service's
 ``compact_threshold_files`` auto-compaction.
 
-Delivery semantics: index appends are guarded by a committed marker
-file per batch (the ``run_ingest_vs_band_table`` recipe) — a replayed
-batch whose marker exists skips the append, so crash-retry never
-double-inserts vectors. The residual window (crash between append and
-marker) re-appends the batch, duplicating its rows in the index;
-``rebalance_ivf_index`` heals that too (its rewrite dedups vec_ids —
-an index maps id → vector, duplicate ids are re-append artifacts by
-construction). Marker probes go through the Hadoop FileSystem API,
-never ``os.path``.
+Delivery semantics: EXACTLY-ONCE-EFFECT for index appends (VERDICT r9
+item 2). Two markers per batch under ``<checkpoint>__appended/``:
 
-At 100 TB this is the vector-store ingest loop: the index table is the
-only state; appends are partition-local writes; the rebalance is the
-amortized heavy verb (bounded-sample retrain + one corpus pass),
-triggered by a measured health metric rather than a wall clock.
+- ``batch-<id>`` (committed): the append completed — a replayed batch
+  whose committed marker exists skips the append entirely;
+- ``started-<id>``: touched BEFORE the first append attempt. A replay
+  that finds ``started`` without ``committed`` landed in the residual
+  window (crash between the append's table commit and the marker
+  touch) — the batch's rows MAY already be in the index, so the replay
+  anti-joins the batch's ``vec_id``s against the index before
+  appending. First deliveries never pay that scan (no ``started``
+  marker → blind O(batch) append); the id-column anti-join runs only
+  on the rare crash-replay path.
+
+So crash-retry never double-inserts vectors in ANY window, without
+waiting for a skew-triggered rebalance to heal duplicates (the r8
+design's residual gap). Marker probes go through the Hadoop FileSystem
+API, never ``os.path``.
+
+``index_kind="ivfpq"`` (VERDICT r9 item 4) targets the composed
+IVF+PQ index — the billion-vector production layout. The codes table
+stores no floats, so the service also maintains the float vector store
+(``corpus_table`` — the table the exact rerank and the rebalance's
+retrain sample already need): per batch, floats append to the corpus
+table and residual codes to the index, each side independently
+guarded by the same replay anti-join; the auto-rebalance calls
+``rebalance_ivfpq_index`` over the maintained corpus.
+
+At 100 TB this is the vector-store ingest loop: the index (plus, for
+ivfpq, the float store) is the only state; appends are partition-local
+writes; the rebalance is the amortized heavy verb (bounded-sample
+retrain + one corpus pass), triggered by a measured health metric
+rather than a wall clock.
 """
 
 from __future__ import annotations
@@ -55,6 +74,19 @@ def stream_jsonl_embeddings(
     )
 
 
+def _without_existing_ids(
+    spark: SparkSession, batch: DataFrame, table: str
+) -> DataFrame:
+    """The replay guard: drop batch rows whose ``vec_id`` is already in
+    ``table``. An id-column-pruned scan of the table — paid ONLY on the
+    crash-replay path (see module doc), never per healthy batch."""
+    if not spark.catalog.tableExists(table):
+        return batch
+    return batch.join(
+        spark.table(table).select("vec_id"), "vec_id", "left_anti"
+    )
+
+
 def run_embedding_ingest(
     spark: SparkSession,
     in_dir: str,
@@ -62,40 +94,98 @@ def run_embedding_ingest(
     index_table: str,
     skew_threshold: float | None = None,
     on_stage=None,
+    index_kind: str = "ivf",
+    corpus_table: str | None = None,
 ):
-    """Wire source → per-batch IVF append → skew-triggered rebalance;
+    """Wire source → per-batch index append → skew-triggered rebalance;
     returns the StreamingQuery (caller awaits/stops it).
 
-    The index MUST exist (``write_ivf_index`` — possibly over an empty
-    seed corpus, whose empty-index guard then rejects appends until a
-    rebuild; the seed requirement is the same as the band table's).
-    ``skew_threshold`` (e.g. 3.0) arms the auto-rebalance: after each
-    append, if max/median cell occupancy exceeds it, the quantizer
-    retrains on a bounded sample of the CURRENT index contents and the
+    The index MUST exist (``write_ivf_index`` / ``write_ivfpq_index`` —
+    possibly over an empty seed corpus, whose empty-index guard then
+    rejects appends until a rebuild; the seed requirement is the same
+    as the band table's). ``skew_threshold`` (e.g. 3.0) arms the
+    auto-rebalance: after each append, if max/median cell occupancy
+    exceeds it, the quantizer(s) retrain on a bounded sample and the
     layout rewrites in one pass — queries keep their recall contract
     across arbitrary drift without an operator in the loop.
-    ``on_stage(stage, batch_id)`` is the failure-injection hook
-    ("appended", "rebalanced") the kill-and-restart tests use.
+
+    ``index_kind``: ``"ivf"`` (default) appends through
+    ``append_ivf_index`` and rebalances with ``rebalance_ivf_index``
+    (the index stores floats, so the rebalance is self-contained);
+    ``"ivfpq"`` appends residual codes through ``append_ivfpq_index``
+    AND maintains the float vector store ``corpus_table`` (required) —
+    batch floats append there first, exactly-once by the same marker +
+    replay-anti-join recipe, and the auto-rebalance retrains from it
+    via ``rebalance_ivfpq_index``.
+
+    Exactly-once-effect appends in every crash window — see the module
+    doc for the two-marker recipe. ``on_stage(stage, batch_id)`` is the
+    failure-injection hook the kill-and-restart tests use, called after
+    each step: ``"append_uncommitted"`` (inside the residual window —
+    append committed, marker not yet), ``"appended"``, ``"rebalanced"``.
     """
+    if index_kind not in ("ivf", "ivfpq"):
+        raise ValueError(
+            f"run_embedding_ingest: unknown index_kind {index_kind!r} "
+            "(expected ivf | ivfpq)"
+        )
+    if index_kind == "ivfpq" and corpus_table is None:
+        raise ValueError(
+            "run_embedding_ingest(index_kind='ivfpq') needs corpus_table: "
+            "the codes table stores no floats, so the service must "
+            "maintain the float vector store the rerank and the "
+            "rebalance retrain read"
+        )
     from common_survey_data_pipeline_spark.operators.similarity import (
         append_ivf_index,
+        append_ivfpq_index,
         ivf_cell_skew,
         rebalance_ivf_index,
+        rebalance_ivfpq_index,
     )
 
     state_dir = checkpoint_dir.rstrip("/") + "__appended"
     _stage = on_stage if on_stage is not None else (lambda *_: None)
 
     def _process(batch: DataFrame, batch_id: int) -> None:
-        marker = f"{state_dir}/batch-{batch_id}"
-        if not _fs_exists(spark, marker):
-            append_ivf_index(spark, batch, index_table)
-            _fs_touch(spark, marker)
+        committed = f"{state_dir}/batch-{batch_id}"
+        started = f"{state_dir}/started-{batch_id}"
+        if not _fs_exists(spark, committed):
+            replaying = _fs_exists(spark, started)
+            if not replaying:
+                _fs_touch(spark, started)
+            if index_kind == "ivf":
+                b = batch
+                if replaying:
+                    b = _without_existing_ids(spark, b, index_table)
+                append_ivf_index(spark, b, index_table)
+            else:
+                # two appends per batch — pin the source frame once
+                batch = batch.localCheckpoint(eager=True)
+                # floats first: each side guards itself independently,
+                # so any crash ordering replays clean
+                bf = batch
+                if replaying:
+                    bf = _without_existing_ids(spark, bf, corpus_table)
+                bf.select("vec_id", "embedding").write.mode(
+                    "append"
+                ).saveAsTable(corpus_table)
+                bc = batch
+                if replaying:
+                    bc = _without_existing_ids(spark, bc, index_table)
+                append_ivfpq_index(spark, bc, index_table)
+            _stage("append_uncommitted", batch_id)
+            _fs_touch(spark, committed)
         _stage("appended", batch_id)
         if skew_threshold is not None:
             mx, md = ivf_cell_skew(spark, index_table)
             if md > 0 and mx / md > skew_threshold:
-                rebalance_ivf_index(spark, index_table)
+                if index_kind == "ivf":
+                    rebalance_ivf_index(spark, index_table)
+                else:
+                    rebalance_ivfpq_index(
+                        spark, spark.table(corpus_table), index_table
+                    )
         _stage("rebalanced", batch_id)
 
     return (

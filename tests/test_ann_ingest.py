@@ -181,3 +181,239 @@ def test_skew_triggers_rebalance_and_recall_holds(spark, sf_dir, tmp_path):
     }
     assert len(ann & exact) / len(exact) >= 0.9
     _drop_table(spark, t, f"{t}__centroids")
+
+
+def test_residual_window_replay_does_not_duplicate(spark, sf_dir, tmp_path):
+    """VERDICT r9 item 2: a crash BETWEEN the index append's table
+    commit and the committed-marker touch (the residual at-least-once
+    window) must not leave duplicates after replay — and must not need
+    a rebalance to heal them. The replay finds the started marker,
+    anti-joins the batch's ids against the index, and appends nothing
+    already present: row count and top-k ≡ the no-crash twin with NO
+    rebalance armed."""
+    from common_survey_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed = emb.where(F.col("vec_id") % 2 == 0)
+    later = emb.where((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 100))
+    t = "ann_ingest_residual"
+    _drop_table(spark, t, f"{t}__centroids")
+    write_ivf_index(spark, seed, t, nlist=8)
+    in_dir = tmp_path / "drop"
+    in_dir.mkdir()
+    rows = _emb_rows(later)
+    _drop_jsonl(in_dir / "b0.jsonl", rows[: len(rows) // 2])
+    _drop_jsonl(in_dir / "b1.jsonl", rows[len(rows) // 2 :])
+
+    class Boom(Exception):
+        pass
+
+    def bomb(stage, batch_id):
+        # detonate INSIDE the residual window: batch 1's rows are in
+        # the index but its committed marker is not yet written
+        if stage == "append_uncommitted" and batch_id == 1:
+            raise Boom("injected crash between append and marker")
+
+    q = run_embedding_ingest(
+        spark, str(in_dir), str(tmp_path / "ckpt"), t, on_stage=bomb
+    )
+    with pytest.raises(Exception):
+        q.processAllAvailable()
+    q.stop()
+    # restart with NO skew threshold: no rebalance can fire, the
+    # replay itself must be the heal
+    q2 = run_embedding_ingest(spark, str(in_dir), str(tmp_path / "ckpt"), t)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    corpus = seed.unionByName(later)
+    want = sorted(r["vec_id"] for r in corpus.select("vec_id").collect())
+    assert _index_ids(spark, t) == want  # no duplicates, nothing lost
+    # top-k equals the no-crash twin: no vec_id occupies two slots
+    qs = corpus.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk_from_index(spark, t, qs, k=10, nprobe=8).collect()
+    }
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk(corpus, qs, k=10).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.9
+    _drop_table(spark, t, f"{t}__centroids")
+
+
+def _setup_ivfpq(spark, seed, t, corpus_t):
+    from common_survey_data_pipeline_spark.operators.similarity import (
+        write_ivfpq_index,
+    )
+
+    _drop_table(
+        spark, t, f"{t}__centroids", f"{t}__codebooks", corpus_t
+    )
+    write_ivfpq_index(spark, seed, t, nlist=8, m=16, ksub=16)
+    seed.select("vec_id", "embedding").write.saveAsTable(corpus_t)
+
+
+def test_ivfpq_stream_appends_match_batch_twin_and_recall(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r9 item 4: the ingest service against the COMPOSED
+    index — per batch, floats append to the maintained vector store
+    and residual codes to the cell-partitioned index, both through the
+    stored geometry; the streamed result must match the batch twin."""
+    from common_survey_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        ivfpq_topk_from_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed = emb.where(F.col("vec_id") % 2 == 0)
+    later = emb.where(F.col("vec_id") % 2 == 1)
+    t, ct = "ann_ingest_ivfpq", "ann_ingest_ivfpq_corpus"
+    _setup_ivfpq(spark, seed, t, ct)
+    in_dir = tmp_path / "drop"
+    in_dir.mkdir()
+    rows = _emb_rows(later)
+    half = len(rows) // 2
+    _drop_jsonl(in_dir / "b0.jsonl", rows[:half])
+    _drop_jsonl(in_dir / "b1.jsonl", rows[half:])
+    q = run_embedding_ingest(
+        spark, str(in_dir), str(tmp_path / "ckpt"), t,
+        index_kind="ivfpq", corpus_table=ct,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    want = sorted(r["vec_id"] for r in emb.collect())
+    assert _index_ids(spark, t) == want
+    assert sorted(
+        r["vec_id"] for r in spark.table(ct).collect()
+    ) == want  # the float store tracked the index exactly
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    ann = {
+        (r.query_id, r.vec_id)
+        for r in ivfpq_topk_from_index(
+            spark, t, qs, spark.table(ct), k=10, nprobe=8, shortlist=200
+        ).collect()
+    }
+    exact = {
+        (r.query_id, r.vec_id) for r in cosine_topk(emb, qs, k=10).collect()
+    }
+    assert len(ann & exact) / len(exact) >= 0.9
+    _drop_table(spark, t, f"{t}__centroids", f"{t}__codebooks", ct)
+
+
+def test_ivfpq_crash_replay_exactly_once_both_tables(spark, sf_dir, tmp_path):
+    """Kill-and-restart inside the ivfpq residual window: BOTH side
+    effects (float-store append, codes append) must come out
+    exactly-once after the replay, with no rebalance armed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed = emb.where(F.col("vec_id") % 2 == 0)
+    later = emb.where((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 100))
+    t, ct = "ann_ingest_ivfpq_crash", "ann_ingest_ivfpq_crash_corpus"
+    _setup_ivfpq(spark, seed, t, ct)
+    in_dir = tmp_path / "drop"
+    in_dir.mkdir()
+    rows = _emb_rows(later)
+    _drop_jsonl(in_dir / "b0.jsonl", rows[: len(rows) // 2])
+    _drop_jsonl(in_dir / "b1.jsonl", rows[len(rows) // 2 :])
+
+    class Boom(Exception):
+        pass
+
+    def bomb(stage, batch_id):
+        if stage == "append_uncommitted" and batch_id == 1:
+            raise Boom("injected crash between appends and marker")
+
+    q = run_embedding_ingest(
+        spark, str(in_dir), str(tmp_path / "ckpt"), t,
+        index_kind="ivfpq", corpus_table=ct, on_stage=bomb,
+    )
+    with pytest.raises(Exception):
+        q.processAllAvailable()
+    q.stop()
+    q2 = run_embedding_ingest(
+        spark, str(in_dir), str(tmp_path / "ckpt"), t,
+        index_kind="ivfpq", corpus_table=ct,
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    want = sorted(
+        r["vec_id"]
+        for r in seed.unionByName(later).select("vec_id").collect()
+    )
+    assert _index_ids(spark, t) == want
+    assert sorted(r["vec_id"] for r in spark.table(ct).collect()) == want
+    _drop_table(spark, t, f"{t}__centroids", f"{t}__codebooks", ct)
+
+
+def test_ivfpq_skew_triggers_composed_rebalance(spark, sf_dir, tmp_path):
+    """Drifted stream past the skew threshold must trigger
+    rebalance_ivfpq_index inside the loop (epoch bumped on all three
+    tables, skew healed) and keep the recall contract."""
+    from common_survey_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        ivf_cell_skew,
+        ivfpq_topk_from_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed = emb.where(F.col("vec_id") % 2 == 0)
+    drifted = emb.where(F.col("vec_id") % 2 == 1).withColumn(
+        "embedding", F.transform("embedding", lambda x: F.abs(x))
+    )
+    t, ct = "ann_ingest_ivfpq_skew", "ann_ingest_ivfpq_skew_corpus"
+    _setup_ivfpq(spark, seed, t, ct)
+    in_dir = tmp_path / "drop"
+    in_dir.mkdir()
+    _drop_jsonl(in_dir / "b0.jsonl", _emb_rows(drifted))
+    q = run_embedding_ingest(
+        spark, str(in_dir), str(tmp_path / "ckpt"), t,
+        skew_threshold=2.0, index_kind="ivfpq", corpus_table=ct,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stamps = {
+        sfx: {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {t}{sfx}").collect()
+        }["ivfpq.epoch"]
+        for sfx in ("", "__centroids", "__codebooks")
+    }
+    assert set(stamps.values()) == {"1"}, stamps  # rebalanced once, together
+    mx, md = ivf_cell_skew(spark, t)
+    assert md > 0 and mx / md <= 2.5, (mx, md)
+    corpus = seed.unionByName(drifted)
+    qs = corpus.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    ann = {
+        (r.query_id, r.vec_id)
+        for r in ivfpq_topk_from_index(
+            spark, t, qs, spark.table(ct), k=10, nprobe=7, shortlist=200
+        ).collect()
+    }
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk(corpus, qs, k=10).collect()
+    }
+    assert len(ann & exact) / len(exact) >= 0.9
+    _drop_table(spark, t, f"{t}__centroids", f"{t}__codebooks", ct)
