@@ -67,6 +67,7 @@ from common_survey_data_pipeline_spark.functions import text as T
 
 __all__ = [
     "bpe_train",
+    "bpe_train_to_vocab",
     "bpe_merges_df",
     "bpe_encoded_token_freqs",
     "bpe_encode",
@@ -192,8 +193,79 @@ def bpe_train(
     return _train_recount(vocab, k)
 
 
+def bpe_train_to_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 1024,
+    min_freq: int = 1,
+    strategy: str = "auto",
+    max_merges: int = 1_000_000,
+) -> list[tuple[int, str, str, int]]:
+    """Train BPE merges until the TOKEN VOCABULARY reaches
+    ``vocab_size`` — the way real tokenizer specs are written (GPT-2:
+    50,257 tokens; not "N merges") — with a ``min_freq`` floor
+    (training stops at the first best pair rarer than it, the
+    subword-nmt ``--min-frequency`` contract). VERDICT r9 item 5.
+
+    Vocabulary accounting (the HF-trainers convention): |vocab| =
+    |initial alphabet| + |distinct merge-output tokens|. The alphabet
+    is the distinct single-character symbols of the initial
+    word-frequency table — ONE count over the vocab-sized table, never
+    a second corpus pass — and each merge contributes its output
+    ``w1+w2`` to a driver-side set (merge outputs are ≥ 2 chars, so
+    they never collide with the alphabet; two different merges CAN
+    produce the same token — ("a","bc") and ("ab","c") — hence a set,
+    not a counter). Training stops AFTER recording the merge that
+    reaches the target.
+
+    Merge selection, delta maintenance, tie-breaks, and the
+    ``strategy`` dispatch are exactly :func:`bpe_train`'s — the merge
+    list this returns is a prefix of what ``bpe_train(k=∞)`` would
+    produce, property-pinned delta ≡ recount in ``tests/test_bpe.py``,
+    and the k-mode path is untouched. ``max_merges`` is a runaway
+    backstop for targets the corpus cannot reach (alphabet already ≥
+    ``vocab_size`` returns zero merges)."""
+    if vocab_size < 1:
+        raise ValueError(
+            f"bpe_train_to_vocab: vocab_size must be >= 1, got {vocab_size}"
+        )
+    if min_freq < 1:
+        raise ValueError(
+            f"bpe_train_to_vocab: min_freq must be >= 1, got {min_freq}"
+        )
+    if strategy not in ("auto", "delta", "recount"):
+        raise ValueError(
+            f"bpe_train_to_vocab: unknown strategy {strategy!r} "
+            "(expected auto | delta | recount)"
+        )
+    vocab = (
+        _word_freqs(docs, text_col)
+        .select(_initial_seq(F.col("w")).alias("seq"), "freq")
+        .localCheckpoint(eager=False)
+    )
+    n_words = vocab.count()  # materializes the checkpoint (as in bpe_train)
+    alpha = (
+        vocab.select(F.explode(_seq_symbols(F.col("seq"))).alias("s"))
+        .agg(F.count_distinct("s").alias("a"))
+        .first()["a"]
+    )
+    if alpha >= vocab_size:
+        return []
+    if strategy == "auto":
+        strategy = "delta" if n_words >= DELTA_MIN_VOCAB else "recount"
+    new_tokens: set[str] = set()
+
+    def reached(merges: list[tuple[int, str, str, int]]) -> bool:
+        _, w1, w2, _ = merges[-1]
+        new_tokens.add(w1 + w2)
+        return alpha + len(new_tokens) >= vocab_size
+
+    train = _train_delta if strategy == "delta" else _train_recount
+    return train(vocab, max_merges, min_freq=min_freq, stop=reached)
+
+
 def _train_delta(
-    vocab: DataFrame, k: int
+    vocab: DataFrame, k: int, min_freq: int = 1, stop=None
 ) -> list[tuple[int, str, str, int]]:
     """DELTA-MAINTAINED pair counts: the pair table is built once from
     the initial vocab, then per merge only the words CONTAINING the
@@ -223,7 +295,11 @@ def _train_delta(
         if not best:
             break  # vocabulary fully merged before k steps
         w1, w2, n = best[0]["w1"], best[0]["w2"], int(best[0]["n"])
+        if n < min_freq:
+            break  # min-frequency floor: the rare pair is NOT recorded
         merges.append((step, w1, w2, n))
+        if stop is not None and stop(merges):
+            break  # target reached; the reaching merge IS recorded
         # delta: recount ONLY the words containing the merged pair
         affected = vocab.where(F.col("seq").contains(f"|{w1}||{w2}|"))
         delta = _pair_counts(affected, sign=-1).unionByName(
@@ -241,14 +317,15 @@ def _train_delta(
 
 
 def _train_recount(
-    vocab: DataFrame, k: int
+    vocab: DataFrame, k: int, min_freq: int = 1, stop=None
 ) -> list[tuple[int, str, str, int]]:
     """The small-vocab training loop — re-aggregate ALL pairs from the
     whole vocab every iteration (one full-vocab explode + hash agg per
     round, each round exactly one job via the lazy checkpoint). The
     delta path's property-test twin and the auto strategy's
     below-crossover choice; output contract identical to
-    :func:`_train_delta`."""
+    :func:`_train_delta` (including the ``min_freq`` floor and the
+    ``stop`` predicate)."""
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, k + 1):
         best = _pair_counts(vocab).orderBy(
@@ -257,7 +334,11 @@ def _train_recount(
         if not best:
             break
         w1, w2, n = best[0]["w1"], best[0]["w2"], int(best[0]["n"])
+        if n < min_freq:
+            break
         merges.append((step, w1, w2, n))
+        if stop is not None and stop(merges):
+            break
         vocab = _apply_merge(vocab, w1, w2).localCheckpoint(eager=False)
     return merges
 

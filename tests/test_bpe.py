@@ -281,7 +281,7 @@ def test_oracle_degenerate_corpus_parity(spark, tmp_path):
         f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
     )
     for name in ("bpe_train_merges", "bpe_encode_tokens", "bpe_token_ids",
-                 "bpe_encode_persisted"):
+                 "bpe_encode_persisted", "bpe_train_to_vocab"):
         spec = REGISTRY[name]
         res = compare(spec.fn(spark, sf_dir), con, spec.oracle)
         assert res["match"], (name, res["detail"])
@@ -312,3 +312,72 @@ def test_delta_equals_recount_on_random_corpora(spark):
         delta = bpe_train(_docs(spark, texts), k=10, strategy="delta")
         recount = bpe_train(_docs(spark, texts), k=10, strategy="recount")
         assert delta == recount, (trial, texts, delta, recount)
+
+
+def test_train_to_vocab_target_and_prefix(spark):
+    """VERDICT r9 item 5: bpe_train_to_vocab stops when |alphabet| +
+    |distinct merge outputs| reaches the target; the merge list is a
+    prefix of the k-mode list (selection logic untouched)."""
+    from common_survey_data_pipeline_spark.operators.bpe import (
+        bpe_train_to_vocab,
+    )
+
+    docs = _docs(spark, ADVERSARIAL)
+    alpha = len({c for t in ADVERSARIAL for w in t.split() for c in w})
+    target = alpha + 4
+    got = bpe_train_to_vocab(docs, vocab_size=target)
+    outputs = {w1 + w2 for _, w1, w2, _ in got}
+    assert alpha + len(outputs) >= target
+    # stop-AFTER-reaching: without the last merge the target is unmet
+    prior = {w1 + w2 for _, w1, w2, _ in got[:-1]}
+    assert alpha + len(prior) < target
+    assert got == bpe_train(docs, k=len(got))  # prefix of k-mode
+
+
+def test_train_to_vocab_delta_equals_recount(spark):
+    from common_survey_data_pipeline_spark.operators.bpe import (
+        bpe_train_to_vocab,
+    )
+
+    rng = random.Random(11)
+    for trial in range(3):
+        texts = [
+            " ".join(
+                "".join(rng.choice("abcd") for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(3, 12))
+            )
+            for _ in range(8)
+        ]
+        kwargs = dict(vocab_size=9, min_freq=2)
+        delta = bpe_train_to_vocab(
+            _docs(spark, texts), strategy="delta", **kwargs
+        )
+        recount = bpe_train_to_vocab(
+            _docs(spark, texts), strategy="recount", **kwargs
+        )
+        assert delta == recount, (trial, texts, delta, recount)
+
+
+def test_train_to_vocab_min_freq_floor_and_edge_cases(spark):
+    from common_survey_data_pipeline_spark.operators.bpe import (
+        bpe_train_to_vocab,
+    )
+
+    docs = _docs(spark, ADVERSARIAL)
+    # a floor above every pair count records nothing
+    assert bpe_train_to_vocab(docs, vocab_size=100, min_freq=10**9) == []
+    # the floor truncates the merge list exactly where counts drop
+    full = bpe_train_to_vocab(docs, vocab_size=100)
+    floor = 1 + min(n for _, _, _, n in full)
+    floored = bpe_train_to_vocab(docs, vocab_size=100, min_freq=floor)
+    assert floored == [m for m in full[: len(floored)]]
+    assert all(n >= floor for _, _, _, n in floored)
+    assert len(floored) < len(full)
+    # alphabet already >= target: zero merges
+    assert bpe_train_to_vocab(docs, vocab_size=1) == []
+    with pytest.raises(ValueError, match="vocab_size"):
+        bpe_train_to_vocab(docs, vocab_size=0)
+    with pytest.raises(ValueError, match="min_freq"):
+        bpe_train_to_vocab(docs, vocab_size=10, min_freq=0)
+    with pytest.raises(ValueError, match="strategy"):
+        bpe_train_to_vocab(docs, vocab_size=10, strategy="nope")
