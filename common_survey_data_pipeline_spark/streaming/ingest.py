@@ -200,7 +200,9 @@ def _fs_touch(spark: SparkSession, path: str) -> None:
     fs.create(jpath, True).close()
 
 
-def _overwrite_via_rename(spark: SparkSession, df: DataFrame, path: str) -> None:
+def _overwrite_via_rename(
+    spark: SparkSession, df: DataFrame, path: str, staged: str | None = None
+) -> None:
     """Overwrite ``path`` with ``df`` atomically-enough for a state
     row: write to a staged sibling, delete the live dir, rename the
     staged one in. A crash mid-staged-write leaves the live dir
@@ -208,25 +210,165 @@ def _overwrite_via_rename(spark: SparkSession, df: DataFrame, path: str) -> None
     :func:`_read_state_recovering`, which adopts a complete staged
     dir when the live one is missing. (A plain ``mode("overwrite")``
     deletes the live dir BEFORE writing — a crash mid-write loses the
-    state entirely.)"""
-    staged = path.rstrip("/") + "__staged"
+    state entirely.) ``staged`` overrides the staged-dir location —
+    needed when ``path`` lives under a partition-discovery root, where
+    a leftover ``<path>__staged`` sibling would break every reader's
+    partition inference until healed."""
+    staged = staged or path.rstrip("/") + "__staged"
     df.write.mode("overwrite").parquet(staged)
     fs, live = _fs(spark, path)
     fs.delete(live, True)
     fs.rename(_fs(spark, staged)[1], live)
 
 
-def _read_state_recovering(spark: SparkSession, path: str) -> DataFrame | None:
+def _read_state_recovering(
+    spark: SparkSession, path: str, staged: str | None = None
+) -> DataFrame | None:
     """Read a state dir maintained by :func:`_overwrite_via_rename`,
     adopting the staged copy if a crash left the live dir missing.
     ``None`` when neither exists (first batch)."""
-    staged = path.rstrip("/") + "__staged"
+    staged = staged or path.rstrip("/") + "__staged"
     if not _fs_exists(spark, path):
         if not _fs_exists(spark, staged):
             return None
         fs, live = _fs(spark, path)
         fs.rename(_fs(spark, staged)[1], live)
     return spark.read.parquet(path)
+
+
+def _fs_delete(spark: SparkSession, path: str) -> None:
+    fs, jpath = _fs(spark, path)
+    fs.delete(jpath, True)
+
+
+#: partition id reserved for the compacted prefix of a per-batch
+#: partition tree — a real micro-batch id is never negative
+CONSOLIDATED_BATCH_ID = -1
+
+
+def _batch_partition_ids(
+    spark: SparkSession, root: str, below: int | None = None
+) -> list[int]:
+    """Sorted non-negative ``ingest_batch_id=`` partition ids under
+    ``root`` (a Hadoop-FS directory listing — metadata only), optionally
+    restricted to ids strictly below ``below``. The consolidated
+    partition (:data:`CONSOLIDATED_BATCH_ID`) is never returned: it is
+    a fold TARGET, not a fold source."""
+    fs, jpath = _fs(spark, root)
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("ingest_batch_id=")):
+            continue
+        try:
+            i = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if i >= 0 and (below is None or i < below):
+            out.append(i)
+    return sorted(out)
+
+
+def _reject_legacy_flat_pairs(spark: SparkSession, pairs_dir: str) -> None:
+    """ADVICE r9: the pair log moved from flat appended files under
+    ``pairs_dir`` to ``ingest_batch_id=<id>`` partition subdirectories
+    (round 9). A dir written by the old layout mixes flat parquet
+    files with partition dirs, and ``spark.read.parquet`` on it fails
+    partition discovery with an opaque error — detect the stale layout
+    up front and refuse with migration instructions instead."""
+    fs, jpath = _fs(spark, pairs_dir)
+    if not fs.exists(jpath):
+        return
+    flat = [
+        st.getPath().getName()
+        for st in fs.listStatus(jpath)
+        if not st.isDirectory()
+        and not st.getPath().getName().startswith(("_", "."))
+    ]
+    if flat:
+        raise ValueError(
+            f"pairs_dir {pairs_dir!r} contains flat pair files from the "
+            f"pre-partitioned layout (e.g. {flat[0]!r}). Migrate once "
+            "before streaming: read the flat files and write them to "
+            f"'{pairs_dir}/ingest_batch_id={CONSOLIDATED_BATCH_ID}/', "
+            "then delete the flat files — the service only manages "
+            "ingest_batch_id= partition subdirectories."
+        )
+
+
+def _fold_ingested_into_seed(
+    spark: SparkSession,
+    corpus_dir: str,
+    ingested_dir: str,
+    state_dir: str,
+    below: int,
+) -> None:
+    """Compact the ingested-batch partition tree into the seed corpus
+    (VERDICT r9 item 6): read every COMMITTED batch partition (id <
+    ``below`` — the current batch's own partition is never folded, so
+    its overwrite-on-replay contract survives), union with the seed,
+    dedup by ``doc_id`` (globally unique by the corpus contract — this
+    is what makes the fold idempotent across every crash window), and
+    swap the result in as the new seed via the staged-rename recipe;
+    then delete the folded partitions. A ``corpus-fold-pending``
+    marker brackets the sequence: a crash anywhere inside it is healed
+    by simply re-running the fold at the next batch start — the dedup
+    absorbs the seed-and-partition-both-have-it window, and
+    :func:`_read_state_recovering` adopts a half-swapped seed."""
+    ids = _batch_partition_ids(spark, ingested_dir, below)
+    marker = f"{state_dir}/corpus-fold-pending"
+    if not ids:
+        _fs_delete(spark, marker)  # heal path: fold already completed
+        return
+    _fs_touch(spark, marker)
+    folded = spark.read.parquet(
+        *[f"{ingested_dir}/ingest_batch_id={i}" for i in ids]
+    )
+    seed = _read_state_recovering(spark, corpus_dir)
+    combined = folded if seed is None else seed.unionByName(folded)
+    _overwrite_via_rename(
+        spark, combined.dropDuplicates(["doc_id"]), corpus_dir
+    )
+    for i in ids:
+        _fs_delete(spark, f"{ingested_dir}/ingest_batch_id={i}")
+    _fs_delete(spark, marker)
+
+
+def _fold_pairs_log(
+    spark: SparkSession, pairs_dir: str, state_dir: str, below: int
+) -> None:
+    """Compact committed pair-log partitions into the single
+    consolidated partition ``ingest_batch_id=-1`` (VERDICT r9 item 6).
+    The cumulative pair log — the union of every partition — is
+    row-identical before and after: pair rows are globally unique (a
+    batch doc pairs against strictly earlier docs, and doc ids are
+    unique), so the full-row ``dropDuplicates`` only ever removes
+    crash-window copies (consolidated written, sources not yet
+    deleted). The staged dir lives under ``state_dir``, NOT inside
+    ``pairs_dir``, where a leftover would break partition discovery
+    for every reader. Same pending-marker + re-run-to-heal recipe as
+    the corpus fold."""
+    ids = _batch_partition_ids(spark, pairs_dir, below)
+    marker = f"{state_dir}/pairs-fold-pending"
+    if not ids:
+        _fs_delete(spark, marker)
+        return
+    _fs_touch(spark, marker)
+    cons_dir = f"{pairs_dir}/ingest_batch_id={CONSOLIDATED_BATCH_ID}"
+    staged = f"{state_dir}/pairs-consolidated__staged"
+    src = spark.read.parquet(
+        *[f"{pairs_dir}/ingest_batch_id={i}" for i in ids]
+    )
+    prev = _read_state_recovering(spark, cons_dir, staged=staged)
+    combined = src if prev is None else prev.unionByName(src)
+    _overwrite_via_rename(
+        spark, combined.dropDuplicates(), cons_dir, staged=staged
+    )
+    for i in ids:
+        _fs_delete(spark, f"{pairs_dir}/ingest_batch_id={i}")
+    _fs_delete(spark, marker)
 
 
 def run_ingest_vs_band_table(
@@ -241,6 +383,7 @@ def run_ingest_vs_band_table(
     profile_dir: str | None = None,
     profile_cols: list[str] | None = None,
     compact_threshold_files: int | None = None,
+    compact_threshold_batches: int | None = None,
     on_stage=None,
 ):
     """Streaming ingest wired to the PERSISTED dedup index (VERDICT r7
@@ -285,6 +428,26 @@ def run_ingest_vs_band_table(
     (back to one file per bucket), so files-per-bucket stays bounded
     no matter how many micro-batches the stream lives through.
 
+    The OTHER two state trees get the same treatment (VERDICT r9 item
+    6): ``<corpus_dir>__ingested/`` and ``pairs_dir/`` grow one
+    ``ingest_batch_id=`` partition per micro-batch, so after N batches
+    the verify-side union reads N partition dirs. When
+    ``compact_threshold_batches`` is set, any batch that leaves more
+    than that many COMMITTED batch partitions folds them: ingested
+    docs into the seed corpus (``doc_id``-deduped staged-rename swap —
+    the verify union is content-identical before and after, and the
+    replay anti-join's id contract is untouched because it keys on doc
+    ids, not directories), and pair-log partitions into the single
+    consolidated partition ``ingest_batch_id=-1`` (the cumulative pair
+    log stays row-identical). The CURRENT batch's partitions are never
+    folded — its overwrite-on-replay exactly-once recipe needs them in
+    place — so partition counts stay ≤ threshold + 1 forever. Each
+    fold is bracketed by a pending marker under ``<pairs_dir>__state/``
+    and re-run to heal at the next batch start after a crash.
+    ``pairs_dir`` trees written by the pre-round-9 FLAT layout are
+    detected at service start and refused with migration instructions
+    (ADVICE r9).
+
     ``profile_dir``, when given, makes the service ALSO maintain the
     running data profile: each micro-batch's mergeable state row
     (``operators/profile.py::profile_state`` — counts, typed extremes,
@@ -325,7 +488,9 @@ def run_ingest_vs_band_table(
     profile ≡ the batch twin after a mid-batch crash + replay);
     ``on_stage``, when given, is called as ``on_stage(stage, batch_id)``
     after each side effect ("pairs_written", "bands_appended",
-    "corpus_appended", "profile_folded") — the failure-injection hook
+    "corpus_appended", "profile_folded", and — when
+    ``compact_threshold_batches`` is armed — "compacted") — the
+    failure-injection hook
     those tests use (raising inside it kills the query BEFORE the
     checkpoint commit, forcing a replay).
     """
@@ -344,8 +509,17 @@ def run_ingest_vs_band_table(
     ingested_dir = corpus_dir.rstrip("/") + "__ingested"
     state_dir = pairs_dir.rstrip("/") + "__state"
     _stage = on_stage if on_stage is not None else (lambda *_: None)
+    _reject_legacy_flat_pairs(spark, pairs_dir)
 
     def _process(batch: DataFrame, batch_id: int) -> None:
+        # a crash mid-fold leaves a pending marker: heal BEFORE the
+        # verify union reads the (possibly half-folded) state trees
+        if _fs_exists(spark, f"{state_dir}/corpus-fold-pending"):
+            _fold_ingested_into_seed(
+                spark, corpus_dir, ingested_dir, state_dir, batch_id
+            )
+        if _fs_exists(spark, f"{state_dir}/pairs-fold-pending"):
+            _fold_pairs_log(spark, pairs_dir, state_dir, batch_id)
         # the source frame is consumed several times below (pairs,
         # band append, corpus append) — pin it once, O(batch)
         batch = batch.localCheckpoint(eager=True)
@@ -353,9 +527,10 @@ def run_ingest_vs_band_table(
         # verify-side corpus = seed (optional) ∪ ingested batches; a
         # missing seed dir is the empty-bootstrap case, not an error
         parts = []
-        if _fs_exists(spark, corpus_dir):
-            parts.append(spark.read.parquet(corpus_dir))
-        if _fs_exists(spark, ingested_dir):
+        seed = _read_state_recovering(spark, corpus_dir)
+        if seed is not None:
+            parts.append(seed)
+        if _batch_partition_ids(spark, ingested_dir):
             parts.append(
                 spark.read.parquet(ingested_dir).drop("ingest_batch_id")
             )
@@ -410,6 +585,20 @@ def run_ingest_vs_band_table(
                 )
                 _overwrite_via_rename(spark, merged, profile_dir)
         _stage("profile_folded", batch_id)
+        if compact_threshold_batches is not None:
+            if (
+                len(_batch_partition_ids(spark, ingested_dir))
+                > compact_threshold_batches
+            ):
+                _fold_ingested_into_seed(
+                    spark, corpus_dir, ingested_dir, state_dir, batch_id
+                )
+            if (
+                len(_batch_partition_ids(spark, pairs_dir))
+                > compact_threshold_batches
+            ):
+                _fold_pairs_log(spark, pairs_dir, state_dir, batch_id)
+            _stage("compacted", batch_id)
         if (
             compact_threshold_files is not None
             and len(spark.table(band_table).inputFiles())

@@ -607,3 +607,182 @@ def test_ingest_auto_compaction_bounds_band_files(spark, tmp_path):
     want = sorted((a, b) for (a, b) in _expected_pairs(seed, batches))
     assert got == want and len(want) >= 3, (got, want)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_partition_compaction_bounds_trees_and_preserves_pair_log(
+    spark, tmp_path
+):
+    """VERDICT r9 item 6: a long stream (20 batches) with
+    ``compact_threshold_batches`` armed keeps BOTH per-batch partition
+    trees bounded — ingested docs fold into the seed corpus, pair-log
+    partitions fold into the consolidated ``ingest_batch_id=-1`` — with
+    the cumulative pair log row-identical to the batch twin and the
+    verify-side corpus content-identical (every doc exactly once)."""
+    from common_survey_data_pipeline_spark.operators.dedup import (
+        write_band_table,
+    )
+    from common_survey_data_pipeline_spark.streaming.ingest import (
+        _batch_partition_ids,
+        run_ingest_vs_band_table,
+    )
+
+    def variant(i):
+        return _BASE.replace("fox", f"animal{i % 3}")
+
+    seed = {0: _BASE}
+    # 20 single-doc batches; every third is a near-dup of the seed
+    # lineage so pairs keep appearing across the whole stream
+    batches = [
+        {100 + k: variant(0) if k % 3 == 0 else f"unique body {k} " * 8}
+        for k in range(20)
+    ]
+    table = _fresh_band_table(spark, "partition_compact_band")
+    in_dir = tmp_path / "drop"
+    in_dir.mkdir()
+    pairs_dir = str(tmp_path / "pairs")
+    corpus_dir = str(tmp_path / "corpus")
+    ingested_dir = corpus_dir + "__ingested"
+    seed_df = spark.createDataFrame(
+        [(i, t, "en", "seed") for i, t in seed.items()], DOC_SCHEMA
+    )
+    seed_df.write.parquet(corpus_dir)
+    write_band_table(spark, seed_df, table, 2, "text", "doc_id")
+    import os
+    import time
+
+    now = time.time()
+    for k, b in enumerate(batches):
+        p = in_dir / f"b{k:02d}.jsonl"
+        _drop_file(p, [{"doc_id": i, "text": t, "lang": "en", "source": "s"}
+                       for i, t in b.items()])
+        # the source orders files by modification time; 20 files written
+        # in one tight loop can collide on mtime and arrive out of list
+        # order, which would flip expected pair directions
+        os.utime(p, (now + k, now + k))
+
+    threshold = 4
+    q = run_ingest_vs_band_table(
+        spark, str(in_dir), pairs_dir, str(tmp_path / "ckpt"), table,
+        corpus_dir, threshold=0.5, compact_threshold_batches=threshold,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # both trees bounded: at most threshold committed partitions plus
+    # the current batch's own (which a fold never touches)
+    assert len(_batch_partition_ids(spark, ingested_dir)) <= threshold + 1
+    assert len(_batch_partition_ids(spark, pairs_dir)) <= threshold + 1
+    # the folds actually fired (20 batches >> threshold)
+    import os
+
+    assert os.path.isdir(f"{pairs_dir}/ingest_batch_id=-1")
+    # cumulative pair log ≡ the batch twin, byte... row-identical
+    got = sorted(
+        (r["batch_id"], r["corpus_id"], round(r["jaccard_sim"], 6))
+        for r in spark.read.parquet(pairs_dir).collect()
+    )
+    want = sorted(
+        (a, b, round(j, 6))
+        for (a, b), j in _expected_pairs(seed, batches).items()
+    )
+    assert got == want and len(want) >= 10, (len(got), len(want))
+    # verify-side corpus: every doc exactly once across seed ∪ ingested
+    docs = spark.read.parquet(corpus_dir).select("doc_id")
+    if _batch_partition_ids(spark, ingested_dir):
+        docs = docs.unionByName(
+            spark.read.parquet(ingested_dir).select("doc_id")
+        )
+    ids = sorted(r["doc_id"] for r in docs.collect())
+    assert ids == sorted(seed) + sorted(i for b in batches for i in b)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_fold_helpers_heal_across_crash_windows(spark, tmp_path):
+    """Unit coverage of the two fold verbs' crash recipe: a re-run
+    after the post-swap/pre-delete window (content in BOTH the fold
+    target and the source partitions, pending marker still set) must
+    dedup to exactly-once and clear the marker."""
+    from common_survey_data_pipeline_spark.streaming.ingest import (
+        _batch_partition_ids,
+        _fold_ingested_into_seed,
+        _fold_pairs_log,
+        _fs_exists,
+        _fs_touch,
+    )
+
+    corpus_dir = str(tmp_path / "corpus")
+    ingested_dir = corpus_dir + "__ingested"
+    state_dir = str(tmp_path / "state")
+    rows = lambda *ids: [(i, f"text {i}", "en", "s") for i in ids]  # noqa: E731
+    spark.createDataFrame(rows(0, 1), DOC_SCHEMA).write.parquet(corpus_dir)
+    for i, docs in ((0, rows(10)), (1, rows(11)), (2, rows(12))):
+        spark.createDataFrame(docs, DOC_SCHEMA).write.parquet(
+            f"{ingested_dir}/ingest_batch_id={i}"
+        )
+    # normal fold below batch 2: partitions 0,1 fold, 2 stays
+    _fold_ingested_into_seed(spark, corpus_dir, ingested_dir, state_dir, 2)
+    assert _batch_partition_ids(spark, ingested_dir) == [2]
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus_dir).collect()
+    ) == [0, 1, 10, 11]
+    # simulate the crash window: partition 1's docs are ALREADY in the
+    # seed, its dir reappears (delete never ran), marker still pending
+    spark.createDataFrame(rows(11), DOC_SCHEMA).write.parquet(
+        f"{ingested_dir}/ingest_batch_id=1"
+    )
+    _fs_touch(spark, f"{state_dir}/corpus-fold-pending")
+    _fold_ingested_into_seed(spark, corpus_dir, ingested_dir, state_dir, 3)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus_dir).collect()
+    ) == [0, 1, 10, 11, 12]  # 11 exactly once: dedup healed the window
+    assert _batch_partition_ids(spark, ingested_dir) == []
+    assert not _fs_exists(spark, f"{state_dir}/corpus-fold-pending")
+
+    pairs_dir = str(tmp_path / "pairs")
+    pschema = "batch_id long, corpus_id long, jaccard double"
+    for i, prs in ((0, [(10, 0, 0.8)]), (1, [(11, 0, 0.7)]),
+                   (2, [(12, 10, 0.9)])):
+        spark.createDataFrame(prs, pschema).write.parquet(
+            f"{pairs_dir}/ingest_batch_id={i}"
+        )
+    _fold_pairs_log(spark, pairs_dir, state_dir, 2)
+    assert _batch_partition_ids(spark, pairs_dir) == [2]
+    # crash window: pair row of partition 1 duplicated in consolidated
+    spark.createDataFrame([(11, 0, 0.7)], pschema).write.parquet(
+        f"{pairs_dir}/ingest_batch_id=1"
+    )
+    _fs_touch(spark, f"{state_dir}/pairs-fold-pending")
+    _fold_pairs_log(spark, pairs_dir, state_dir, 3)
+    got = sorted(
+        (r["batch_id"], r["corpus_id"])
+        for r in spark.read.parquet(pairs_dir).collect()
+    )
+    assert got == [(10, 0), (11, 0), (12, 10)]  # full-row dedup healed
+    assert _batch_partition_ids(spark, pairs_dir) == []
+    assert not _fs_exists(spark, f"{state_dir}/pairs-fold-pending")
+
+
+def test_legacy_flat_pairs_dir_refused(spark, tmp_path):
+    """ADVICE r9: a pairs_dir written by the pre-round-9 FLAT layout
+    (appended files directly under the dir) must be refused at service
+    start with migration instructions, not fail partition discovery
+    mid-stream."""
+    import pytest as _pytest
+
+    from common_survey_data_pipeline_spark.streaming.ingest import (
+        run_ingest_vs_band_table,
+    )
+
+    pairs_dir = str(tmp_path / "pairs")
+    spark.createDataFrame(
+        [(10, 0, 0.8)], "batch_id long, corpus_id long, jaccard double"
+    ).coalesce(1).write.parquet(pairs_dir)  # the old flat layout
+    in_dir = tmp_path / "drop"
+    in_dir.mkdir()
+    with _pytest.raises(ValueError, match="flat pair files"):
+        run_ingest_vs_band_table(
+            spark, str(in_dir), pairs_dir, str(tmp_path / "ckpt"),
+            "any_band_table", str(tmp_path / "corpus"),
+        )
