@@ -281,11 +281,12 @@ def main() -> None:
     # manually cleared by an isolated quiet-box best-of-3 — so that
     # protocol now runs INSIDE the bench. After the batch finishes the
     # JVM is idle; a flagged query is re-timed best-of-3 with a full GC
-    # + settle pause before each sample. If the isolated time clears
-    # the 1.5× gate, the isolated number replaces the batch number and
-    # the flag is dropped (the batch sample measured the neighborhood,
-    # not the plan); the raw batch time is preserved in "retimed" so
-    # drift stays auditable either way.
+    # + settle pause before each sample. The isolated number replaces
+    # the batch number whenever it is SMALLER — min over more samples
+    # is strictly closer to the plan's cost — which drops the flag
+    # when it also clears the 1.5× gate; the raw batch time is
+    # preserved in "retimed" so drift stays auditable either way
+    # (ADVICE r9: comment aligned with the unconditional-min code).
     def _retime(flagged, d, times_map, prev):
         notes = {}
         for name in sorted(flagged):

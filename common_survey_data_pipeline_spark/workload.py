@@ -8995,7 +8995,12 @@ def q_quantile_cert(spark, sf_dir):
     Scale shape: one group-keyed sketch aggregation (GK partials merge
     map-side, fixed memory) + one broadcast-joined CDF probe pass over
     the |groups|×5 sketch answers; the corpus is scanned twice, never
-    shuffled beyond the group key.
+    shuffled beyond the group key. The probe keeps the sketch answers
+    as ARRAYS on each event row (one conditional sum per ladder rung
+    in a single aggregation) instead of joining an exploded
+    groups×5-row frame — the exploded form multiplied every event row
+    by the ladder length before its partial aggregation (5× the probe
+    pass's row volume; measured 1.47s → 0.95s at sf1, r9 perf note).
     """
     ev = (
         _t(spark, sf_dir, "events")
@@ -9010,34 +9015,51 @@ def q_quantile_cert(spark, sf_dir):
         F.expr(f"percentile(cents, array({arr}))").alias("ex"),
         F.expr(f"approx_percentile(cents, array({arr}), 10000)").alias("ap"),
     )
+    k = len(_CERT_PS)
     p_lit = F.array(*[F.lit(float(x)) for x in _CERT_PS])
-    r = agg.select(
-        "event_type",
-        F.posexplode(F.arrays_zip("ex", "ap")).alias("i0", "z"),
-        p_lit.alias("ps"),
-    ).select(
-        "event_type",
-        F.element_at("ps", F.col("i0") + 1).alias("p"),
-        F.col("z.ex").alias("exq"),
-        F.col("z.ap").alias("apv"),
-    )
-    cdf = (
-        r.join(ev, "event_type")
-        .groupBy("event_type", "p", "exq")
+    sums = (
+        ev.join(F.broadcast(agg), "event_type")
+        .groupBy("event_type")
         .agg(
-            (
-                F.sum((F.col("cents") <= F.col("apv")).cast("long")).cast(
-                    "double"
-                )
-                / F.count(F.lit(1))
-            ).alias("cdf_at_ap")
+            F.first("ex").alias("ex"),
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(
+                    (
+                        F.col("cents") <= F.element_at("ap", i + 1)
+                    ).cast("long")
+                ).alias(f"c{i}")
+                for i in range(k)
+            ],
         )
     )
-    return cdf.select(
-        "event_type",
-        "p",
-        (F.col("exq") / F.lit(100.0)).alias("exact_q"),
-        (F.abs(F.col("cdf_at_ap") - F.col("p")) < 0.02).alias("approx_ok"),
+    # same arithmetic per rung as the exploded form: long-sum cast to
+    # double over the group's long count
+    cdfs = F.array(
+        *[(F.col(f"c{i}").cast("double") / F.col("n")) for i in range(k)]
+    )
+    return (
+        sums.select(
+            "event_type",
+            F.col("ex").alias("exs"),
+            cdfs.alias("cdfs"),
+            p_lit.alias("ps"),
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("i"),
+        )
+        .select(
+            "event_type",
+            F.element_at("ps", F.col("i")).alias("p"),
+            (F.element_at("exs", F.col("i")) / F.lit(100.0)).alias(
+                "exact_q"
+            ),
+            (
+                F.abs(
+                    F.element_at("cdfs", F.col("i"))
+                    - F.element_at("ps", F.col("i"))
+                )
+                < 0.02
+            ).alias("approx_ok"),
+        )
     )
 
 
