@@ -1548,6 +1548,50 @@ def rebalance_ivf_index(
     _ivf_set_epoch(spark, f"{table}__centroids", epoch)
 
 
+def compact_index_files(spark, table: str) -> None:
+    """Rewrite a cell-partitioned ANN index (IVF or composed IVF+PQ)
+    to exactly ONE data file per cell, preserving geometry, stored
+    build properties, and the consistency epoch — the ANN mirror of
+    ``operators/dedup.py::compact_band_table``. Every
+    ``append_ivf_index`` / ``append_ivfpq_index`` (and every streaming
+    ingest micro-batch) adds one file per touched cell, so after N
+    appends a probed cell's scan opens N small files: partition
+    pruning still skips unprobed CELLS, but each probed cell pays N
+    file opens and loses row-group-sized reads. Compaction is the
+    amortized heal — ONE shuffle of the index data keyed on ``cell``
+    (each cell lands in exactly one task, so the partitioned rewrite
+    emits exactly one file per cell), no retraining, no re-encoding,
+    content byte-identical. The rewrite is the
+    :func:`rebalance_ivf_index` in-place recipe — pin the content with
+    an eager ``localCheckpoint`` (the overwrite deletes the files it
+    was read from), overwrite the SAME table, restore the properties —
+    NOT the band table's shadow-table + catalog-rename swap: renaming
+    a PARTITIONED table invalidates per-partition catalog locations,
+    and a long-lived stream's cloned sessions cache the relation by
+    name across that DDL (measured: appends landing after a
+    rename-based compaction silently vanished from the next rewrite).
+    The epoch is restored unchanged, NOT bumped — geometry did not
+    move, so readers' epoch-equality checks hold across the rewrite;
+    the overwrite-to-ALTER crash window is the same one every
+    rebalance has, detected by the epoch check and healed by the
+    rebalance verb."""
+    props = {
+        k: v
+        for k, v in _table_props(spark, table).items()
+        if k.startswith(("ivf.", "pq.", "ivfpq."))
+    }
+    cur = spark.table(table).localCheckpoint(eager=True)
+    (
+        cur.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .saveAsTable(table)
+    )
+    if props:
+        kv = ", ".join(f"'{k}'='{v}'" for k, v in sorted(props.items()))
+        spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})")
+
+
 # ---------------------------------------------------------------------------
 # Persisted PQ index — compression AT REST: the corpus persists as
 # m-byte codes (the storage-bound regime pq_topk only simulates by

@@ -96,6 +96,7 @@ def run_embedding_ingest(
     on_stage=None,
     index_kind: str = "ivf",
     corpus_table: str | None = None,
+    compact_threshold_files: int | None = None,
 ):
     """Wire source → per-batch index append → skew-triggered rebalance;
     returns the StreamingQuery (caller awaits/stops it).
@@ -118,11 +119,22 @@ def run_embedding_ingest(
     replay-anti-join recipe, and the auto-rebalance retrains from it
     via ``rebalance_ivfpq_index``.
 
+    ``compact_threshold_files`` bounds file fragmentation the same way
+    the dedup service's band-table knob does: every append adds one
+    file per touched cell, so a long stream makes each probed cell's
+    scan open one file per batch; any batch that leaves the index
+    above the threshold triggers
+    ``operators/similarity.py::compact_index_files`` (back to one file
+    per cell — geometry, properties, and epoch preserved, content
+    byte-identical, so it composes with the replay guard and the
+    rebalance untouched).
+
     Exactly-once-effect appends in every crash window — see the module
     doc for the two-marker recipe. ``on_stage(stage, batch_id)`` is the
     failure-injection hook the kill-and-restart tests use, called after
     each step: ``"append_uncommitted"`` (inside the residual window —
-    append committed, marker not yet), ``"appended"``, ``"rebalanced"``.
+    append committed, marker not yet), ``"appended"``, ``"rebalanced"``,
+    ``"compacted"``.
     """
     if index_kind not in ("ivf", "ivfpq"):
         raise ValueError(
@@ -139,6 +151,7 @@ def run_embedding_ingest(
     from common_survey_data_pipeline_spark.operators.similarity import (
         append_ivf_index,
         append_ivfpq_index,
+        compact_index_files,
         ivf_cell_skew,
         rebalance_ivf_index,
         rebalance_ivfpq_index,
@@ -148,6 +161,19 @@ def run_embedding_ingest(
     _stage = on_stage if on_stage is not None else (lambda *_: None)
 
     def _process(batch: DataFrame, batch_id: int) -> None:
+        # the appends below run through the STREAM's cloned session
+        # (the batch frame's), while every health/replay read here uses
+        # the captured outer session — whose relation cache, once
+        # primed, never sees the clone's inserts (measured: file counts
+        # and skew frozen at their first-batch values across a 7-batch
+        # stream, and a compaction rewriting from that stale snapshot
+        # silently dropped every later append). Refresh the cached
+        # listings before reading anything.
+        spark.catalog.refreshTable(index_table)
+        if corpus_table is not None and spark.catalog.tableExists(
+            corpus_table
+        ):
+            spark.catalog.refreshTable(corpus_table)
         committed = f"{state_dir}/batch-{batch_id}"
         started = f"{state_dir}/started-{batch_id}"
         if not _fs_exists(spark, committed):
@@ -176,6 +202,10 @@ def run_embedding_ingest(
                 append_ivfpq_index(spark, bc, index_table)
             _stage("append_uncommitted", batch_id)
             _fs_touch(spark, committed)
+            # a replay's anti-join above re-primed the outer cache
+            # BEFORE the append — drop it again so the health reads
+            # below see the batch's own rows
+            spark.catalog.refreshTable(index_table)
         _stage("appended", batch_id)
         if skew_threshold is not None:
             mx, md = ivf_cell_skew(spark, index_table)
@@ -187,6 +217,13 @@ def run_embedding_ingest(
                         spark, spark.table(corpus_table), index_table
                     )
         _stage("rebalanced", batch_id)
+        if (
+            compact_threshold_files is not None
+            and len(spark.table(index_table).inputFiles())
+            > compact_threshold_files
+        ):
+            compact_index_files(spark, index_table)
+        _stage("compacted", batch_id)
 
     return (
         stream_jsonl_embeddings(spark, in_dir)

@@ -417,3 +417,40 @@ def test_ivfpq_skew_triggers_composed_rebalance(spark, sf_dir, tmp_path):
     }
     assert len(ann & exact) / len(exact) >= 0.9
     _drop_table(spark, t, f"{t}__centroids", f"{t}__codebooks", ct)
+
+
+def test_compaction_bounds_index_files_in_stream(spark, sf_dir, tmp_path):
+    """Round-10: with compact_threshold_files armed, a long embedding
+    stream keeps the index's file count bounded (compact_index_files
+    fires inside the loop) and the streamed index still equals the
+    batch twin."""
+    from common_survey_data_pipeline_spark.operators.similarity import (
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed = emb.where(F.col("vec_id") % 8 == 0)
+    t = "ann_ingest_compact"
+    _drop_table(spark, t, f"{t}__centroids", f"{t}__compacting")
+    write_ivf_index(spark, seed, t, nlist=4)
+    in_dir = tmp_path / "drop"
+    in_dir.mkdir()
+    for r in range(1, 8):
+        _drop_jsonl(
+            in_dir / f"b{r}.jsonl",
+            _emb_rows(emb.where(F.col("vec_id") % 8 == r)),
+        )
+    threshold = 8
+    q = run_embedding_ingest(
+        spark, str(in_dir), str(tmp_path / "ckpt"), t,
+        compact_threshold_files=threshold,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(spark.table(t).inputFiles()) <= threshold
+    assert _index_ids(spark, t) == sorted(
+        r["vec_id"] for r in emb.collect()
+    )
+    _drop_table(spark, t, f"{t}__centroids")

@@ -711,3 +711,89 @@ def test_torn_props_recovered_from_companion_mirror(spark, sf_dir):
              for r in spark.sql(f"SHOW TBLPROPERTIES {t}").collect()}
     assert (props["ivfpq.nlist"], props["ivfpq.m"]) == ("4", "16")
     _drop(spark, t, f"{t}__centroids", f"{t}__codebooks")
+
+
+def test_compact_index_files_restores_one_file_per_cell(spark, sf_dir):
+    """Round-10: appends add one file per touched cell per batch, so a
+    probed cell's scan opens one file per append; compact_index_files
+    must collapse each lifecycle's data tree back to one file per cell
+    with content, build properties, epoch, and query results
+    byte-identical — for BOTH cell-partitioned index kinds."""
+    from common_survey_data_pipeline_spark.operators.similarity import (
+        append_ivf_index,
+        append_ivfpq_index,
+        compact_index_files,
+        ivf_topk_from_index,
+        ivfpq_topk_from_index,
+        write_ivf_index,
+        write_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 400)
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+    def props_of(t):
+        return {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {t}").collect()
+            if r["key"].startswith(("ivf.", "pq.", "ivfpq."))
+        }
+
+    t = "compact_ivf_test"
+    _drop(spark, t, f"{t}__centroids", f"{t}__compacting")
+    write_ivf_index(spark, emb.where(F.col("vec_id") % 4 == 0), t, nlist=4)
+    for r in range(1, 4):
+        append_ivf_index(spark, emb.where(F.col("vec_id") % 4 == r), t)
+    files0 = len(spark.table(t).inputFiles())
+    rows0 = sorted(map(tuple, spark.table(t).select("vec_id", "cell").collect()))
+    props0, res0 = props_of(t), sorted(
+        map(tuple, ivf_topk_from_index(spark, t, qs, k=5, nprobe=4).collect())
+    )
+    compact_index_files(spark, t)
+    n_cells = spark.table(t).select("cell").distinct().count()
+    assert len(spark.table(t).inputFiles()) == n_cells < files0
+    assert sorted(
+        map(tuple, spark.table(t).select("vec_id", "cell").collect())
+    ) == rows0
+    assert props_of(t) == props0  # epoch copied, not bumped
+    assert sorted(
+        map(tuple, ivf_topk_from_index(spark, t, qs, k=5, nprobe=4).collect())
+    ) == res0
+    _drop(spark, t, f"{t}__centroids")
+
+    t = "compact_ivfpq_test"
+    _drop(spark, t, f"{t}__centroids", f"{t}__codebooks", f"{t}__compacting")
+    write_ivfpq_index(
+        spark, emb.where(F.col("vec_id") % 4 == 0), t, nlist=4, m=16, ksub=16
+    )
+    for r in range(1, 4):
+        append_ivfpq_index(spark, emb.where(F.col("vec_id") % 4 == r), t)
+    files0 = len(spark.table(t).inputFiles())
+    rows0 = sorted(map(tuple, spark.table(t).select("vec_id", "cell").collect()))
+    props0, res0 = props_of(t), sorted(
+        map(
+            tuple,
+            ivfpq_topk_from_index(
+                spark, t, qs, emb, k=5, nprobe=4, shortlist=100
+            ).collect(),
+        )
+    )
+    compact_index_files(spark, t)
+    n_cells = spark.table(t).select("cell").distinct().count()
+    assert len(spark.table(t).inputFiles()) == n_cells < files0
+    assert sorted(
+        map(tuple, spark.table(t).select("vec_id", "cell").collect())
+    ) == rows0
+    assert props_of(t) == props0
+    assert sorted(
+        map(
+            tuple,
+            ivfpq_topk_from_index(
+                spark, t, qs, emb, k=5, nprobe=4, shortlist=100
+            ).collect(),
+        )
+    ) == res0
+    _drop(spark, t, f"{t}__centroids", f"{t}__codebooks")
