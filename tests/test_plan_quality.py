@@ -193,6 +193,7 @@ BROADCAST_ALLOWLIST: dict[str, str] = {
     "similarity_pq_appended": _FIVE_QUERY_VECTORS,
     "similarity_pq_rebalanced": _FIVE_QUERY_VECTORS,
     "similarity_ivfpq_persisted": _FIVE_QUERY_VECTORS,
+    "similarity_ivfpq_rebalanced": _FIVE_QUERY_VECTORS,
     "rrf_hybrid_search": (
         "both broadcast sides are the CONSTANT query set (3 literal ids):"
         " the semantic leg ships 3 embedding rows, the lexical leg ships"
