@@ -140,7 +140,16 @@ def _apply_merge(vocab: DataFrame, w1: str, w2: str) -> DataFrame:
 #: between 50k (tie) and 200k (delta wins) noise words; below it the
 #: full-vocab explode is cheap and the delta's per-round pair-table
 #: merge + checkpoint write costs more than it saves (measured ~1.8×
-#: at the sf0.1 bench vocab).
+#: at the sf0.1 bench vocab). Since round 10 the same threshold also
+#: gates the DRIVER regime: below it the word-frequency table is a
+#: model-sized artifact (≤100k rows × ~16 B ≈ 2 MB — the same bounded-
+#: by-construction class as the PQ ``train_cap`` codebook samples), so
+#: ``auto`` collects it ONCE and runs the per-merge loop in local
+#: Python instead of paying K Spark job round-trips on vocab-sized
+#: data (guide §1.2: fix the distributed algorithm before the
+#: per-task work — here the ideal plan has ONE distributed pass,
+#: the corpus word count, and the K-iteration loop is pure
+#: model-sized bookkeeping).
 DELTA_MIN_VOCAB = 100_000
 
 
@@ -155,27 +164,31 @@ def bpe_train(
     early if the vocabulary runs out of adjacent pairs (every word
     fully merged) — the returned list is then shorter than ``k``.
 
-    ``strategy``: ``"recount"`` re-aggregates all pairs from the whole
+    ``strategy``: ``"driver"`` collects the (bounded) word-frequency
+    table once and runs the merge loop in local Python with
+    incrementally maintained pair counts (:func:`_train_driver` — the
+    subword-nmt shape; ONE distributed pass total, zero per-iteration
+    Spark jobs); ``"recount"`` re-aggregates all pairs from the whole
     vocab every round (one full-vocab explode + hash agg per round,
-    exactly one job via the lazy checkpoint — the cheap plan while the
-    vocab is small); ``"delta"`` maintains the pair table across
-    rounds (:func:`_train_delta` — the at-scale plan, per-round cost
-    tracks AFFECTED words, not vocab size); ``"auto"`` (default)
-    counts the word vocabulary once and picks delta at
-    ``DELTA_MIN_VOCAB`` and above — the cost-based-dispatch pattern of
-    ``embedding_neardup_pairs(strategy="auto")``. Both paths produce
-    the identical merge list (property-pinned delta ≡ recount on
-    adversarial and random corpora).
+    exactly one job via the lazy checkpoint — the oracle/property
+    twin); ``"delta"`` maintains the pair table across rounds
+    (:func:`_train_delta` — the at-scale plan, per-round cost tracks
+    AFFECTED words, not vocab size); ``"auto"`` (default) counts the
+    word vocabulary once and picks driver below ``DELTA_MIN_VOCAB``
+    and delta at/above it — the cost-based-dispatch pattern of
+    ``embedding_neardup_pairs(strategy="auto")``. All paths produce
+    the identical merge list (property-pinned driver ≡ delta ≡
+    recount on adversarial and random corpora).
 
     The merge list is small by construction (k rows) — it is the
     *model*, pulled to the driver the way any trained artifact is.
     """
     if k < 1:
         raise ValueError(f"bpe_train: k must be >= 1, got {k}")
-    if strategy not in ("auto", "delta", "recount"):
+    if strategy not in ("auto", "driver", "delta", "recount"):
         raise ValueError(
             f"bpe_train: unknown strategy {strategy!r} "
-            "(expected auto | delta | recount)"
+            "(expected auto | driver | delta | recount)"
         )
     vocab = (
         _word_freqs(docs, text_col)
@@ -186,10 +199,12 @@ def bpe_train(
         # one count on the (lazily checkpointed) vocab — it doubles as
         # the checkpoint's materialization, so round 1 reads it warm
         strategy = (
-            "delta" if vocab.count() >= DELTA_MIN_VOCAB else "recount"
+            "delta" if vocab.count() >= DELTA_MIN_VOCAB else "driver"
         )
     if strategy == "delta":
         return _train_delta(vocab, k)
+    if strategy == "driver":
+        return _train_driver(vocab, k)
     return _train_recount(vocab, k)
 
 
@@ -233,10 +248,10 @@ def bpe_train_to_vocab(
         raise ValueError(
             f"bpe_train_to_vocab: min_freq must be >= 1, got {min_freq}"
         )
-    if strategy not in ("auto", "delta", "recount"):
+    if strategy not in ("auto", "driver", "delta", "recount"):
         raise ValueError(
             f"bpe_train_to_vocab: unknown strategy {strategy!r} "
-            "(expected auto | delta | recount)"
+            "(expected auto | driver | delta | recount)"
         )
     vocab = (
         _word_freqs(docs, text_col)
@@ -252,7 +267,7 @@ def bpe_train_to_vocab(
     if alpha >= vocab_size:
         return []
     if strategy == "auto":
-        strategy = "delta" if n_words >= DELTA_MIN_VOCAB else "recount"
+        strategy = "delta" if n_words >= DELTA_MIN_VOCAB else "driver"
     new_tokens: set[str] = set()
 
     def reached(merges: list[tuple[int, str, str, int]]) -> bool:
@@ -260,7 +275,11 @@ def bpe_train_to_vocab(
         new_tokens.add(w1 + w2)
         return alpha + len(new_tokens) >= vocab_size
 
-    train = _train_delta if strategy == "delta" else _train_recount
+    train = {
+        "delta": _train_delta,
+        "driver": _train_driver,
+        "recount": _train_recount,
+    }[strategy]
     return train(vocab, max_merges, min_freq=min_freq, stop=reached)
 
 
@@ -313,6 +332,109 @@ def _train_delta(
             .localCheckpoint(eager=False)
         )
         vocab = _apply_merge(vocab, w1, w2).localCheckpoint(eager=False)
+    return merges
+
+
+def _train_driver(
+    vocab: DataFrame, k: int, min_freq: int = 1, stop=None
+) -> list[tuple[int, str, str, int]]:
+    """BOUNDED-VOCAB training loop: collect the word-frequency table
+    once (its size is pre-checked against ``DELTA_MIN_VOCAB`` by the
+    ``auto`` dispatch — a model-sized artifact, not a corpus pull) and
+    run the per-merge loop in local Python with incrementally
+    maintained pair counts — the subword-nmt/HF-trainers shape. The
+    distributed loops pay one Spark job PER MERGE on vocab-sized data
+    (32 merges = 32 scheduler round-trips dominating wall-clock when
+    the vocab is ~10⁴ rows, guide §1.2); here the only cluster work is
+    the corpus word count that built ``vocab``.
+
+    Exactness contract (property-pinned driver ≡ recount ≡ delta):
+
+    * pair counts are overlapping adjacency weighted by word freq —
+      identical to :func:`_pair_counts`;
+    * argmax order is (n DESC, w1 ASC, w2 ASC); Python's per-codepoint
+      string comparison equals Spark's UTF8String binary order because
+      UTF-8 byte order preserves codepoint order;
+    * merge application is greedy leftmost non-overlapping — the tuple
+      scan below is exactly the ``"|w1||w2|" → "|w1w2|"`` string
+      replace (symbols are '|'-free, so matches never span symbol
+      boundaries);
+    * per-merge maintenance recounts AFFECTED words wholesale (old
+      pair multiset out, new in — the `_train_delta` trick, immune to
+      the classic overlapping-run/edge-merge adjacency bugs);
+    * argmax uses a lazy max-heap (stale entries re-keyed or dropped
+      at pop time; every live pair always has an entry carrying its
+      current count) so per-iteration cost tracks affected volume.
+    """
+    import heapq
+    from collections import Counter
+
+    words: list[tuple[list[str], int]] = []
+    for row in vocab.select("seq", "freq").collect():
+        seq = row["seq"]
+        words.append((seq[1:-1].split("||"), int(row["freq"])))
+
+    counts: Counter = Counter()
+    occ: dict[tuple[str, str], set[int]] = {}
+    for wi, (syms, freq) in enumerate(words):
+        for p in zip(syms, syms[1:]):
+            counts[p] += freq
+            occ.setdefault(p, set()).add(wi)
+
+    heap = [(-n, w1, w2) for (w1, w2), n in counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, k + 1):
+        best = None
+        while heap:
+            negn, w1, w2 = heap[0]
+            live = counts.get((w1, w2), 0)
+            if live <= 0:
+                heapq.heappop(heap)
+            elif -negn != live:
+                # stale-high entry: re-key in place with the live count
+                heapq.heapreplace(heap, (-live, w1, w2))
+            else:
+                best = (w1, w2, live)
+                break
+        if best is None:
+            break  # vocabulary fully merged before k steps
+        w1, w2, n = best
+        if n < min_freq:
+            break  # min-frequency floor: the rare pair is NOT recorded
+        merges.append((step, w1, w2, n))
+        if stop is not None and stop(merges):
+            break  # target reached; the reaching merge IS recorded
+        merged = w1 + w2
+        for wi in occ.get((w1, w2), set()).copy():
+            syms, freq = words[wi]
+            old = Counter(zip(syms, syms[1:]))
+            new_syms: list[str] = []
+            i, length = 0, len(syms)
+            while i < length:
+                if i < length - 1 and syms[i] == w1 and syms[i + 1] == w2:
+                    new_syms.append(merged)
+                    i += 2
+                else:
+                    new_syms.append(syms[i])
+                    i += 1
+            words[wi] = (new_syms, freq)
+            new = Counter(zip(new_syms, new_syms[1:]))
+            for p in set(old) | set(new):
+                d = new[p] - old[p]
+                if d == 0:
+                    continue
+                counts[p] += d * freq
+                if counts[p] <= 0:
+                    del counts[p]
+                else:
+                    heapq.heappush(heap, (-counts[p], p[0], p[1]))
+                if new[p] == 0:
+                    s = occ.get(p)
+                    if s is not None:
+                        s.discard(wi)
+                elif old[p] == 0:
+                    occ.setdefault(p, set()).add(wi)
     return merges
 
 

@@ -666,11 +666,20 @@ def hamming_band_pairs(
     else:
         # bucket size as a count Window over the bucket key: ONE
         # shuffle of the chunk table, vs the aggregate-then-join form's
-        # two (the prefix_filter_jaccard_pairs df-attachment trick)
+        # two (the prefix_filter_jaccard_pairs df-attachment trick).
+        # r10: CACHE the sized table — four consumers read it (both
+        # sides of the small self-join, the big path's build and probe)
+        # and each would otherwise re-run the window sort over the
+        # reused exchange; blocks are n_chunks×N skinny rows,
+        # LRU-evictable, and the cache preserves the (chunk, chunk_val)
+        # partitioning so the small self-join needs no further
+        # exchange (same caching contract as
+        # prefix_filter_jaccard_pairs: clearCache() after consuming in
+        # long-lived sessions)
         sized = chunks.withColumn(
             "__bn",
             F.count(F.lit(1)).over(Window.partitionBy("chunk", "chunk_val")),
-        )
+        ).cache()
         small = sized.where(F.col("__bn") <= bucket_cap).drop("__bn")
         big = sized.where(F.col("__bn") > bucket_cap).drop("__bn")
         # secondary sub-split of oversized buckets: key on

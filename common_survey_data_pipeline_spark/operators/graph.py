@@ -161,12 +161,30 @@ def pagerank(
     """
     import warnings
 
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    e = e.localCheckpoint(eager=False)
+    # r10 (guide §2.4): hash-partition the edge list by src ONCE and
+    # persist — persist, NOT localCheckpoint, because a checkpoint's
+    # LogicalRDD drops outputPartitioning while InMemoryRelation keeps
+    # it — so the degree aggregation and EVERY iteration's
+    # contribution join reuse the layout; per round only the |V|-row
+    # rank table moves, instead of re-exchanging |E| rows every
+    # iteration. Partition count is size-derived (scaled_partitions;
+    # on derived edge frames it degrades to the cluster-tuned
+    # shuffle.partitions cap) because AQE never coalesces a cached
+    # plan's output-determining exchange.
+    from common_survey_data_pipeline_spark.sources.tables import (
+        scaled_partitions,
+    )
+
+    n_part = scaled_partitions(edges)
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition(n_part, "src")
+        .persist()
+    )
     deg = (
         e.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     n = deg.count()
     if n == 0:

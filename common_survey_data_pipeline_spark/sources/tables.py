@@ -91,6 +91,49 @@ def parallelism_floor(df: DataFrame, target: int | None = None) -> DataFrame:
     return df.repartition(want)
 
 
+def scaled_partitions(scan_df: DataFrame, multiplier: float = 1.0) -> int:
+    """Scale-adaptive partition count for an EXPLICIT repartition whose
+    layout must survive a ``.persist()`` (e.g. a co-partitioned edge
+    list reused across iterations): AQE never coalesces the
+    output-determining exchange of a cached plan
+    (``canChangeCachedPlanOutputPartitioning`` is off by default, so
+    the stored partitioning stays join-usable), which means a count
+    pinned to ``spark.sql.shuffle.partitions`` runs tiny inputs at
+    full-cluster task counts. This helper does what AQE would have
+    done, at plan time: scan size (Catalyst file-source stats —
+    accurate for scans; on derived plans the stats OVERESTIMATE, which
+    degrades gracefully to the shuffle.partitions cap, i.e. the
+    pre-r10 behavior) divided by the session's advisory partition
+    size, clamped to [1, shuffle.partitions]. ``multiplier`` adjusts for derived tables
+    whose bytes differ from the scan's (e.g. an exploded-then-deduped
+    edge list). At production scale the clamp hits shuffle.partitions
+    — the cluster-tuned knob — so nothing here is a local-mode
+    constant."""
+    spark = scan_df.sparkSession
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    adv_s = spark.conf.get(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"
+    )
+    adv = int(
+        spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+            adv_s
+        )
+    )
+    size = int(
+        str(scan_df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    by_size = (size * multiplier + adv - 1) // adv
+    # parallelism floor: persisted co-partitioned tables are
+    # compute-ACTIVE (joined/aggregated every iteration), so below
+    # one-task-per-core the cores idle — measured at sf0.1: a
+    # size-derived single partition serialized pagerank's iterations
+    # (6.5s vs 3.7s at defaultParallelism). The floor is
+    # environment-derived, never a local constant, and is irrelevant at
+    # scale where by_size dominates.
+    floor = min(cap, spark.sparkContext.defaultParallelism)
+    return int(max(floor, min(cap, by_size)))
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: tuple[str, ...] = TPCH_TABLES
 ) -> dict[str, DataFrame]:

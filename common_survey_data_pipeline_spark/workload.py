@@ -101,6 +101,7 @@ from common_survey_data_pipeline_spark.operators.similarity import (
 from common_survey_data_pipeline_spark.sources.tables import (
     load_table,
     parallelism_floor,
+    scaled_partitions,
 )
 from common_survey_data_pipeline_spark.streaming.events import (
     attribution_join,
@@ -5473,23 +5474,44 @@ def q_pagerank(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     # edge build: the shared basket-pair kernel (one order-keyed
     # shuffle + narrow double-explode; operators/graph.py::basket_pairs)
+    #
+    # r10: hash-partition the edge list by src ONCE (guide §2.4 — two
+    # operations keyed the same way share one exchange).
+    # HashPartitioning(src) clusters (src, dst) too, so the distinct's
+    # aggregate runs in the same stage with NO second exchange, the
+    # persisted InMemoryRelation PRESERVES the partitioning, and then
+    # the degree aggregation AND the per-iteration contribution joins
+    # all reuse it — each iteration shuffles only the |V|-row rank
+    # table instead of re-exchanging the |E|-row edge list. The
+    # partition count is explicit because AQE never coalesces a cached
+    # plan's output-determining exchange, and it is derived from the
+    # fact scan's size (scaled_partitions — what AQE's coalescing
+    # would have picked, clamped by cluster-tuned shuffle.partitions)
+    # so tiny SFs don't run iteration stages at full-cluster task
+    # counts.
+    n_part = scaled_partitions(li)
     pairs = (
         basket_pairs(li, symmetric=True)
         .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .repartition(n_part, "src")
         .distinct()
-        # the edge list feeds deg + BOTH iterations; without a
-        # checkpoint this lineage re-executes for every consumer (the
-        # neardup_clusters iteration pattern)
-        .localCheckpoint()
+        # the edge list feeds deg + BOTH iterations; persist (NOT
+        # localCheckpoint: a checkpoint's LogicalRDD drops
+        # outputPartitioning — measured, plans/r10 — while
+        # InMemoryRelation keeps it) so each consumer reads the
+        # materialized blocks AND inherits the src layout
+        .persist()
     )
+    pairs.count()  # materialize before fan-out (was the eager checkpoint)
     # the degree table is reused by n, the seed ranks, and BOTH
-    # iterations — checkpoint it (lazily: it materializes inside the
-    # first job) so each consumer reads ~|V| rows instead of re-running
-    # the |E|-row aggregation
+    # iterations — persist it too; it inherits the src≡node hash
+    # layout from the cached edge list (its aggregation needs NO
+    # exchange), and every per-iteration rank join below is then
+    # node-co-partitioned end to end
     deg = (
         pairs.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     n = deg.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
     ranks = deg.crossJoin(F.broadcast(n)).select(
@@ -10967,20 +10989,50 @@ def q_winnowing_containment(spark, sf_dir):
     identical rule, so parity is exact; candidate pairs form on a
     plain fp-keyed equi-join and aggregate map-side. The containment
     ratio divides exact integers, rounded at 6 — hash-stable."""
-    # the winnowed sketch (per-char md5 — the dominant stage, see
-    # text_fingerprints) feeds the df aggregate AND the inf join probe:
-    # cache it so the fingerprint pipeline runs once, not per branch
-    # (clearCache after consuming in long-lived sessions)
-    fps = q_text_fp(spark, sf_dir).cache()
-    dfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
-    inf = fps.join(dfreq.where(F.col("df") <= 64), "fp")
+    # r10 restructure (guide §2.3/§2.4, identical output proven by a
+    # committed A/B): the old cascade computed df with an aggregate,
+    # joined it back onto the fingerprint table (two exchanges of the
+    # 32-char md5 keys + a 500k-key build side), then formed pairs via
+    # a fp-keyed SELF-JOIN. Now ONE fp-keyed exchange attaches df as a
+    # count Window (the hamming_band_pairs trick), and pairs are
+    # generated from the per-fp doc-id list — bounded at 64 ids by the
+    # stop-fingerprint rule BEFORE collect_list, so the array is
+    # hub-safe at any corpus size — with an i<j expression expansion
+    # replacing the self-join's build table. The informative sketch is
+    # what gets cached (smaller than the raw fps table; clearCache
+    # after consuming in long-lived sessions). Plan: 3 fp/doc-keyed
+    # exchanges where the r9 shape had 5 plus the join fanout.
+    fps = q_text_fp(spark, sf_dir)
+    inf = (
+        fps.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
+        .where(F.col("__df") <= 64)
+        .cache()
+    )
     nfp = inf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
-    keep = inf.where(F.col("df") >= 2).select("doc_id", "fp")
-    a = keep.select(F.col("doc_id").alias("id_a"), "fp")
-    b = keep.select(F.col("doc_id").alias("id_b"), "fp")
+    # df >= 2 keeps only fps that can witness a pair; ids sorted so the
+    # i<j expansion emits id_a < id_b exactly like the old self-join
+    g = (
+        inf.where(F.col("__df") >= 2)
+        .groupBy("fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("__ids"))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("__ids")),
+            lambda i: F.transform(
+                F.slice(F.col("__ids"), i + 1, F.size("__ids")),
+                lambda b: F.struct(
+                    F.element_at(F.col("__ids"), i).alias("id_a"),
+                    b.alias("id_b"),
+                ),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "fp")
-        .where(F.col("id_a") < F.col("id_b"))
+        g.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared_fps"))
     )

@@ -299,6 +299,58 @@ def test_delta_equals_recount_on_adversarial_corpus(spark):
         assert delta == recount, (k, delta, recount)
 
 
+def test_driver_equals_recount_on_adversarial_corpus(spark):
+    """Round-10 driver regime (bounded-vocab local loop — the `auto`
+    choice below DELTA_MIN_VOCAB) must produce the EXACT merge list of
+    the distributed recount loop: overlapping runs, repeat-adjacent
+    merged pairs, lexicographic ties, and early exhaustion included."""
+    for k in (1, 3, 8, 32):
+        drv = bpe_train(_docs(spark, ADVERSARIAL), k=k, strategy="driver")
+        recount = bpe_train(
+            _docs(spark, ADVERSARIAL), k=k, strategy="recount"
+        )
+        assert drv == recount, (k, drv, recount)
+
+
+def test_driver_equals_recount_on_random_corpora(spark):
+    rng = random.Random(23)
+    for trial in range(3):
+        texts = [
+            " ".join(
+                "".join(rng.choice("abcd") for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(3, 12))
+            )
+            for _ in range(8)
+        ]
+        drv = bpe_train(_docs(spark, texts), k=10, strategy="driver")
+        recount = bpe_train(_docs(spark, texts), k=10, strategy="recount")
+        assert drv == recount, (trial, texts, drv, recount)
+
+
+def test_train_to_vocab_driver_equals_recount(spark):
+    from common_survey_data_pipeline_spark.operators.bpe import (
+        bpe_train_to_vocab,
+    )
+
+    rng = random.Random(29)
+    for trial in range(3):
+        texts = [
+            " ".join(
+                "".join(rng.choice("abcd") for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(3, 12))
+            )
+            for _ in range(8)
+        ]
+        kwargs = dict(vocab_size=9, min_freq=2)
+        drv = bpe_train_to_vocab(
+            _docs(spark, texts), strategy="driver", **kwargs
+        )
+        recount = bpe_train_to_vocab(
+            _docs(spark, texts), strategy="recount", **kwargs
+        )
+        assert drv == recount, (trial, texts, drv, recount)
+
+
 def test_delta_equals_recount_on_random_corpora(spark):
     rng = random.Random(7)
     for trial in range(3):
