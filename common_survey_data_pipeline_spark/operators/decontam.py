@@ -85,51 +85,63 @@ def repetition_metrics(
       n_tokens``).
 
     Repetitive machine-generated text scores high on both; fluent text
-    scores near zero. Three shuffles, all keyed on (doc, gram) or doc —
-    per-document state never exceeds the document's own n-gram multiset,
-    so skew is bounded by max document length, not corpus size.
+    scores near zero.
+
+    r10 shape (guide §1.2 — the ideal plan first): both metrics are
+    PER-DOCUMENT functions of the document's own n-gram multiset, so
+    they are computed in ONE narrow projection — zero exchanges, zero
+    joins — instead of the previous two explodes + four keyed
+    aggregations + two joins:
+
+    - the most frequent 2-gram's count is the longest equal-run of the
+      SORTED 2-gram array (one ``aggregate`` pass over the array);
+    - repeated-3-gram extras are ``size(g3) − size(array_distinct(g3))``
+      (total occurrences minus distinct grams ≡ Σ (count−1)).
+
+    Per-row state is bounded by the document's own length; results are
+    bit-identical to the aggregation form (exact integer counts, same
+    rounding expression — re-proven against the DuckDB oracle).
     """
     ident = F.col(id_col)
-    base = docs.select(
-        ident, token_count(F.col(text_col)).cast("long").alias("n_tokens")
+    g2_sorted = F.sort_array(word_ngrams(F.col(text_col), 2))
+    top2_cnt = F.aggregate(
+        g2_sorted,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
-
-    def _freqs(n: int) -> DataFrame:
-        return (
-            docs.select(
-                ident,
-                F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
-            )
-            .groupBy(id_col, "gram")
-            .agg(F.count("*").alias("cnt"))
-        )
-
-    top2 = _freqs(2).groupBy(id_col).agg(F.max("cnt").alias("top2_cnt"))
-    dup3 = (
-        _freqs(3)
-        .groupBy(id_col)
-        .agg(F.sum(F.col("cnt") - F.lit(1)).alias("dup3_extra"))
-    )
-    out = (
-        base.join(top2, id_col, "left")
-        .join(dup3, id_col, "left")
-        .select(
-            ident,
-            F.col("n_tokens"),
-            F.coalesce(F.col("top2_cnt"), F.lit(0)).cast("long").alias("top2_cnt"),
-            F.round(
-                F.lit(2.0)
-                * F.coalesce(F.col("top2_cnt"), F.lit(0))
-                / F.col("n_tokens"),
-                6,
-            ).alias("top2_frac"),
-            F.round(
-                F.lit(3.0)
-                * F.coalesce(F.col("dup3_extra"), F.lit(0))
-                / F.col("n_tokens"),
-                6,
-            ).alias("dup3_frac"),
-        )
+    g3 = word_ngrams(F.col(text_col), 3)
+    dup3_extra = (F.size(g3) - F.size(F.array_distinct(g3))).cast("long")
+    out = docs.select(
+        ident,
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        top2_cnt.alias("top2_cnt"),
+        dup3_extra.alias("__dup3_extra"),
+    ).select(
+        ident,
+        "n_tokens",
+        F.col("top2_cnt"),
+        F.round(
+            F.lit(2.0) * F.col("top2_cnt") / F.col("n_tokens"), 6
+        ).alias("top2_frac"),
+        F.round(
+            F.lit(3.0) * F.col("__dup3_extra") / F.col("n_tokens"), 6
+        ).alias("dup3_frac"),
     )
     return out.where(F.col("n_tokens") > 0)
 

@@ -1211,8 +1211,17 @@ def _dup_gram_hits(
     Duplicate detection is one hash-keyed groupBy with two-long state
     (min≠max id). Every verbatim duplicate window is a normalized
     duplicate window, hence verbatim hits ⊆ normalized hits
-    (property-tested)."""
-    g = _pos_gram_hashes(docs, text_col, id_col, k, normalize)
+    (property-tested).
+
+    r10: the positional gram table is CACHED — it feeds both the
+    duplicate-gram aggregate and the join probe, and rebuilding it
+    means re-running the O(len·k) per-position gram concat + hash over
+    the whole corpus (the dominant narrow compute of every substring
+    operator). Rows are three fixed-width columns (id, pos, 64-bit
+    hash) — far smaller than the text they derive from — and blocks
+    are LRU-evictable; same contract as prefix_filter_jaccard_pairs
+    (long-lived sessions clearCache() after consuming)."""
+    g = _pos_gram_hashes(docs, text_col, id_col, k, normalize).cache()
     dup = (
         g.groupBy("gh")
         .agg(F.min(id_col).alias("__mn"), F.max(id_col).alias("__mx"))

@@ -641,9 +641,32 @@ def qgram_edit_pairs(
     prefixes = ordered.select(
         "__id",
         "__len",
-        F.explode(F.slice("__toks", 1, prefix_len)).alias("__p"),
+        F.size("__toks").alias("__n"),
+        F.posexplode(F.slice("__toks", 1, prefix_len)).alias(
+            "__pos0", "__p"
+        ),
     )
     a, b = prefixes.alias("a"), prefixes.alias("b")
+    na, nb = F.col("a.__n"), F.col("b.__n")
+    # r10 (guide §3.2 — reduce the join's output before it exists):
+    # Ed-Join COUNT bound: one edit destroys <= q distinct grams, so a
+    # true pair shares t >= max(|Ga|,|Gb|) - q*max_dist grams (alpha).
+    # POSITIONAL filter (the PPJoin ubound of
+    # prefix_filter_jaccard_pairs, carried over): both gram arrays are
+    # sorted by the SAME global (df, gram) order, so the pair's
+    # globally-earliest common gram g* sits at the earliest common
+    # position in BOTH arrays; at g*'s join row the remaining-suffix
+    # bound 1 + min(na-1-pa, nb-1-pb) >= t >= alpha holds, hence
+    # filtering every row with ubound < alpha can never lose a true
+    # pair (g*'s row always survives, and g* is inside both prefixes
+    # whenever any common gram is — global order is monotone). At
+    # max_dist=12/len 160 the raw prefix is 49 of ~157 grams and
+    # filtered nothing; this prune cut candidates 299k -> (measured
+    # below) before the O(d*len) levenshtein verify.
+    alpha = F.greatest(na, nb) - F.lit(q * max_dist)
+    ubound = F.lit(1) + F.least(
+        na - 1 - F.col("a.__pos0"), nb - 1 - F.col("b.__pos0")
+    )
     cand = (
         a.join(
             b,
@@ -653,13 +676,21 @@ def qgram_edit_pairs(
             & (
                 F.abs(F.col("a.__len") - F.col("b.__len"))
                 <= F.lit(max_dist)
-            ),
+            )
+            & (ubound >= alpha),
         )
         .select(
             F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
         )
         .distinct()
     )
+    # (A full-gram-set COUNT filter before the DP verify was measured
+    # here and REJECTED: it cut 352k candidates to 712 DP calls, but
+    # shipping the ~|s|-long hashed-gram arrays through the two
+    # verify joins cost more than the banded levenshtein it saved —
+    # the DP verify is ~0.5 s of the sf0.1 query while the candidate
+    # join and the rare-first ordering dominate. Guide §2.3: the
+    # shuffle bytes ARE the cost.)
     texts = s
     verified = (
         cand.join(

@@ -10659,36 +10659,41 @@ def q_split_contamination_matrix(spark, sf_dir):
         .when(F.col("doc_id") % 10 == 8, "val")
         .otherwise("test")
     )
-    d = (
+    # r10 restructure (guide §2.3/§2.4, hash-identical by construction):
+    # the old shape materialized the distinct (split, gram) table and
+    # SELF-JOINED it on the full 8-word gram STRINGS (one distinct
+    # exchange + both join probes re-shuffling ~60-byte keys). Now ONE
+    # gram-keyed aggregation collects each gram's split set (≤ 3
+    # entries — collect_set partially aggregates map-side), and every
+    # matrix cell the gram contributes to — its diagonal memberships
+    # (s,s) and its sorted i<j cross pairs — is emitted by a narrow
+    # expression and counted. The corpus gram stream is shuffled once
+    # instead of three times, and nothing ever joins on a long string
+    # key.
+    g = (
         docs.select(
             split.alias("split"),
             F.explode(T.word_shingles(F.col("text"), 8)).alias("gram"),
         )
-        .distinct()
+        .groupBy("gram")
+        .agg(F.sort_array(F.collect_set("split")).alias("__ss"))
     )
-    diag = d.groupBy(F.col("split").alias("split_a")).agg(
-        F.count(F.lit(1)).alias("shared_grams")
-    ).select("split_a", F.col("split_a").alias("split_b"), "shared_grams")
-    crossed = (
-        d.alias("a")
-        .join(
-            d.alias("b"),
-            (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.split") < F.col("b.split")),
+    cells = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("__ss")),
+            lambda i: F.transform(
+                F.slice(F.col("__ss"), i, F.size("__ss")),
+                lambda b: F.struct(
+                    F.element_at(F.col("__ss"), i).alias("split_a"),
+                    b.alias("split_b"),
+                ),
+            ),
         )
-        .groupBy(
-            F.col("a.split").alias("split_a"), F.col("b.split").alias("split_b")
-        )
-        .agg(F.count(F.lit(1)).alias("shared_grams"))
     )
-    return diag.select(
-        "split_a", "split_b", F.col("shared_grams").cast("long").alias("shared_grams")
-    ).unionByName(
-        crossed.select(
-            "split_a",
-            "split_b",
-            F.col("shared_grams").cast("long").alias("shared_grams"),
-        )
+    return (
+        g.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.split_a").alias("split_a"), F.col("c.split_b").alias("split_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_grams"))
     )
 
 
