@@ -971,10 +971,52 @@ def prefix_filter_jaccard_pairs(
         )
         .distinct()
     )
-    # verify on the rare-first-ORDERED token arrays (a permutation of
-    # the shingle sets — Jaccard is order-blind), so the cached ordered
-    # table serves the verification sides too and the shingling scan
-    # runs exactly once
+    # r10 TWO-STAGE verify (guide §2.3 — shuffle hashes, not payloads;
+    # measured at sf1 the one-stage verify was 12.8 s of the query's
+    # 14.9 s because every candidate row carried BOTH full
+    # shingle-STRING arrays through two joins):
+    #
+    # Stage 1 certifies the overlap bound on 8-byte-element hash
+    # arrays (~5× fewer join bytes, long equality instead of string):
+    # a pair with Jaccard ≥ t needs overlap ≥ α = ⌈t/(1+t)·(na+nb)⌉
+    # over the DISTINCT shingle sets. Hashing can only miscount by
+    # MERGING distinct shingles (within-doc collisions), and each
+    # merge shrinks a doc's hash set by exactly one, so
+    # |A∩B| ≤ |ha∩hb| + (na−|ha|) + (nb−|hb|) — the stage-1 keep
+    # condition uses that EXACT upper bound, hence no true pair is
+    # ever dropped, collisions or not. Stage 2 re-attaches the string
+    # arrays for the (output-sized) survivor set only and computes the
+    # exact Jaccard that the result reports.
+    ha = ordered.select(
+        F.col("__id").alias("id_a"),
+        F.size("__toks").alias("__na"),
+        F.array_distinct(
+            F.transform("__toks", lambda t: F.xxhash64(t))
+        ).alias("__ha"),
+    )
+    hb = ordered.select(
+        F.col("__id").alias("id_b"),
+        F.size("__toks").alias("__nb"),
+        F.array_distinct(
+            F.transform("__toks", lambda t: F.xxhash64(t))
+        ).alias("__hb"),
+    )
+    pair_alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("__na") + F.col("__nb"))
+        - F.lit(1e-9)
+    )
+    overlap_ub = (
+        F.size(F.array_intersect("__ha", "__hb"))
+        + (F.col("__na") - F.size("__ha"))
+        + (F.col("__nb") - F.size("__hb"))
+    )
+    survivors = (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .where(overlap_ub >= pair_alpha)
+        .select("id_a", "id_b")
+    )
     a = ordered.select(
         F.col("__id").alias("id_a"), F.col("__toks").alias("__sh_a")
     )
@@ -982,7 +1024,7 @@ def prefix_filter_jaccard_pairs(
         F.col("__id").alias("id_b"), F.col("__toks").alias("__sh_b")
     )
     return (
-        cand.join(a, "id_a")
+        survivors.join(a, "id_a")
         .join(b, "id_b")
         .withColumn(
             "jaccard_sim",

@@ -344,6 +344,11 @@ def strdist_neardup_pairs(
         df.select(F.col(_q(text_col)).alias(out_a))
         .where(F.col(out_a).isNotNull())
         .distinct()
+        # (r10 measured and rejected: caching this pool — it feeds four
+        # consumers at max_dist=1 — made sf1 SLOWER (9.7 → 11.1 s):
+        # the distinct's exchange is already shared via ReusedExchange
+        # and the cache write + lost AQE coalescing cost more than the
+        # narrow recompute it saved.)
     )
     if max_dist == 1:
         s, i = F.col(out_a), F.col("__csdp_i")

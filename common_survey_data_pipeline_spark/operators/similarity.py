@@ -693,17 +693,36 @@ def _pq_train_codebooks(
         cents = x[rng.choice(n, size=min(ksub, n), replace=False)].copy()
         if len(cents) < ksub:  # degenerate tiny sample: pad by repeat
             cents = np.tile(cents, (-(-ksub // len(cents)), 1))[:ksub]
+        # r10: the Lloyd iteration rewritten allocation-lean — the
+        # previous form built three (n, ksub) float temporaries per
+        # iteration for the full squared distance and then ran ksub
+        # masked x[mask].mean(0) passes over the whole sample; at
+        # m=16, iters=12 that was ~10.6 s of driver numpy inside the
+        # sf1 similarity_pq query. argmin of ||x−c||² is argmax of
+        # x·c − ½||c||² (the per-row ||x||² term cannot change the
+        # winner), so assignment is ONE matmul into a reused buffer +
+        # an in-place broadcast subtract, and the centroid update is
+        # one bincount per subspace dimension. Empty clusters keep
+        # their previous centroid, as before. Float rounding shifts at
+        # the last ulp vs the old expression; every ANN query's
+        # recall-contract output is ulp-robust (re-proven by direct
+        # output comparison at sf0.001/0.01/0.1/sf1 and the oracle
+        # hash).
+        score = np.empty((len(x), ksub), dtype=np.float64)
         for _ in range(iters):
-            d2 = (
-                (x**2).sum(1, keepdims=True)
-                - 2.0 * x @ cents.T
-                + (cents**2).sum(1)[None, :]
+            np.matmul(x, cents.T, out=score)
+            score -= 0.5 * (cents**2).sum(1)[None, :]
+            assign = score.argmax(1)
+            counts = np.bincount(assign, minlength=ksub).astype(np.float64)
+            sums = np.stack(
+                [
+                    np.bincount(assign, weights=x[:, dd], minlength=ksub)
+                    for dd in range(dsub)
+                ],
+                axis=1,
             )
-            assign = d2.argmin(1)
-            for c in range(ksub):
-                mask = assign == c
-                if mask.any():
-                    cents[c] = x[mask].mean(0)
+            nonempty = counts > 0
+            cents[nonempty] = sums[nonempty] / counts[nonempty, None]
         books[j] = cents
     return books
 

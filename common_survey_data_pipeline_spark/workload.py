@@ -10074,9 +10074,15 @@ def q_lm_perplexity_buckets(spark, sf_dir):
     tok = docs.select(F.explode(T.tokens(F.col("text"))).alias("w"))
     uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("tf"))
     total = uni.agg(F.sum("tf").alias("total"))
-    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # r10 (guide §2.4): the bigram count rides the bigram stream as a
+    # count Window over (w1, w2) — ONE exchange of the corpus bigrams —
+    # instead of a separate aggregate + join-back, which exchanged the
+    # same stream twice and re-ran the explode for the probe side.
     scored = (
-        bg.join(bgc, ["w1", "w2"])
+        bg.withColumn(
+            "c12",
+            F.count(F.lit(1)).over(Window.partitionBy("w1", "w2")),
+        )
         .join(uni.select(F.col("w").alias("w1"), F.col("tf").alias("tf1")), "w1")
         .join(uni.select(F.col("w").alias("w2"), F.col("tf").alias("tf2")), "w2")
         .crossJoin(F.broadcast(total))
