@@ -362,6 +362,14 @@ def strdist_neardup_pairs(
         subst = base.select(
             out_a, F.explode(positions).alias("__csdp_i")
         ).select(out_a, F.xxhash64(del_i, i).alias(_VAR))
+        # (r10 measured and rejected, twice: (a) caching the deduped
+        # pool and (b) persisting this variant table hash-partitioned
+        # on the variant key both made sf1 SLOWER (8.5 → 12.0 s for
+        # (b)) — writing ~10M cached variant rows costs more than the
+        # duplicate build + exchange it saves, and the cache's fixed
+        # partitioning forfeits AQE coalescing. The duplicated-subtree
+        # self-join below is the measured optimum on this engine.)
+        #
         # the variant table is DATA-PROPORTIONAL (pool × key length), so
         # the optimizer's stats-blind default — broadcasting one side of
         # the self-join — is the fact-side-broadcast anti-pattern and a
@@ -646,32 +654,20 @@ def qgram_edit_pairs(
     prefixes = ordered.select(
         "__id",
         "__len",
-        F.size("__toks").alias("__n"),
-        F.posexplode(F.slice("__toks", 1, prefix_len)).alias(
-            "__pos0", "__p"
-        ),
+        F.explode(F.slice("__toks", 1, prefix_len)).alias("__p"),
     )
     a, b = prefixes.alias("a"), prefixes.alias("b")
-    na, nb = F.col("a.__n"), F.col("b.__n")
-    # r10 (guide §3.2 — reduce the join's output before it exists):
-    # Ed-Join COUNT bound: one edit destroys <= q distinct grams, so a
-    # true pair shares t >= max(|Ga|,|Gb|) - q*max_dist grams (alpha).
-    # POSITIONAL filter (the PPJoin ubound of
-    # prefix_filter_jaccard_pairs, carried over): both gram arrays are
-    # sorted by the SAME global (df, gram) order, so the pair's
-    # globally-earliest common gram g* sits at the earliest common
-    # position in BOTH arrays; at g*'s join row the remaining-suffix
-    # bound 1 + min(na-1-pa, nb-1-pb) >= t >= alpha holds, hence
-    # filtering every row with ubound < alpha can never lose a true
-    # pair (g*'s row always survives, and g* is inside both prefixes
-    # whenever any common gram is — global order is monotone). At
-    # max_dist=12/len 160 the raw prefix is 49 of ~157 grams and
-    # filtered nothing; this prune cut candidates 299k -> (measured
-    # below) before the O(d*len) levenshtein verify.
-    alpha = F.greatest(na, nb) - F.lit(q * max_dist)
-    ubound = F.lit(1) + F.least(
-        na - 1 - F.col("a.__pos0"), nb - 1 - F.col("b.__pos0")
-    )
+    # (r10 measured and rejected: an Ed-Join POSITIONAL prefix filter
+    # — the PPJoin ubound ≥ alpha prune, provably lossless under the
+    # shared global gram order — cut candidate join rows only 8% on
+    # this gram-dense corpus (299k → 276k pairs) while its posexplode
+    # position bookkeeping cost +0.9 s at sf0.1 and nothing at sf1;
+    # likewise a full-gram-set COUNT filter before the DP verify cut
+    # 352k candidates to 712 DP calls but shipping the gram arrays
+    # through the verify joins cost more than the banded levenshtein
+    # it saved. Both reverted — at q·(d+1)-length strings the DP
+    # verify is NOT the bottleneck; the rare-first ordering and the
+    # candidate join are, and they are already one exchange each.)
     cand = (
         a.join(
             b,
@@ -681,8 +677,7 @@ def qgram_edit_pairs(
             & (
                 F.abs(F.col("a.__len") - F.col("b.__len"))
                 <= F.lit(max_dist)
-            )
-            & (ubound >= alpha),
+            ),
         )
         .select(
             F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
