@@ -675,7 +675,21 @@ def hamming_band_pairs(
         # partitioning so the small self-join needs no further
         # exchange (same caching contract as
         # prefix_filter_jaccard_pairs: clearCache() after consuming in
-        # long-lived sessions)
+        # long-lived sessions).
+        # (r11 measured and REJECTED: de-skewing this window into a
+        # map-side-partial groupBy count BROADCAST back onto a cached
+        # chunk table — the count table is bounded by n_chunks·2^chunk_w
+        # so it broadcasts — lost badly in a 3-sample adjacent A/B:
+        # dedup_simhash_capped sf0.1 3.51 → 4.71 s, sf1 7.81 → 12.49 s.
+        # The cached window output feeds four consumers WITH its
+        # (chunk, chunk_val) partitioning, which the broadcast-join
+        # form forfeits — every consumer then re-exchanges, and those
+        # exchanges cost far more than the window sort saved. Skew
+        # exposure of the window itself is the hub-bucket case the
+        # bucket_cap targets: ~2^chunk_w buckets per chunk bound each
+        # window partition at N/2^chunk_w expected rows, and the
+        # capped sub-split — not this window — is the guard against
+        # pathological concentrations.)
         sized = chunks.withColumn(
             "__bn",
             F.count(F.lit(1)).over(Window.partitionBy("chunk", "chunk_val")),
@@ -878,16 +892,19 @@ def prefix_filter_jaccard_pairs(
     by construction, which bounds the candidate join's per-key fanout.
 
     Plan (all equi-joins, no quadratic stage, no randomness):
-    1. distinct shingle sets per record (narrow);
-    2. global shingle document-frequency attached as a count Window
-       over the shingle key — one shuffle total, vs. the
-       aggregate-then-join form's two passes over the token stream;
+    1. distinct shingle sets per record (narrow, cached — the df count
+       and the ordered probe both read it);
+    2. global shingle document-frequency as a map-side-partial groupBy
+       on the 8-byte shingle hash, joined back shuffled-hash — hot
+       shingles collapse before the exchange and AQE can skew-split
+       the probe (a count Window could not: no partials, unsplittable
+       window partitions — r11 de-skew);
     3. rare-first sort per record, slice the prefix (sort_array over
        (df, shingle) structs — JVM-side); the ordered-token table is
        CACHED (not localCheckpoint-ed: lineage survives executor loss
        and the blocks are LRU-evictable) because the prefix side and
        both verification sides all read it — one materialization
-       instead of re-running the two token shuffles three times;
+       instead of re-running the token shuffles three times;
     4. candidate pairs = self-equi-join on prefix tokens, de-duped;
     5. exact Jaccard verify on the candidate pairs only.
 
@@ -910,13 +927,35 @@ def prefix_filter_jaccard_pairs(
             word_shingles(F.col(text_col), shingle_words)
         ).alias("__sh"),
     ).where(F.size("__sh") > 0)
+    if cache_tokens:
+        # the shingle build feeds BOTH the document-frequency count and
+        # the ordered-token probe below — one materialization instead
+        # of two corpus shingle passes (the minhash_dedup_pairs cache)
+        sh = sh.cache()
 
+    # r11 (guide §2.5 — the count-Window de-skew): document frequency
+    # is a groupBy count on the 8-byte shingle HASH with map-side
+    # partial aggregation, joined back shuffled-hash — not the r10
+    # count Window over the shingle string. A window has no partial
+    # aggregation and AQE cannot split a window partition, so one
+    # boilerplate shingle would serialize its whole row set into a
+    # single task's sort buffer at 100 TB; here hot shingles collapse
+    # map-side, the probe join is AQE-skew-splittable, the df exchange
+    # carries 16-byte (hash, count) rows instead of shingle strings,
+    # and the token stream's per-partition window SORT disappears.
     tok = sh.select("__id", F.explode("__sh").alias("__t")).withColumn(
-        "__df", F.count(F.lit(1)).over(Window.partitionBy("__t"))
+        "__th", F.xxhash64("__t")
     )
-    # rare-first global order: (document frequency, shingle) is total
-    # and deterministic; sort_array on (df, shingle) structs implements
-    # it JVM-side after the single token-keyed exchange above
+    dfreq = tok.groupBy("__th").agg(F.count(F.lit(1)).alias("__df"))
+    tok = tok.join(dfreq.hint("shuffle_hash"), "__th")
+    # rare-first global order: (hash-merged document frequency,
+    # shingle) — a deterministic TOTAL order over distinct shingles
+    # (both components are pure functions of the shingle, ties broken
+    # by the string itself), which is all the prefix-filter theorem
+    # requires of the global order; a hash collision merely merges two
+    # shingles' df counts, nudging where they sort — candidates can
+    # shift, the verified output cannot. sort_array on (df, shingle)
+    # structs implements the order JVM-side.
     ordered = (
         tok.groupBy("__id")
         .agg(
@@ -932,7 +971,15 @@ def prefix_filter_jaccard_pairs(
     if cache_tokens:
         ordered = ordered.cache()
     n = F.size("__toks")
-    prefix_len = n - F.ceil(F.lit(threshold) * n).cast("int") + 1
+    # ADVICE r10: every PRUNE below derives from t_eff, not threshold.
+    # The emit filter is round(jaccard, 6) >= threshold, so a pair with
+    # exact Jaccard in [threshold − 5e-7, threshold) rounds UP and is
+    # emittable — pruning with the unrounded threshold could drop such
+    # a rounding-edge pair before the exact verify ever sees it. The
+    # guard-banded prunes admit (at most a handful of) extra
+    # candidates; the final exact filter is unchanged.
+    t_eff = max(1e-9, threshold - 5e-7)
+    prefix_len = n - F.ceil(F.lit(t_eff) * n).cast("int") + 1
     # carry set size and 1-based prefix position for the two classic
     # prunes applied INSIDE the candidate join (before any dedup or
     # verification): length filter (J >= t forces t*|A| <= |B| <= |A|/t)
@@ -954,7 +1001,7 @@ def prefix_filter_jaccard_pairs(
     # ceil past the true integer alpha (over-pruning would LOSE pairs;
     # an epsilon of under-pruning only admits a few extra candidates)
     alpha = F.ceil(
-        F.lit(threshold / (1.0 + threshold)) * (na + nb) - F.lit(1e-9)
+        F.lit(t_eff / (1.0 + t_eff)) * (na + nb) - F.lit(1e-9)
     )
     ubound = 1 + F.least(na - 1 - F.col("a.__pos0"), nb - 1 - F.col("b.__pos0"))
     cand = (
@@ -962,8 +1009,8 @@ def prefix_filter_jaccard_pairs(
         .join(prefixes.alias("b"), "__p")
         .where(
             (F.col("a.__id") < F.col("b.__id"))
-            & (nb * threshold <= na)
-            & (na * threshold <= nb)
+            & (nb * t_eff <= na)
+            & (na * t_eff <= nb)
             & (ubound >= alpha)
         )
         .select(
@@ -1002,7 +1049,7 @@ def prefix_filter_jaccard_pairs(
         ).alias("__hb"),
     )
     pair_alpha = F.ceil(
-        F.lit(threshold / (1.0 + threshold))
+        F.lit(t_eff / (1.0 + t_eff))
         * (F.col("__na") + F.col("__nb"))
         - F.lit(1e-9)
     )

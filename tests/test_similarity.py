@@ -452,3 +452,60 @@ def test_pq_empty_corpus_and_bad_m_envelope(spark):
         pq_topk(corpus, q, k=2, m=3, ksub=4).count()
     with pytest.raises(ValueError, match="must divide"):
         ivfpq_topk(corpus, q, k=2, nlist=2, nprobe=2, m=3, ksub=4).count()
+
+
+def test_pq_train_codebooks_matches_masked_mean_reference():
+    """ADVICE r10: the r10 Lloyd rewrite (argmax of x·c − ½||c||² +
+    bincount centroid sums) must keep ASSIGNMENT parity with the
+    classic argmin-of-d² / masked-mean form it replaced — near-tie
+    resolution or compounding float drift would silently shift PQ
+    codes and ANN shortlists. Seeded sample → deterministic: this
+    pins the parity instead of assuming ulp-robustness."""
+    import numpy as np
+
+    from common_survey_data_pipeline_spark.operators.similarity import (
+        _pq_train_codebooks,
+    )
+
+    def ref_train(sample, m, ksub, seed, iters=12):
+        # the pre-r10 expression, verbatim shape: full (n, ksub)
+        # squared distances, argmin, per-cluster masked means
+        rng = np.random.default_rng(seed)
+        n, _d = sample.shape
+        dsub = _d // m
+        books = np.zeros((m, ksub, dsub), dtype=np.float64)
+        for j in range(m):
+            x = sample[:, j * dsub : (j + 1) * dsub]
+            cents = x[rng.choice(n, size=min(ksub, n), replace=False)].copy()
+            if len(cents) < ksub:
+                cents = np.tile(cents, (-(-ksub // len(cents)), 1))[:ksub]
+            for _ in range(iters):
+                d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(2)
+                assign = d2.argmin(1)
+                for c in range(ksub):
+                    mask = assign == c
+                    if mask.any():
+                        cents[c] = x[mask].mean(0)
+            books[j] = cents
+        return books
+
+    rng = np.random.default_rng(7)
+    for m, ksub, n, d in [(4, 16, 512, 16), (2, 8, 300, 8), (1, 32, 64, 6)]:
+        sample = rng.standard_normal((n, d))
+        sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+        new = _pq_train_codebooks(sample, m, ksub, seed=43)
+        ref = ref_train(sample, m, ksub, seed=43)
+        # codebooks agree to float noise...
+        assert np.allclose(new, ref, atol=1e-8), (m, ksub)
+        # ...and induce IDENTICAL final assignments (the contract the
+        # PQ codes and every ANN shortlist actually depend on)
+        dsub = d // m
+        for j in range(m):
+            x = sample[:, j * dsub : (j + 1) * dsub]
+            a_new = (
+                ((x[:, None, :] - new[j][None, :, :]) ** 2).sum(2).argmin(1)
+            )
+            a_ref = (
+                ((x[:, None, :] - ref[j][None, :, :]) ** 2).sum(2).argmin(1)
+            )
+            assert (a_new == a_ref).all(), (m, ksub, j)
