@@ -188,23 +188,27 @@ def crossdoc_duplication(
     least one n-gram; high ``dup_share`` marks near-copies that survive
     exact dedup (mirror pages, light edits of templated text).
 
-    Two shuffles, both linear in corpus tokens: a gram-keyed window
-    count attaches each gram's document frequency in place (one
-    exchange+sort — strictly cheaper than the aggregate-then-self-join
-    form, which shuffles the same gram rows AND sorts both merge-join
-    sides), then a doc-keyed aggregation of the shared flags. Hot
-    boilerplate grams concentrate on one task either way (the join form
-    must co-locate them to probe too); the gram key space is vast, so
-    AQE's skew split handles the outliers. No pairwise stage — this is
-    the metric-side complement of MinHash pair mining (`dedup.py`),
-    usable as a standalone filter.
+    Shuffles are linear in corpus tokens: the gram document frequency
+    is a map-side-partial groupBy count joined back shuffled-hash onto
+    the persisted gram stream (r11 de-skew — the previous count Window
+    had no partial aggregation and AQE cannot split a window
+    partition, so one boilerplate gram serialized its whole row set
+    into a single task's sort buffer; now hot grams collapse map-side
+    and the probe join is AQE-skew-splittable), then a doc-keyed
+    aggregation of the shared flags. The join stays on exact gram
+    STRINGS — a hashed key's collisions would wrongly flag unique
+    grams as shared, and there is no verify stage here to repair that.
+    No pairwise stage — this is the metric-side complement of MinHash
+    pair mining (`dedup.py`), usable as a standalone filter. The gram
+    stream is persisted for the two passes (LRU-evictable;
+    clearCache() after consuming in long-lived sessions).
     """
-    grams = _exploded_shingles(docs, text_col, id_col, n)
-    flagged = grams.select(
-        F.col(id_col),
-        (F.count("*").over(Window.partitionBy("gram")) >= 2)
-        .cast("long")
-        .alias("shared"),
+    grams = _exploded_shingles(docs, text_col, id_col, n).persist()
+    gfreq = grams.groupBy("gram").agg(
+        (F.count("*") >= 2).cast("long").alias("shared")
+    )
+    flagged = grams.join(gfreq.hint("shuffle_hash"), "gram").select(
+        F.col(id_col), "shared"
     )
     return flagged.groupBy(id_col).agg(
         F.count("*").alias("n_grams"),

@@ -3147,7 +3147,16 @@ def q_q7(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.join(supp, li.l_suppkey == supp.s_suppkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
+        # the one fact-to-fact join: pin shuffled-HASH with orders as
+        # the build side (r11, guide §3.1) — sort-merge sorted BOTH
+        # fact streams to join on an equality a hash probe answers
+        # directly; orders is the narrower side, per-partition builds
+        # are bounded by shuffle.partitions (the deployment contract
+        # j10's memory note documents), and AQE skew-split still
+        # applies. The hint is consumed by THIS join; the dim joins
+        # above/below stay broadcast (plan-pinned in
+        # test_plan_quality).
+        .join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .where(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
